@@ -1,0 +1,82 @@
+"""Crawler configuration.
+
+Field names/defaults mirror the reference's env-var table
+(/root/reference/main.go:22-38) so a user of the reference can map their
+deployment config 1:1.  Parsing of ``BLACKLIST_PATHS`` reproduces
+``splitPaths`` (/root/reference/main.go:154-167) — a comma split with NO
+trimming (the reference's "trim" loop copies verbatim).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+DEFAULT_BLACKLIST = "/search,/government/uploads"
+DEFAULT_ROOT_URLS = "https://www.gov.uk/"
+
+# Seen-set status encoding (/root/reference/workflow.go:18-19); values > 1
+# are 5XX retry counters produced by INCR (/root/reference/workflow.go:107).
+READY_TO_ENQUEUE = 0
+ENQUEUED = 1
+
+VERSION_NUMBER = "0.2.0"  # /root/reference/main.go:40
+
+
+def split_paths(paths: str) -> list[str]:
+    """Comma-split with no trimming (/root/reference/main.go:154-167)."""
+    return paths.split(",")
+
+
+def split_root_urls(urls: str) -> list[str]:
+    """ROOT_URLS parsing (/root/reference/main.go:76-86): comma split."""
+    return [u for u in urls.split(",") if u]
+
+
+_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(h|m|s|ms)")
+_DURATION_UNITS = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 0.001}
+
+
+def parse_duration(s: str) -> float:
+    """Go-style duration string ("12h", "30m", "1h30m") -> seconds
+    (TTL_EXPIRE_TIME parse, /root/reference/main.go:88-91)."""
+    parts = _DURATION_RE.findall(s)
+    if not parts or "".join(n + u for n, u in parts) != s:
+        raise ValueError(f"invalid duration: {s!r}")
+    return sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
+
+
+@dataclass
+class CrawlConfig:
+    """All knobs of the engine, reference-parity defaults."""
+
+    root_urls: list[str] = field(
+        default_factory=lambda: split_root_urls(DEFAULT_ROOT_URLS))
+    blacklist_paths: list[str] = field(
+        default_factory=lambda: split_paths(DEFAULT_BLACKLIST))
+    # CRAWLER_THREADS (/root/reference/main.go:26) -> fetch actor-pool size.
+    crawler_threads: int = 4
+    # MAX_CRAWL_RETRIES (/root/reference/main.go:29, workflow.go:93-98).
+    max_crawl_retries: int = 4
+    # TTL_EXPIRE_TIME (/root/reference/main.go:35) in seconds (logical time).
+    ttl_expire_seconds: float = 12 * 3600.0
+    # Seen-set shard count (north rule: sharded bloom/cuckoo seen set).
+    num_seen_shards: int = 8
+    # Politeness: max fetches per host per round (north rule; the reference
+    # has only the global 429 back-off, workflow.go:108-114). None = no cap.
+    per_host_budget: int | None = None
+    # Honor robots.txt (north-rule addition; absent in the reference).
+    respect_robots: bool = False
+    # Round cap for the superstep loop (safety net; 429 rows requeue forever
+    # in the reference, workflow.go:108-117).
+    max_rounds: int = 50
+    # Digest algorithm for seen-set keys. The reference keys on
+    # md5(exact-url-string) (/root/reference/ttl_hash_set/ttl_hash_set.go:202-204);
+    # the north rule mandates sha1(canonicalized url). "sha1" is the default
+    # scale path; "md5" gives byte-parity with reference fixtures.
+    digest: str = "sha1"
+    canonicalize: bool = False  # canonicalize before digesting (north rule)
+    # Ray sizing knobs.
+    fetch_batch_size: int = 4096
+    gate_batch_size: int = 16384
+    mirror_root: str | None = None  # MIRROR_ROOT (main.go:33,72-74)

@@ -1,0 +1,252 @@
+"""Link extraction — HTML path and interleaved-span path.
+
+Reproduces ``CrawlerMessageItem.ExtractURLs``
+(/root/reference/crawler_message_item.go:85-128):
+
+- four element/attr classes, scanned in this order:
+  ``a@href``, ``img@src``, ``link@href``, ``script@src``
+  (crawler_message_item.go:93-98);
+- per class: collect attr values in document order (missing attr => "",
+  goquery ``Attr`` ignores the exists flag — crawler_message_item.go:231),
+  trim whitespace, parse (ANY parse failure aborts the whole page —
+  crawler_message_item.go:144-147), absolutize against
+  {scheme, host} of the response URL, filter by allowed hosts
+  (grouped by allowed-host order — crawler_message_item.go:167-175),
+  filter blacklisted paths, strip fragments;
+- concatenate classes, then exact-dedup.  The reference dedups via a Go
+  map (order-destroying, crawler_message_item.go:183-195); its tests only
+  assert set membership, so we define the golden order as keep-first —
+  see SURVEY.md §7.4.
+
+The span path is the graft: pages are interleaved documents
+``spans: list<struct<kind, text, media_ref, offset>>`` where
+``kind in {text, link, img, css_link, script}`` maps 1:1 to the four
+element/attr classes (BASELINE.json input_hint).  Span extraction must
+produce the same links as HTML extraction over the rendered page.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin, unquote
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .urls import (
+    is_blacklisted_path,
+    netloc_host,
+    parse_url,
+    remove_fragment,
+)
+
+# (kind tag in spans, html element, attribute), in reference scan order.
+LINK_CLASSES = (
+    ("link", "a", "href"),
+    ("img", "img", "src"),
+    ("css_link", "link", "href"),
+    ("script", "script", "src"),
+)
+_KIND_RANK = {kind: i for i, (kind, _, _) in enumerate(LINK_CLASSES)}
+LINK_KINDS = tuple(_KIND_RANK)
+
+
+class _HrefCollector(HTMLParser):
+    """Collects attr values for the four element classes in doc order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.by_class: dict[str, list[str]] = {k: [] for k, _, _ in LINK_CLASSES}
+        self._want = {(el, attr): kind for kind, el, attr in LINK_CLASSES}
+        self._elements = {el for _, el, _ in LINK_CLASSES}
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in self._elements:
+            return
+        for kind, el, attr in LINK_CLASSES:
+            if el != tag:
+                continue
+            val = ""
+            for a, v in attrs:
+                if a == attr:
+                    val = v if v is not None else ""
+                    break
+            self.by_class[kind].append(val.strip())
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+
+def html_collect_hrefs(html: str) -> dict[str, list[str]]:
+    """HTML -> per-class raw href lists in document order."""
+    p = _HrefCollector()
+    p.feed(html)
+    return p.by_class
+
+
+def spans_collect_hrefs(spans) -> dict[str, list[str]]:
+    """Interleaved spans -> per-class raw href lists.
+
+    ``spans`` is an iterable of dicts/structs with keys
+    (kind, text, media_ref, offset); link-bearing spans carry the raw
+    href/src in ``media_ref``.  Offsets give document order.
+    """
+    by_class: dict[str, list[tuple[int, str]]] = {k: [] for k in LINK_KINDS}
+    for s in spans:
+        kind = s["kind"]
+        if kind in by_class:
+            ref = s["media_ref"] or ""
+            by_class[kind].append((s["offset"], ref.strip()))
+    return {k: [h for _, h in sorted(v, key=lambda t: t[0])]
+            for k, v in by_class.items()}
+
+
+def resolve_href(href: str, base_scheme: str, base_host: str) -> str:
+    """RFC 3986 resolution against a {scheme, host} base
+    (crawler_message_item.go:113-117).  Fast paths for the two dominant
+    shapes; urljoin for the rest."""
+    if href.startswith("http://") or href.startswith("https://"):
+        return href
+    if href.startswith("/") and not href.startswith("//"):
+        return f"{base_scheme}://{base_host}{href}"
+    return urljoin(f"{base_scheme}://{base_host}", href)
+
+
+def postprocess_links(
+    by_class: dict[str, list[str]],
+    base_scheme: str,
+    base_host: str,
+    allowed_hosts: list[str],
+    blacklist: list[str],
+) -> list[str] | None:
+    """The per-class parse/absolutize/filter pipeline + final dedup.
+
+    Returns the ordered list of surviving link URLs, or None when the page
+    aborts (any unparseable href — crawler_message_item.go:144-147).
+    Keep-first dedup (see module docstring).
+    """
+    out: list[str] = []
+    for kind, _, _ in LINK_CLASSES:
+        hrefs = by_class.get(kind, ())
+        resolved: list[str] = []
+        for h in hrefs:
+            if parse_url(h) is None:
+                return None  # whole-page abort
+            resolved.append(resolve_href(h, base_scheme, base_host))
+        # filterURLsByHost groups output by allowed-host order
+        # (crawler_message_item.go:167-175).
+        for allowed in allowed_hosts:
+            for r in resolved:
+                parts = parse_url(r)
+                if parts is None or netloc_host(parts.netloc) != allowed:
+                    continue
+                if is_blacklisted_path(unquote(parts.path), blacklist):
+                    continue
+                out.append(remove_fragment(r))
+    seen: set[str] = set()
+    unique: list[str] = []
+    for u in out:
+        if u not in seen:
+            seen.add(u)
+            unique.append(u)
+    return unique
+
+
+def extract_links_from_html(
+    html: str, base_scheme: str, base_host: str,
+    allowed_hosts: list[str], blacklist: list[str],
+) -> list[str] | None:
+    return postprocess_links(html_collect_hrefs(html), base_scheme,
+                             base_host, allowed_hosts, blacklist)
+
+
+def extract_links_from_spans(
+    spans, base_scheme: str, base_host: str,
+    allowed_hosts: list[str], blacklist: list[str],
+) -> list[str] | None:
+    return postprocess_links(spans_collect_hrefs(spans), base_scheme,
+                             base_host, allowed_hosts, blacklist)
+
+
+# ---------------------------------------------------------------------------
+# batch (Arrow) version over interleaved spans — the hot path
+# ---------------------------------------------------------------------------
+
+def extract_links_spans_batch(
+    batch: pa.Table,
+    allowed_hosts: list[str],
+    blacklist: list[str],
+    url_col: str = "url",
+    spans_col: str = "spans",
+) -> pa.Table:
+    """Explode a batch of interleaved documents into link rows.
+
+    Input columns: ``url`` (the page URL — base for resolution) and
+    ``spans``.  Output: ``(src_url, link_url, link_seq)`` with link_seq the
+    within-page keep-first order.  Pages that abort (unparseable href)
+    emit a single row with ``link_url = None`` and ``link_seq = -1`` so the
+    caller can reject them (workflow.go:230-234).
+
+    Span flattening is zero-copy Arrow (``list_flatten`` +
+    ``list_parent_indices``); per-link resolution falls back to Python only
+    for relative references.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"src_url": pa.array([], pa.string()),
+                         "link_url": pa.array([], pa.string()),
+                         "link_seq": pa.array([], pa.int32())})
+    urls = batch[url_col].to_pylist()
+    spans = batch[spans_col].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kinds = flat.field("kind")
+    link_mask = pc.is_in(kinds, value_set=pa.array(list(LINK_KINDS)))
+    sel = link_mask.to_numpy(zero_copy_only=False)
+    idx = np.nonzero(sel)[0]
+    parent_sel = parents[idx]
+    kind_sel = kinds.take(pa.array(idx)).to_pylist()
+    ref_sel = flat.field("media_ref").take(pa.array(idx)).to_pylist()
+    offset_sel = flat.field("offset").take(pa.array(idx)).to_numpy(
+        zero_copy_only=False)
+
+    # group link spans per page, honoring (class_rank, offset) order
+    src_out: list[str] = []
+    link_out: list[str | None] = []
+    seq_out: list[int] = []
+    # per-page span index ranges: parent_sel is nondecreasing
+    boundaries = np.searchsorted(parent_sel, np.arange(n + 1))
+    for row in range(n):
+        lo, hi = boundaries[row], boundaries[row + 1]
+        page_url = urls[row]
+        base = parse_url(page_url)
+        if base is None:
+            continue
+        base_scheme, base_host = base.scheme, netloc_host(base.netloc)
+        if lo == hi:
+            continue
+        order = sorted(
+            range(lo, hi),
+            key=lambda i: (_KIND_RANK[kind_sel[i]], offset_sel[i]))
+        by_class: dict[str, list[str]] = {k: [] for k in LINK_KINDS}
+        for i in order:
+            by_class[kind_sel[i]].append((ref_sel[i] or "").strip())
+        links = postprocess_links(by_class, base_scheme, base_host,
+                                  allowed_hosts, blacklist)
+        if links is None:
+            src_out.append(page_url)
+            link_out.append(None)
+            seq_out.append(-1)
+            continue
+        for j, link in enumerate(links):
+            src_out.append(page_url)
+            link_out.append(link)
+            seq_out.append(j)
+    return pa.table({
+        "src_url": pa.array(src_out, pa.string()),
+        "link_url": pa.array(link_out, pa.string()),
+        "link_seq": pa.array(seq_out, pa.int32()),
+    })
