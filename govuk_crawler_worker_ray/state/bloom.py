@@ -1,0 +1,62 @@
+"""Vectorized numpy Bloom filter.
+
+North-rule component: the bloom PRE-FILTER in front of each seen-set shard
+(SURVEY.md §2.4).  Keys are 64-bit integers derived from URL digests (the
+digests are already uniform, so double hashing h1 + i*h2 suffices —
+Kirsch & Mitzenmacher 2006, public result).
+
+At 10^10 URLs across S shards with ~10 bits/key this is ~1.2 GB per
+shard of 10^9 keys — the arithmetic that motivates sharding (SURVEY.md
+§7.4).  Sized here by expected keys + target fpp.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class BloomFilter:
+    def __init__(self, expected_keys: int, fpp: float = 0.01) -> None:
+        expected_keys = max(expected_keys, 1)
+        m = int(-expected_keys * math.log(fpp) / (math.log(2) ** 2))
+        self.num_bits = max(64, 1 << (m - 1).bit_length())  # pow2 for masking
+        self.num_hashes = max(1, round(m / expected_keys * math.log(2)))
+        self.bits = np.zeros(self.num_bits // 64, dtype=np.uint64)
+        self._mask = np.uint64(self.num_bits - 1)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing."""
+        ks = np.arange(self.num_hashes, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) & self._mask
+
+    @staticmethod
+    def split_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = keys
+        # cheap second hash: xorshift-multiply (splitmix64 finalizer)
+        h2 = keys ^ (keys >> np.uint64(33))
+        h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
+        return h1, h2
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
+        word = (pos >> np.uint64(6)).ravel()
+        bit = np.uint64(1) << (pos & np.uint64(63)).ravel()
+        np.bitwise_or.at(self.bits, word, bit)
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean array: False = DEFINITELY not present."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
+        word = pos >> np.uint64(6)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return ((self.bits[word] & bit) != 0).all(axis=1)
+
+    @property
+    def nbytes(self) -> int:
+        return self.bits.nbytes

@@ -1,0 +1,363 @@
+"""Sharded TTL'd URL-seen set — the engine's replacement for the
+reference's Redis TTL hash set (/root/reference/ttl_hash_set/ttl_hash_set.go).
+
+Semantics reproduced (Redis parity):
+- ``get``: missing or expired key reads as 0 (ttl_hash_set.go:112-115);
+- ``set(key, val)``: SETEX — value + TTL reset (ttl_hash_set.go:82-95);
+- ``incr``: INCR + EXPIRE pipelined (ttl_hash_set.go:57-80) — returns the
+  new count, TTL refreshed;
+- ``exists`` (ttl_hash_set.go:123-135); ``ttl``: -2 when missing, else
+  remaining seconds (Redis TTL semantics, tested
+  ttl_hash_set_test.go:156-175);
+- status encoding: 0 ReadyToEnqueue / 1 Enqueued / >1 retry counter
+  (workflow.go:18-19).
+
+Scale design (north rule): keys are URL digests routed to
+``hash(digest) % num_shards`` shard actors.  Each shard fronts its exact
+store with a bloom pre-filter (definite-miss short-circuit; append-only,
+rebuilt on snapshot load) and a cuckoo filter (approximate membership
+WITH deletion, so TTL expiry can remove keys).  The exact dict holds
+(status, expire_at); at 10^10 URLs the bloom+cuckoo answer the hot
+"already enqueued?" gate in O(1) numpy ops while the dict holds only
+keys with interesting status (retry counters) plus the recent window.
+
+Time is LOGICAL: every call takes ``now`` (seconds); tests and the
+oracle inject it (SURVEY.md §7.4 "TTL semantics without wall-clock").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
+
+TTL_MISSING = -2  # Redis: TTL of a missing key
+
+
+def keys_u64(digests: list[str]) -> np.ndarray:
+    """hex digest -> uint64 (first 8 bytes, big-endian) — the same value
+    ``functions.urls.shard_of_digest`` uses, so routing agrees."""
+    if not digests:
+        return np.empty(0, dtype=np.uint64)
+    return np.array([int(d[:16], 16) for d in digests], dtype=np.uint64)
+
+
+class SeenShard:
+    """One shard: bloom pre-filter + cuckoo filter + exact store.
+
+    Plain object (no Ray) so the pure-Python oracle and unit tests can use
+    it directly; ``make_shard_actor`` wraps it as a Ray actor.
+    """
+
+    def __init__(self, shard_id: int, ttl_seconds: float,
+                 expected_keys: int = 1 << 16) -> None:
+        self.shard_id = shard_id
+        self.ttl = float(ttl_seconds)
+        self.store: dict[str, tuple[int, float]] = {}
+        self.bloom = BloomFilter(expected_keys)
+        self.cuckoo = CuckooFilter(expected_keys)
+        self.ops = 0  # simple metric counter
+
+    # -- internals --------------------------------------------------------
+    def _live(self, digest: str, now: float) -> tuple[int, float] | None:
+        ent = self.store.get(digest)
+        if ent is None:
+            return None
+        if ent[1] <= now:
+            del self.store[digest]
+            self.cuckoo.delete_many(keys_u64([digest]))
+            return None
+        return ent
+
+    def _put(self, digest: str, status: int, now: float) -> None:
+        if digest not in self.store:
+            k = keys_u64([digest])
+            self.bloom.add_many(k)
+            self.cuckoo.insert_many(k)
+        self.store[digest] = (status, now + self.ttl)
+
+    # -- batch API (all take/return input order) --------------------------
+    def get_batch(self, digests: list[str], now: float) -> np.ndarray:
+        self.ops += len(digests)
+        out = np.zeros(len(digests), dtype=np.int64)
+        maybe = self.bloom.contains_many(keys_u64(digests))
+        for i, d in enumerate(digests):
+            if not maybe[i]:
+                continue  # bloom definite-miss => 0 (missing reads as 0)
+            ent = self._live(d, now)
+            if ent is not None:
+                out[i] = ent[0]
+        return out
+
+    def set_batch(self, digests: list[str], status: int, now: float) -> None:
+        self.ops += len(digests)
+        for d in digests:
+            self._put(d, status, now)
+
+    def incr_batch(self, digests: list[str], now: float) -> np.ndarray:
+        self.ops += len(digests)
+        out = np.zeros(len(digests), dtype=np.int64)
+        for i, d in enumerate(digests):
+            ent = self._live(d, now)
+            val = (ent[0] if ent else 0) + 1
+            self._put(d, val, now)
+            out[i] = val
+        return out
+
+    def exists_batch(self, digests: list[str], now: float) -> np.ndarray:
+        self.ops += len(digests)
+        maybe = self.bloom.contains_many(keys_u64(digests))
+        out = np.zeros(len(digests), dtype=bool)
+        for i, d in enumerate(digests):
+            if maybe[i]:
+                out[i] = self._live(d, now) is not None
+        return out
+
+    def ttl_batch(self, digests: list[str], now: float) -> np.ndarray:
+        self.ops += len(digests)
+        out = np.full(len(digests), TTL_MISSING, dtype=np.float64)
+        for i, d in enumerate(digests):
+            ent = self._live(d, now)
+            if ent is not None:
+                out[i] = ent[1] - now
+        return out
+
+    def enqueue_gate_batch(self, digests: list[str], now: float) -> np.ndarray:
+        """The PublishURLs gate (workflow.go:273-291), atomic per shard:
+        for each digest IN ORDER — status >= Enqueued => False (drop);
+        else Set(Enqueued) => True (publish).  Idempotent under re-execution
+        (second call on the same digest returns False)."""
+        self.ops += len(digests)
+        out = np.zeros(len(digests), dtype=bool)
+        for i, d in enumerate(digests):
+            ent = self._live(d, now)
+            status = ent[0] if ent else 0
+            if status < 1:  # ReadyToEnqueue / missing
+                self._put(d, 1, now)
+                out[i] = True
+        return out
+
+    # -- maintenance ------------------------------------------------------
+    def purge_expired(self, now: float) -> int:
+        dead = [d for d, (_, exp) in self.store.items() if exp <= now]
+        for d in dead:
+            del self.store[d]
+        if dead:
+            self.cuckoo.delete_many(keys_u64(dead))
+        return len(dead)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "keys": len(self.store),
+            "ops": self.ops,
+            "bloom_bytes": self.bloom.nbytes,
+            "cuckoo_bytes": self.cuckoo.nbytes,
+            "cuckoo_load": self.cuckoo.load_factor,
+        }
+
+    def health(self) -> str:
+        """Healthcheck analog (reference healthcheck.go:11-79)."""
+        return "ok"
+
+    # -- checkpoint -------------------------------------------------------
+    def snapshot_table(self) -> pa.Table:
+        digests = list(self.store.keys())
+        statuses = [self.store[d][0] for d in digests]
+        expires = [self.store[d][1] for d in digests]
+        return pa.table({
+            "digest": pa.array(digests, pa.string()),
+            "status": pa.array(statuses, pa.int32()),
+            "expire_at": pa.array(expires, pa.float64()),
+        })
+
+    def snapshot_to(self, path: str) -> int:
+        t = self.snapshot_table()
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load_table(self, t: pa.Table) -> int:
+        digests = t["digest"].to_pylist()
+        statuses = t["status"].to_pylist()
+        expires = t["expire_at"].to_pylist()
+        for d, s, e in zip(digests, statuses, expires):
+            if d not in self.store:
+                k = keys_u64([d])
+                self.bloom.add_many(k)
+                self.cuckoo.insert_many(k)
+            self.store[d] = (s, e)
+        return len(digests)
+
+    def load_from(self, path: str) -> int:
+        return self.load_table(pq.read_table(path))
+
+
+def make_shard_actors(num_shards: int, ttl_seconds: float,
+                      expected_keys: int = 1 << 16, namespace: str = "seen"):
+    """Create the shard actor pool.  Lazy ray import: library code never
+    calls ray.init (driver owns the session)."""
+    import ray
+
+    actor_cls = ray.remote(num_cpus=0.25, max_restarts=2)(SeenShard)
+    return [
+        actor_cls.options(name=f"{namespace}_shard_{i}", get_if_exists=True)
+        .remote(i, ttl_seconds, expected_keys)
+        for i in range(num_shards)
+    ]
+
+
+class SeenSet:
+    """Client over the shards — splits batches by digest routing, fires
+    per-shard calls, reassembles results in input order.
+
+    ``remote=False`` runs against plain in-process SeenShard objects (the
+    oracle / unit-test path); ``remote=True`` against Ray actors
+    (ray.get on the scattered calls).
+    """
+
+    def __init__(self, shards, remote: bool) -> None:
+        self.shards = shards
+        self.remote = remote
+        self.num_shards = len(shards)
+
+    @classmethod
+    def local(cls, num_shards: int, ttl_seconds: float,
+              expected_keys: int = 1 << 16) -> "SeenSet":
+        return cls([SeenShard(i, ttl_seconds, expected_keys)
+                    for i in range(num_shards)], remote=False)
+
+    @classmethod
+    def actors(cls, num_shards: int, ttl_seconds: float,
+               expected_keys: int = 1 << 16,
+               namespace: str = "seen") -> "SeenSet":
+        return cls(make_shard_actors(num_shards, ttl_seconds, expected_keys,
+                                     namespace), remote=True)
+
+    # -- routing ----------------------------------------------------------
+    def _route(self, digests: list[str]):
+        shard_ids = (keys_u64(digests) % np.uint64(self.num_shards)).astype(
+            np.int64)
+        order = np.argsort(shard_ids, kind="stable")
+        bounds = np.searchsorted(shard_ids[order],
+                                 np.arange(self.num_shards + 1))
+        groups = []
+        for s in range(self.num_shards):
+            idx = order[bounds[s]:bounds[s + 1]]
+            if len(idx):
+                groups.append((s, idx, [digests[i] for i in idx]))
+        return groups
+
+    def _call(self, method: str, digests: list[str], *args):
+        """Scatter-gather with result reassembly in input order."""
+        groups = self._route(digests)
+        n = len(digests)
+        results = [None] * len(groups)
+        if self.remote:
+            import ray
+
+            refs = [getattr(self.shards[s], method).remote(dg, *args)
+                    for s, _, dg in groups]
+            results = ray.get(refs)
+        else:
+            results = [getattr(self.shards[s], method)(dg, *args)
+                       for s, _, dg in groups]
+        first = next((r for r in results if r is not None), None)
+        if first is None:
+            return None
+        out = np.zeros(n, dtype=np.asarray(first).dtype)
+        for (s, idx, _), res in zip(groups, results):
+            out[idx] = res
+        return out
+
+    # -- public batch API --------------------------------------------------
+    def get(self, digests: list[str], now: float) -> np.ndarray:
+        return self._call("get_batch", digests, now)
+
+    def set(self, digests: list[str], status: int, now: float) -> None:
+        groups = self._route(digests)
+        if self.remote:
+            import ray
+
+            ray.get([self.shards[s].set_batch.remote(dg, status, now)
+                     for s, _, dg in groups])
+        else:
+            for s, _, dg in groups:
+                self.shards[s].set_batch(dg, status, now)
+
+    def incr(self, digests: list[str], now: float) -> np.ndarray:
+        return self._call("incr_batch", digests, now)
+
+    def exists(self, digests: list[str], now: float) -> np.ndarray:
+        return self._call("exists_batch", digests, now)
+
+    def ttl(self, digests: list[str], now: float) -> np.ndarray:
+        return self._call("ttl_batch", digests, now)
+
+    def enqueue_gate(self, digests: list[str], now: float) -> np.ndarray:
+        return self._call("enqueue_gate_batch", digests, now)
+
+    # -- maintenance / checkpoint -----------------------------------------
+    def stats(self) -> list[dict]:
+        if self.remote:
+            import ray
+
+            return ray.get([s.stats.remote() for s in self.shards])
+        return [s.stats() for s in self.shards]
+
+    def health(self) -> list[str]:
+        if self.remote:
+            import ray
+
+            return ray.get([s.health.remote() for s in self.shards])
+        return [s.health() for s in self.shards]
+
+    def snapshot(self, directory: str) -> None:
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        paths = [os.path.join(directory, f"shard_{i:04d}.parquet")
+                 for i in range(self.num_shards)]
+        if self.remote:
+            import ray
+
+            ray.get([s.snapshot_to.remote(p)
+                     for s, p in zip(self.shards, paths)])
+        else:
+            for s, p in zip(self.shards, paths):
+                s.snapshot_to(p)
+
+    def load(self, directory: str) -> None:
+        import os
+
+        paths = [os.path.join(directory, f"shard_{i:04d}.parquet")
+                 for i in range(self.num_shards)]
+        if self.remote:
+            import ray
+
+            ray.get([s.load_from.remote(p)
+                     for s, p in zip(self.shards, paths) if os.path.exists(p)])
+        else:
+            for s, p in zip(self.shards, paths):
+                if os.path.exists(p):
+                    s.load_from(p)
+
+    def to_table(self) -> pa.Table:
+        """All live entries across shards (small-result debugging/golden)."""
+        if self.remote:
+            import ray
+
+            tables = ray.get([s.snapshot_table.remote() for s in self.shards])
+        else:
+            tables = [s.snapshot_table() for s in self.shards]
+        return pa.concat_tables(tables)
+
+    def shutdown(self) -> None:
+        if self.remote:
+            import ray
+
+            for s in self.shards:
+                ray.kill(s)
+        self.shards = []
