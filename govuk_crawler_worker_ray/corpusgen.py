@@ -295,13 +295,15 @@ def _conformance_pages(host_pages: dict[str, list[str]]) -> list[dict]:
         .add("link", "ok", mk("/conformance/target-a")).spans)))
     # empty body (:280-286)
     out.append(page("/conformance/empty", [], body=""))
-    # missing-attr quirk: <a> with no href -> "" -> bare base URL
-    out.append(page("/conformance/no-attr", [],
-                    body='<a name="anchor">x</a>'))
+    # empty-href quirk: href="" resolves to the bare base URL (the goquery
+    # missing-attr behavior, crawler_message_item.go:231)
+    out.append(page("/conformance/no-attr", (
+        _SpanBuilder().add("link", "x", "").spans)))
     # whole-page abort: unparseable href (crawler_message_item.go:144-147)
-    out.append(page("/conformance/abort", [],
-                    body='<a href="http://%zz/bad">x</a>'
-                         '<a href="/conformance/target-a">y</a>'))
+    out.append(page("/conformance/abort", (
+        _SpanBuilder()
+        .add("link", "x", "http://%zz/bad")
+        .add("link", "y", "/conformance/target-a").spans)))
     # unicode path (percent-encoded on the wire)
     uni = ("/conformance/unicode/%E5%A6%82%E4%BD%95%E5%9C%A8%E9%A6%99%E6"
            "%B8%AF%E7%94%B3%E8%AB%8B")
@@ -377,7 +379,7 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
     return out_dir
 
 
-_GEN_VERSION = 1
+_GEN_VERSION = 2
 
 
 def _write_goldens(out_dir: str, fx: CorpusFixture) -> None:

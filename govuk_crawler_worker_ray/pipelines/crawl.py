@@ -1,0 +1,525 @@
+"""The frontier-superstep crawl loop (SURVEY.md §3.4) — the engine's
+flagship pipeline, replacing the reference's queue-driven infinite loop
+(/root/reference/main.go:139-145) with BSP rounds over ray.data.
+
+Per round k:
+  frontier_k (narrow rows: url, host, digest, seq, attempt)
+    politeness budget (per-host, seq order)                 [north rule]
+    -> map_batches(FetchStage actor pool)                   [P1+P2+P3 gates]
+    -> write round=k/fetched parquet (mirror sink + extract input;
+       written once, read back narrow — bodies never shuffle)
+    -> read narrow -> extract_candidates_batch              [P4]
+    -> + reset/INCR events -> groupby(shard) -> shard replay[P5 commit]
+    -> winners + requeues + deferred => frontier_{k+1}      [P6 checkpoint]
+
+Scale notes (explicit, per north rule):
+- the only wide exchange is the narrow event shuffle, hash-partitioned by
+  seen-shard id (i.e. by url digest); bodies/spans go driver->parquet
+  exactly once and never enter a shuffle;
+- the corpus index is broadcast once via ray.put (zero-copy reads in
+  every fetch actor);
+- frontier bookkeeping (politeness split, dense seq assignment of
+  publish winners) is driver-side over NARROW arrays — fine to ~10^8
+  rows/round; the documented scale path is a distributed sort +
+  per-block offset pass (TODO, tracked in BASELINE.md);
+- rounds checkpoint atomically (manifest written last); resume loads the
+  last complete round's frontier + seen-set snapshots and skips finished
+  rounds.
+
+Rows whose frontier digest repeats within one round (the reference's
+duplicate-delivery quirk: a URL can be requeued AND republished) take a
+sequential driver-side lane so fetch-time counter reads interleave
+exactly like the reference's single-threaded semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.urls import digest_hex_batch, netloc_host, parse_url
+from ..stages.fetch import CorpusIndex, FetchStage
+from ..stages.pool import NARROW_COLS, FetchWorkerPool
+from ..stages.publish import (
+    EV_ATTEMPT,
+    EV_INCR,
+    EV_RESET,
+    extract_candidates_batch,
+)
+from ..state.seen_set import SeenSet, keys_u64
+
+
+@dataclass
+class CrawlResult:
+    crawl_order: pa.Table  # (round, seq, url) in fetch order
+    metrics: list[dict]
+    rounds: int
+    out_dir: str
+    seen: SeenSet
+
+    def mirror_table(self) -> pa.Table:
+        """Final mirror state: last write per mirror_path across rounds
+        (filesystem overwrite semantics, workflow.go:183)."""
+        rounds = sorted(
+            (int(d.split("=")[1]) for d in os.listdir(self.out_dir)
+             if d.startswith("round=") and os.path.isdir(
+                 os.path.join(self.out_dir, d, "fetched"))))
+        parts = []
+        for k in rounds:
+            ds = pads.dataset(os.path.join(self.out_dir, f"round={k}",
+                                           "fetched"), format="parquet")
+            parts.append(ds.to_table(
+                columns=["url", "mirror_path", "body"],
+                filter=~pc.field("mirror_path").is_null()))
+        if not parts:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "mirror_path": pa.array([], pa.string()),
+                             "body": pa.array([], pa.string())})
+        t = pa.concat_tables(parts)
+        paths = t["mirror_path"].to_pylist()
+        last: dict[str, int] = {}
+        for i, p in enumerate(paths):
+            last[p] = i
+        idx = sorted(last.values())
+        return t.take(pa.array(idx, pa.int64()))
+
+
+def _frontier_table(rows: list[tuple[int, str, str, str, int]]) -> pa.Table:
+    """rows: (seq, url, host, digest, attempt)"""
+    return pa.table({
+        "discovered_seq": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "host": pa.array([r[2] for r in rows], pa.string()),
+        "url_digest": pa.array([r[3] for r in rows], pa.string()),
+        "attempt": pa.array([r[4] for r in rows], pa.int32()),
+    })
+
+
+def seeds_to_frontier(seeds: list[str], cfg: CrawlConfig) -> pa.Table:
+    digs = digest_hex_batch(seeds, cfg.digest)
+    rows = []
+    for i, (u, d) in enumerate(zip(seeds, digs)):
+        p = parse_url(u)
+        rows.append((i, u, netloc_host(p.netloc) if p else "", d, 0))
+    return _frontier_table(rows)
+
+
+class CrawlEngine:
+    """Holds the cross-round state: seen-set shards, corpus broadcast,
+    output/checkpoint directory."""
+
+    def __init__(self, corpus: pa.Table, cfg: CrawlConfig, out_dir: str,
+                 use_ray: bool = True,
+                 small_round_threshold: int = 0) -> None:
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.use_ray = use_ray
+        # rounds smaller than this run the same batch fns driver-side
+        # (hybrid execution: Ray Data overhead isn't worth <threshold rows)
+        self.small_round_threshold = small_round_threshold
+        os.makedirs(out_dir, exist_ok=True)
+        self.index = CorpusIndex(corpus)
+        self.allowed_hosts = _allowed_hosts(cfg)
+        if use_ray:
+            import ray
+
+            self.corpus_ref = ray.put(self.index)
+            self.seen = SeenSet.actors(cfg.num_seen_shards,
+                                       cfg.ttl_expire_seconds,
+                                       namespace=f"crawl_{os.getpid()}_"
+                                                 f"{abs(hash(out_dir)) % 99999}")
+            # persistent across rounds: pool spawn cost paid once per crawl
+            self.pool = FetchWorkerPool(self.corpus_ref, cfg,
+                                        self.seen.shards,
+                                        self.allowed_hosts,
+                                        size=cfg.crawler_threads)
+        else:
+            self.corpus_ref = self.index
+            self.seen = SeenSet.local(cfg.num_seen_shards,
+                                      cfg.ttl_expire_seconds)
+            self.pool = None
+        self._local_fetcher = FetchStage(self.index, cfg, self.seen)
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: list[str], now: float = 0.0,
+            resume: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        metrics: list[dict] = []
+        order_parts: list[pa.Table] = []
+        start_round = 0
+        frontier = seeds_to_frontier(seeds, cfg)
+        next_seq = frontier.num_rows
+
+        if resume:
+            st = self._find_checkpoint()
+            if st is not None:
+                start_round, frontier, next_seq, metrics = st
+                for k in range(start_round):
+                    p = os.path.join(self.out_dir, f"round={k}",
+                                     "order.parquet")
+                    if os.path.exists(p):
+                        order_parts.append(pq.read_table(p))
+
+        rnd = start_round
+        while frontier.num_rows > 0 and rnd < cfg.max_rounds:
+            frontier, next_seq, m, order_t = self._run_round(
+                rnd, frontier, next_seq, now)
+            metrics.append(m)
+            if order_t.num_rows:
+                order_parts.append(order_t)
+            rnd += 1
+
+        order = (pa.concat_tables(order_parts) if order_parts else
+                 pa.table({"round": pa.array([], pa.int32()),
+                           "seq": pa.array([], pa.int64()),
+                           "url": pa.array([], pa.string())}))
+        self._write_metrics(metrics)
+        return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
+                           out_dir=self.out_dir, seen=self.seen)
+
+    # ------------------------------------------------------------------
+    def _run_round(self, rnd: int, frontier: pa.Table, next_seq: int,
+                   now: float):
+        cfg = self.cfg
+        rdir = os.path.join(self.out_dir, f"round={rnd}")
+        os.makedirs(os.path.join(rdir, "fetched"), exist_ok=True)
+        frontier = frontier.sort_by("discovered_seq")
+        m = {"round": rnd, "frontier": frontier.num_rows, "fetched": 0,
+             "published": 0, "blacklisted": 0, "rejected": 0,
+             "requeued": 0, "non_accepted": 0, "deferred": 0,
+             "aborted_retries": 0, "extract_aborts": 0}
+
+        # politeness budget (north rule): per-host cap in seq order
+        deferred = _frontier_table([])
+        if cfg.per_host_budget is not None:
+            hosts = frontier["host"].to_pylist()
+            take_mask = np.zeros(len(hosts), dtype=bool)
+            counts: dict[str, int] = {}
+            for i, h in enumerate(hosts):
+                c = counts.get(h, 0)
+                if c < cfg.per_host_budget:
+                    counts[h] = c + 1
+                    take_mask[i] = True
+            deferred = frontier.filter(pa.array(~take_mask))
+            frontier = frontier.filter(pa.array(take_mask))
+            m["deferred"] = deferred.num_rows
+
+        # duplicate-digest lane (sequential semantics for repeated rows)
+        digs = frontier["url_digest"].to_pylist()
+        dup_digests = _find_dups(digs)
+        if dup_digests:
+            dup_mask = pa.array([d in dup_digests for d in digs])
+            dup_rows = frontier.filter(dup_mask)
+            frontier = frontier.filter(pc.invert(dup_mask))
+        else:
+            dup_rows = None
+
+        # fetch + fused extraction (distributed pool or driver-side by size)
+        if (self.use_ray and
+                frontier.num_rows > self.small_round_threshold):
+            narrow, candidates = self.pool.run_round(
+                frontier, now, os.path.join(rdir, "fetched"))
+            if narrow is None:
+                narrow, candidates = self._fetch_extract_local(
+                    _frontier_table([]), rdir, now, "part-empty")
+        else:
+            narrow, candidates = self._fetch_extract_local(
+                frontier, rdir, now, "part-local")
+        if dup_rows is not None:
+            dup_fetched = self._run_dup_lane(dup_rows, now)
+            pq.write_table(dup_fetched,
+                           os.path.join(rdir, "fetched", "part-dup.parquet"))
+            narrow = pa.concat_tables([narrow,
+                                       dup_fetched.select(NARROW_COLS)])
+            html = dup_fetched.filter(pc.and_(
+                pc.equal(dup_fetched["outcome"], "fetched"),
+                pc.equal(dup_fetched["content_type"], "text/html")))
+            candidates = pa.concat_tables([
+                candidates,
+                extract_candidates_batch(
+                    html.select(["url", "discovered_seq", "spans"]),
+                    cfg, self.allowed_hosts)])
+        outcomes = narrow["outcome"].to_pylist()
+        for o in outcomes:
+            key = {"fetched": "fetched", "blacklisted": "blacklisted",
+                   "rejected": "rejected", "requeue_429": "requeued",
+                   "requeue_5xx": "requeued",
+                   "acked_non_accepted": "non_accepted",
+                   "aborted_retries": "aborted_retries"}[o]
+            m[key] += 1
+
+        order_t = self._order_table(rnd, narrow)
+
+        # events: resets (non-accepted), INCRs (5xx) — narrow
+        ev_digest: list[str] = []
+        ev_url: list[str] = []
+        ev_host: list[str] = []
+        ev_pseq: list[int] = []
+        ev_idx: list[int] = []
+        ev_kind: list[int] = []
+        seqs = narrow["discovered_seq"].to_numpy()
+        durls = narrow["url"].to_pylist()
+        dhosts = narrow["host"].to_pylist()
+        ddigs = narrow["url_digest"].to_pylist()
+        for i, o in enumerate(outcomes):
+            kind = (EV_RESET if o == "acked_non_accepted"
+                    else EV_INCR if o == "requeue_5xx" else None)
+            if kind is not None:
+                ev_digest.append(ddigs[i])
+                ev_url.append(durls[i])
+                ev_host.append(dhosts[i])
+                ev_pseq.append(int(seqs[i]))
+                ev_idx.append(-1)
+                ev_kind.append(kind)
+        fetch_events = pa.table({
+            "digest": pa.array(ev_digest, pa.string()),
+            "url": pa.array(ev_url, pa.string()),
+            "host": pa.array(ev_host, pa.string()),
+            "parent_seq": pa.array(ev_pseq, pa.int64()),
+            "link_idx": pa.array(ev_idx, pa.int32()),
+            "kind": pa.array(ev_kind, pa.int8()),
+        })
+
+        # publish-attempt candidates came fused from the fetch pass
+        aborts = candidates.filter(pc.equal(candidates["kind"], -1))
+        m["extract_aborts"] = aborts.num_rows
+        m["rejected"] += aborts.num_rows
+        candidates = candidates.filter(pc.equal(candidates["kind"],
+                                                EV_ATTEMPT))
+        events = pa.concat_tables([candidates, fetch_events])
+
+        # commit: shard-routed replay
+        winners = self._commit(events, now)
+        m["published"] = winners.num_rows
+
+        # assemble next frontier: deferred + requeues + winners
+        requeue_mask = pa.array([o.startswith("requeue") for o in outcomes])
+        requeues = narrow.filter(requeue_mask)
+        rows: list[tuple[int, str, str, str, int]] = []
+        for i in range(deferred.num_rows):
+            rows.append((int(deferred["discovered_seq"][i].as_py()),
+                         deferred["url"][i].as_py(),
+                         deferred["host"][i].as_py(),
+                         deferred["url_digest"][i].as_py(),
+                         int(deferred["attempt"][i].as_py())))
+        for i in range(requeues.num_rows):
+            rows.append((int(requeues["discovered_seq"][i].as_py()),
+                         requeues["url"][i].as_py(),
+                         requeues["host"][i].as_py(),
+                         requeues["url_digest"][i].as_py(),
+                         int(requeues["attempt"][i].as_py()) + 1))
+        if winners.num_rows:
+            worder = pc.sort_indices(winners,
+                                     sort_keys=[("parent_seq", "ascending"),
+                                                ("link_idx", "ascending")])
+            w = winners.take(worder)
+            for i in range(w.num_rows):
+                rows.append((next_seq, w["url"][i].as_py(),
+                             w["host"][i].as_py(), w["digest"][i].as_py(),
+                             0))
+                next_seq += 1
+        next_frontier = _frontier_table(rows)
+
+        # checkpoint: order + frontier_next + seen snapshot, manifest LAST
+        pq.write_table(order_t, os.path.join(rdir, "order.parquet"))
+        pq.write_table(next_frontier,
+                       os.path.join(rdir, "frontier_next.parquet"))
+        self.seen.snapshot(os.path.join(rdir, "seen_snapshot"))
+        with open(os.path.join(rdir, "manifest.json"), "w") as f:
+            json.dump({"round": rnd, "next_seq": next_seq,
+                       "metrics": m}, f)
+        return next_frontier, next_seq, m, order_t
+
+    # ------------------------------------------------------------------
+    def _fetch_extract_local(self, frontier: pa.Table, rdir: str,
+                             now: float, part: str):
+        """Driver-side fused fetch+write+extract (same code path the pool
+        workers run) for rounds too small to amortize dispatch."""
+        fetched = self._local_fetcher(frontier, now=now)
+        pq.write_table(fetched,
+                       os.path.join(rdir, "fetched", f"{part}.parquet"))
+        html = fetched.filter(pc.and_(
+            pc.equal(fetched["outcome"], "fetched"),
+            pc.equal(fetched["content_type"], "text/html")))
+        cands = extract_candidates_batch(
+            html.select(["url", "discovered_seq", "spans"]),
+            self.cfg, self.allowed_hosts)
+        return fetched.select(NARROW_COLS), cands
+
+    def _commit(self, events: pa.Table, now: float) -> pa.Table:
+        """Hash-route events to their owning seen-set shard and replay
+        (the P5 exchange — narrow rows only).  All shard calls fly
+        concurrently; each shard replays its digests in discovery order."""
+        if events.num_rows == 0:
+            return _empty_events()
+        shard_ids = (keys_u64(events["digest"].to_pylist())
+                     % np.uint64(self.seen.num_shards)).astype(np.int64)
+        subs: list[pa.Table] = []
+        calls = []
+        for s in range(self.seen.num_shards):
+            sub = events.filter(pa.array(shard_ids == s))
+            if sub.num_rows == 0:
+                continue
+            sub = sub.take(pc.sort_indices(
+                sub, sort_keys=[("parent_seq", "ascending"),
+                                ("link_idx", "ascending")]))
+            subs.append(sub)
+            digests = sub["digest"].to_pylist()
+            kinds = sub["kind"].to_numpy().tolist()
+            if self.seen.remote:
+                calls.append(self.seen.shards[s].replay_events_batch.remote(
+                    digests, kinds, now))
+            else:
+                calls.append(self.seen.shards[s].replay_events_batch(
+                    digests, kinds, now))
+        if self.seen.remote:
+            import ray
+
+            results = ray.get(calls)
+        else:
+            results = calls
+        winners = [sub.filter(pa.array(np.asarray(mask, dtype=bool)))
+                   for sub, mask in zip(subs, results)]
+        return (pa.concat_tables(winners) if winners else _empty_events())
+
+    # ------------------------------------------------------------------
+    def _run_dup_lane(self, rows: pa.Table, now: float):
+        """Sequential scalar lane for same-digest frontier duplicates:
+        reproduces fetch-time counter visibility (a Get observing an
+        earlier same-round INCR of the same digest, workflow.go:86,107).
+        Only the retry-abort decision needs re-deriving sequentially; all
+        other per-row outcomes from the vectorized fetch are positionally
+        independent.  INCR events are NOT emitted here — the narrow
+        read-back derives them from the outcome column."""
+        cfg = self.cfg
+        fetched = self._local_fetcher(rows, now=now)
+        order = pc.sort_indices(fetched,
+                                sort_keys=[("discovered_seq", "ascending")])
+        fetched = fetched.take(order)
+        digs = fetched["url_digest"].to_pylist()
+        outcomes = fetched["outcome"].to_pylist()
+        uniq = sorted(set(digs))
+        base = {d: int(c) for d, c in zip(uniq, self.seen.get(uniq, now))}
+        delta: dict[str, int] = {}
+        new_outcomes = list(outcomes)
+        for i, d in enumerate(digs):
+            if outcomes[i] in ("blacklisted", "rejected"):
+                continue
+            if base[d] + delta.get(d, 0) > cfg.max_crawl_retries:
+                new_outcomes[i] = "aborted_retries"
+                continue
+            if outcomes[i] == "requeue_5xx":
+                delta[d] = delta.get(d, 0) + 1
+        fetched = fetched.set_column(
+            fetched.schema.get_field_index("outcome"), "outcome",
+            pa.array(new_outcomes, pa.string()))
+        return fetched
+
+    # ------------------------------------------------------------------
+    def _order_table(self, rnd: int, narrow: pa.Table) -> pa.Table:
+        f = narrow.filter(pc.equal(narrow["outcome"], "fetched"))
+        f = f.take(pc.sort_indices(f, sort_keys=[("discovered_seq",
+                                                  "ascending")]))
+        return pa.table({
+            "round": pa.array([rnd] * f.num_rows, pa.int32()),
+            "seq": f["discovered_seq"],
+            "url": f["url"],
+        })
+
+    def _write_metrics(self, metrics: list[dict]) -> None:
+        if not metrics:
+            return
+        rows = []
+        for m in metrics:
+            for k, v in m.items():
+                if k == "round":
+                    continue
+                rows.append({"round": m["round"], "metric": k, "key": "",
+                             "value": int(v)})
+        pq.write_table(pa.Table.from_pylist(rows),
+                       os.path.join(self.out_dir, "metrics.parquet"))
+
+    def _find_checkpoint(self):
+        rounds = []
+        for d in os.listdir(self.out_dir):
+            if d.startswith("round=") and os.path.exists(
+                    os.path.join(self.out_dir, d, "manifest.json")):
+                rounds.append(int(d.split("=")[1]))
+        if not rounds:
+            return None
+        k = max(rounds)
+        rdir = os.path.join(self.out_dir, f"round={k}")
+        with open(os.path.join(rdir, "manifest.json")) as f:
+            man = json.load(f)
+        frontier = pq.read_table(os.path.join(rdir, "frontier_next.parquet"))
+        self.seen.load(os.path.join(rdir, "seen_snapshot"))
+        metrics = []
+        for j in range(k + 1):
+            mp = os.path.join(self.out_dir, f"round={j}", "manifest.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    metrics.append(json.load(f)["metrics"])
+        return k + 1, frontier, man["next_seq"], metrics
+
+    def shutdown(self) -> None:
+        if self.pool is not None:
+            self.pool.shutdown()
+        self.seen.shutdown()
+
+
+def _allowed_hosts(cfg: CrawlConfig) -> list[str]:
+    out = []
+    for r in cfg.root_urls:
+        p = parse_url(r)
+        if p is not None:
+            out.append(netloc_host(p.netloc))
+    return out
+
+
+def _find_dups(digests: list[str]) -> set[str]:
+    seen: set[str] = set()
+    dups: set[str] = set()
+    for d in digests:
+        if d in seen:
+            dups.add(d)
+        else:
+            seen.add(d)
+    return dups
+
+
+def _empty_events() -> pa.Table:
+    return pa.table({
+        "digest": pa.array([], pa.string()),
+        "url": pa.array([], pa.string()),
+        "host": pa.array([], pa.string()),
+        "parent_seq": pa.array([], pa.int64()),
+        "link_idx": pa.array([], pa.int32()),
+        "kind": pa.array([], pa.int8()),
+    })
+
+
+def _dataset_to_table(ds) -> pa.Table:
+    """Collect a (narrow) Dataset to one Arrow table on the driver."""
+    batches = []
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        batches.append(b)
+    if not batches:
+        return _empty_events()
+    return pa.concat_tables(batches, promote_options="permissive")
+
+
+def run_crawl(corpus: pa.Table, seeds: list[str], cfg: CrawlConfig,
+              out_dir: str, use_ray: bool = True,
+              small_round_threshold: int = 0,
+              resume: bool = False, now: float = 0.0) -> CrawlResult:
+    eng = CrawlEngine(corpus, cfg, out_dir, use_ray=use_ray,
+                      small_round_threshold=small_round_threshold)
+    return eng.run(seeds, now=now, resume=resume)

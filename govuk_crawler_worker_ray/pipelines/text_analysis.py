@@ -1,0 +1,163 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data additions the north rule mandates beyond the reference's
+own operators (language-ID, quality scoring, token counting, document
+fingerprinting).
+
+All hot paths are vectorized: pyarrow.compute regex kernels (RE2 — the
+same engine DuckDB uses, so the SQL oracles match byte-for-byte) or
+numpy.  Each function takes/returns ``ray.data.Dataset`` and streams;
+nothing materializes the input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,;:!?]"
+# distinctive stopword markers per language (whole-word, case-insensitive)
+LANG_MARKERS = {
+    "en": r"(?i)\b(the|and|of|to|is)\b",
+    "de": r"(?i)\b(der|die|und|das|ist)\b",
+    "es": r"(?i)\b(el|la|que|los|es)\b",
+    "fr": r"(?i)\b(le|la|les|et|est)\b",
+}
+CJK_RE = r"[一-鿿]"
+STOP_RE = r"(?i)\b(the|and|of|a|to|in|is)\b"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + n_tokens (whitespace tokens, RE2 ``\\S+``)."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pc.cast(pc.count_substring_regex(batch["text"],
+                                                     TOKEN_RE), pa.int64()),
+    })
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc stats: chars, tokens, punctuation count, stopword count."""
+    text = batch["text"]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                            pa.int64()),
+        "n_punct": pc.cast(pc.count_substring_regex(text, PUNCT_RE),
+                           pa.int64()),
+        "n_stopwords": pc.cast(pc.count_substring_regex(text, STOP_RE),
+                               pa.int64()),
+    })
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    punctuation sanity (the usual pretraining-filter features).  Kept to
+    exactly-SQL-expressible arithmetic so DuckDB can oracle it."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                       pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOP_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE),
+                      pa.float64())
+    tok = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    stop_ratio = pc.divide(n_stop, tok)
+    punct_ratio = pc.divide(n_punct, pc.max_element_wise(n_chars,
+                                                         pa.scalar(1.0)))
+    len_ok = pc.cast(pc.and_(pc.greater_equal(n_chars, pa.scalar(100.0)),
+                             pc.less_equal(n_chars, pa.scalar(20000.0))),
+                     pa.float64())
+    stop_ok = pc.cast(pc.greater_equal(stop_ratio, pa.scalar(0.01)),
+                      pa.float64())
+    punct_ok = pc.cast(pc.less_equal(punct_ratio, pa.scalar(0.2)),
+                       pa.float64())
+    score = pc.round(pc.add(pc.multiply(len_ok, pa.scalar(0.4)),
+                            pc.add(pc.multiply(stop_ok, pa.scalar(0.4)),
+                                   pc.multiply(punct_ok, pa.scalar(0.2)))),
+                     ndigits=2)
+    return pa.table({"doc_id": batch["doc_id"], "quality_score": score})
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """N-gram/stopword heuristic language ID: CJK chars => zh, else the
+    marker-regex argmax over {en,de,es,fr}; ties break by fixed language
+    order (en,de,es,fr) — deterministic, SQL-expressible."""
+    text = batch["text"]
+    counts = {lang: pc.count_substring_regex(text, rx).to_numpy()
+              for lang, rx in LANG_MARKERS.items()}
+    cjk = pc.count_substring_regex(text, CJK_RE).to_numpy()
+    langs = list(LANG_MARKERS)
+    mat = np.stack([counts[lang] for lang in langs], axis=1)
+    best = mat.argmax(axis=1)  # first max wins = fixed order tiebreak
+    pred = np.array(langs, dtype=object)[best]
+    pred = np.where(cjk > 0, "zh", pred)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "pred_lang": pa.array(list(pred), pa.string()),
+    })
+
+
+_FP_MUL = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: FNV-1a rolling hash over the utf-8 bytes —
+    cheap content identity for incremental recrawl diffing (the engine
+    analog of mirror-file comparison).  Returned as hex for portability."""
+    out = []
+    for t in batch["text"].to_pylist():
+        h = _FP_OFF
+        for b in t.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * _FP_MUL
+        out.append(int(h))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array([f"{v:016x}" for v in out], pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level pipelines
+# ---------------------------------------------------------------------------
+
+def token_counts(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def text_stats(ds):
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+def quality_scores(ds):
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprints(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def lang_histogram(ds):
+    """groupby(lang).count() with per-batch PRE-AGGREGATION: each batch
+    emits one row per lang, the groupby shuffles only those partials
+    (the combiner pattern — SURVEY.md §2.7 aggregations note)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch["lang"].combine_chunks().dictionary_encode()
+        langs = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(langs))
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("partial_n", alias_name="n")))

@@ -1,0 +1,121 @@
+"""Persistent fetch-worker pool for the round-based crawl loop.
+
+Why not ``map_batches(FetchStage, ...)`` per round: Ray Data creates a
+NEW actor pool for every ``map_batches`` call, and the crawl loop is
+iterative — pool spawn + imports (~seconds) would be paid every round.
+Stateful actors that persist ACROSS dataset executions are exactly the
+case where the Dataset API can't express the semantics (SURVEY.md §7.0),
+so the fetch stage is a pool of long-lived actors created once per
+crawl; each worker holds the FetchStage (broadcast corpus index + config
++ seen-set handles) and fuses P2 fetch + P3 mirror-write + P4 extraction
+in a single pass over its batch:
+
+  frontier chunk -> gates+fetch -> write own parquet part (bodies leave
+  the worker exactly once, straight to the round's mirror partition) ->
+  extract narrow publish candidates -> return (narrow outcomes,
+  candidates) to the driver.
+
+Bodies/spans therefore never cross to the driver and never enter a
+shuffle; only narrow rows travel.  Chunks are dispatched in bounded
+waves (2 per worker) for backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from .fetch import FetchStage
+from .publish import extract_candidates_batch
+
+NARROW_COLS = ["url", "host", "url_digest", "discovered_seq", "attempt",
+               "outcome"]
+
+
+class FetchWorker:
+    """One pool member (plain class; wrapped by ray.remote in the pool)."""
+
+    def __init__(self, corpus_ref, cfg: CrawlConfig, seen_shards,
+                 allowed_hosts: list[str]) -> None:
+        self.stage = FetchStage(corpus_ref, cfg, seen_shards)
+        self.cfg = cfg
+        self.allowed_hosts = allowed_hosts
+
+    def process(self, batch: pa.Table, now: float,
+                out_path: str | None) -> tuple[pa.Table, pa.Table]:
+        fetched = self.stage(batch, now=now)
+        if out_path is not None:
+            pq.write_table(fetched, out_path)
+        narrow = fetched.select(NARROW_COLS)
+        html = fetched.filter(pc.and_(
+            pc.equal(fetched["outcome"], "fetched"),
+            pc.equal(fetched["content_type"], "text/html")))
+        cands = extract_candidates_batch(
+            html.select(["url", "discovered_seq", "spans"]),
+            self.cfg, self.allowed_hosts)
+        return narrow, cands
+
+    def ping(self) -> bool:
+        return True
+
+
+class FetchWorkerPool:
+    """Driver-side handle: splits a frontier table into chunks, dispatches
+    them round-robin in bounded waves, gathers narrow results."""
+
+    def __init__(self, corpus_ref, cfg: CrawlConfig, seen_shards,
+                 allowed_hosts: list[str], size: int) -> None:
+        import ray
+
+        # max_restarts=0: recovery is per-round re-execution from the
+        # checkpoint manifest, not actor restart (ctor args are borrowed
+        # object-store refs that a restart could lose).
+        # num_cpus=0.5 so pool + seen shards co-schedule on small sessions
+        # (workers block on shard RPCs part of the time anyway).
+        cls = ray.remote(num_cpus=0.5, max_restarts=0)(FetchWorker)
+        self.workers = [cls.remote(corpus_ref, cfg, seen_shards,
+                                   allowed_hosts) for _ in range(size)]
+        self.size = size
+        self.cfg = cfg
+        # warm the pool (imports, corpus ray.get) before the first round
+        ray.get([w.ping.remote() for w in self.workers])
+
+    def run_round(self, frontier: pa.Table, now: float,
+                  out_dir: str) -> tuple[pa.Table, pa.Table]:
+        """-> (narrow outcomes, publish candidates), both driver-side."""
+        import ray
+
+        bs = self.cfg.fetch_batch_size
+        chunks = [frontier.slice(o, bs)
+                  for o in range(0, frontier.num_rows, bs)]
+        narrows: list[pa.Table] = []
+        cands: list[pa.Table] = []
+        in_flight: dict = {}
+        max_in_flight = 2 * self.size
+        ci = 0
+        while ci < len(chunks) or in_flight:
+            while ci < len(chunks) and len(in_flight) < max_in_flight:
+                w = self.workers[ci % self.size]
+                path = os.path.join(out_dir, f"part-{ci:06d}.parquet")
+                ref = w.process.remote(chunks[ci], now, path)
+                in_flight[ref] = ci
+                ci += 1
+            done, _ = ray.wait(list(in_flight), num_returns=1)
+            for ref in done:
+                in_flight.pop(ref)
+                n, c = ray.get(ref)
+                narrows.append(n)
+                cands.append(c)
+        return (pa.concat_tables(narrows) if narrows else None,
+                pa.concat_tables(cands) if cands else None)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -140,6 +140,43 @@ class SeenShard:
                 out[i] = True
         return out
 
+    def replay_events_batch(self, digests: list[str], kinds: list[int],
+                            now: float) -> list[bool]:
+        """Round-commit replay (the publish gate P5 + the fetch stage's
+        deferred mutations): events arrive ordered by discovery seq and are
+        replayed per digest, reproducing the reference's sequential
+        interleaving of Incr/Set/publish-gate (workflow.go:107,136,273-291).
+
+        kinds: 0=publish attempt, 1=reset-to-ReadyToEnqueue, 2=INCR
+        (stages/publish.py EV_* constants).  Returns True per position for
+        publish attempts that won (status was < Enqueued at replay point).
+        """
+        out = [False] * len(digests)
+        state: dict[str, int] = {}
+        touched: set[str] = set()
+        for i, (d, k) in enumerate(zip(digests, kinds)):
+            if d in state:
+                s = state[d]
+            else:
+                ent = self._live(d, now)
+                s = ent[0] if ent else 0
+            if k == 2:      # INCR
+                s += 1
+                touched.add(d)
+            elif k == 1:    # RESET
+                s = 0
+                touched.add(d)
+            elif k == 0:    # ATTEMPT
+                if s < 1:
+                    s = 1
+                    out[i] = True
+                    touched.add(d)
+            state[d] = s
+        for d in touched:
+            self._put(d, state[d], now)
+        self.ops += len(digests)
+        return out
+
     # -- maintenance ------------------------------------------------------
     def purge_expired(self, now: float) -> int:
         dead = [d for d, (_, exp) in self.store.items() if exp <= now]
