@@ -1,44 +1,414 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data crawl/data-processing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship round-based crawl over the deterministic
+synthetic corpus fixture through the distributed fetch pool;
+``queries()`` exposes each operator from SURVEY.md §2 (+ the north-rule
+training-data ops) as a callable over ``sf_dir``; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL (crawl goldens come from the sequential
+pure-Python oracle, persisted as parquet the SQL reads back).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller BEFORE import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+FIXTURE_DIR = "/tmp/gcw_fixtures/small"
+FIXTURE_PAGES = 300
+FIXTURE_SEED = 42
+
+_crawl_cache: dict[str, Any] = {}
+
+
+def _fixture() -> str:
+    from govuk_crawler_worker_ray.corpusgen import write_fixture
+
+    return write_fixture(FIXTURE_DIR, n_pages=FIXTURE_PAGES,
+                         seed=FIXTURE_SEED)
+
+
+def _run_fixture_crawl(threshold: int = 1000):
+    """Run the engine over the fixture once; memoize (order/seen/mirror
+    served from the same run)."""
+    key = f"crawl_{threshold}"
+    if key in _crawl_cache:
+        return _crawl_cache[key]
+    import pyarrow.parquet as pq
+
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS
+    from govuk_crawler_worker_ray.pipelines.crawl import CrawlEngine
+
+    d = _fixture()
+    corpus = pq.read_table(os.path.join(d, "corpus.parquet"))
+    seeds = pq.read_table(os.path.join(d, "seeds.parquet"))[
+        "url"].to_pylist()
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    out = f"/tmp/gcw_entry_out/t{threshold}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    eng = CrawlEngine(corpus, cfg, out, use_ray=True,
+                      small_round_threshold=threshold)
+    try:
+        res = eng.run(seeds)
+        seen_tbl = res.seen.to_table()
+        mirror = res.mirror_table()
+        _crawl_cache[key] = (res.crawl_order, seen_tbl, mirror)
+    finally:
+        eng.shutdown()
+    return _crawl_cache[key]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the distributed crawl (fetch pool + seen shards) over the
+    synthetic fixture; returns the crawl-order table."""
+    order, _, _ = _run_fixture_crawl(threshold=0)
+    return order.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_token_count(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_text_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import text_stats
+
+    return text_stats(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        quality_scores,
+    )
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_lang_hist(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        lang_histogram,
+    )
+
+    return lang_histogram(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_events_hourly(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import events_hourly
+
+    return events_hourly(_events(sf_dir))
+
+
+def _q_sessionize(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import sessionize
+
+    return sessionize(_events(sf_dir))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        revenue_by_nation,
+    )
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return revenue_by_nation(orders, cust, nat)
+
+
+def _q_top_docs(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        top_docs_by_length,
+    )
+
+    return top_docs_by_length(_docs(sf_dir))
+
+
+def _query_vec(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vid = t["vec_id"].to_numpy()
+    first = int(vid.argmin())
+    return np.asarray(t["embedding"][first].as_py(), dtype=np.float64)
+
+
+def _q_ann_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import knn_bruteforce
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_bruteforce(ds, _query_vec(sf_dir), k=10).select(
+        ["vec_id", "rank"])
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import lsh_knn
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_knn(ds, _query_vec(sf_dir), k=10)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, threshold=0.95)
+
+
+def _q_minhash_neardup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_crawl_order(sf_dir: str):
+    order, _, _ = _run_fixture_crawl()
+    return order
+
+
+def _q_crawl_seen(sf_dir: str):
+    import pyarrow.compute as pc
+
+    _, seen, _ = _run_fixture_crawl()
+    return seen.select(["digest", "status"]).take(
+        pc.sort_indices(seen, sort_keys=[("digest", "ascending")]))
+
+
+def _q_crawl_mirror(sf_dir: str):
+    _, _, mirror = _run_fixture_crawl()
+    return mirror.select(["mirror_path", "url", "body"])
+
+
+def _q_mirror_path_fn(sf_dir: str):
+    """The RelativeFilePath scalar distributed over a Dataset of the
+    fixture's golden mirror URLs: content types come from a broadcast
+    url -> mime map built from the corpus (redirects serve text/html —
+    crawler.go:91-109)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.functions.content_types import (
+        parse_content_type,
+    )
+    from govuk_crawler_worker_ray.functions.redirects import is_redirect
+
+    d = _fixture()
+    corpus = pq.read_table(os.path.join(d, "corpus.parquet"),
+                           columns=["url", "status_code", "content_type"])
+    mimes = {}
+    for u, sc, ct in zip(corpus["url"].to_pylist(),
+                         corpus["status_code"].to_pylist(),
+                         corpus["content_type"].to_pylist()):
+        mimes[u] = "text/html" if is_redirect(sc) else parse_content_type(ct)
+    mime_ref = ray.put(mimes)
+
+    def mp(batch):
+        import pyarrow as pa
+
+        from govuk_crawler_worker_ray.functions.urls import (
+            relative_file_path,
+        )
+
+        mm = ray.get(mime_ref)
+        urls = batch["url"].to_pylist()
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "mirror_path": pa.array(
+                [relative_file_path(u, mm.get(u, "text/html"))
+                 for u in urls], pa.string()),
+        })
+
+    ds = rd.read_parquet(os.path.join(d, "golden_mirror.parquet"),
+                         columns=["url"])
+    return ds.map_batches(mp, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_histogram": _q_lang_hist,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_docs_by_length": _q_top_docs,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_neardup": _q_embedding_neardup,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash": _q_simhash,
+        "crawl_order": _q_crawl_order,
+        "crawl_seen": _q_crawl_seen,
+        "crawl_mirror": _q_crawl_mirror,
+        "mirror_path_fn": _q_mirror_path_fn,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOP = r"(?i)\b(the|and|of|a|to|in|is)\b"
+_PUNCT = r"[.,;:!?]"
+_TOK = r"\S+"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = _fixture()  # goldens must exist for the read_parquet oracles
+    gm = os.path.join(d, "golden_mirror.parquet")
+    go = os.path.join(d, "golden_crawl_order.parquet")
+    gs = os.path.join(d, "golden_seen.parquet")
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"),
+        "token_count": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOK}')) "
+            "AS BIGINT) AS n_tokens FROM documents"),
+        "text_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            f"CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) "
+            "AS n_tokens, "
+            f"CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS BIGINT) "
+            "AS n_punct, "
+            f"CAST(len(regexp_extract_all(text, '{_STOP}')) AS BIGINT) "
+            "AS n_stopwords FROM documents"),
+        "quality_score": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 4 "
+            "ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(text, '{_STOP}')) "
+            "AS DOUBLE) / GREATEST(len(regexp_extract_all(text, "
+            f"'{_TOK}')), 1) >= 0.01 THEN 4 ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(text, '{_PUNCT}')) "
+            "AS DOUBLE) / GREATEST(length(text), 1) <= 0.2 THEN 2 "
+            "ELSE 0 END AS BIGINT) AS quality_points FROM documents"),
+        "lang_histogram": (
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang"),
+        "lang_id": (
+            "WITH c AS (SELECT doc_id, "
+            "regexp_matches(text, '[一-鿿]') AS cjk, "
+            "len(regexp_extract_all(text, "
+            "'(?i)\\b(the|and|of|to|is)\\b')) AS c_en, "
+            "len(regexp_extract_all(text, "
+            "'(?i)\\b(der|die|und|das|ist)\\b')) AS c_de, "
+            "len(regexp_extract_all(text, "
+            "'(?i)\\b(el|la|que|los|es)\\b')) AS c_es, "
+            "len(regexp_extract_all(text, "
+            "'(?i)\\b(le|la|les|et|est)\\b')) AS c_fr FROM documents) "
+            "SELECT doc_id, CASE WHEN cjk THEN 'zh' "
+            "WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en' "
+            "WHEN c_de >= c_es AND c_de >= c_fr THEN 'de' "
+            "WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM c"),
+        "events_hourly": (
+            "SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micros FROM events GROUP BY 1, 2"),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM g GROUP BY user_id"),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS revenue_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+        "top_docs_by_length": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 25"),
+        "ann_bruteforce": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings "
+            "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "
+            "s AS (SELECT vec_id, list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS "
+            "DOUBLE[])) AS cos FROM embeddings) "
+            "SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, "
+            "vec_id ASC) AS BIGINT) AS rank FROM s "
+            "ORDER BY cos DESC, vec_id ASC LIMIT 10"),
+        "crawl_order": (
+            f"SELECT round, seq, url FROM read_parquet('{go}')"),
+        "crawl_seen": (
+            f"SELECT digest, status FROM read_parquet('{gs}') "
+            "ORDER BY digest"),
+        "crawl_mirror": (
+            f"SELECT mirror_path, url, body FROM read_parquet('{gm}')"),
+        "mirror_path_fn": (
+            f"SELECT url, mirror_path FROM read_parquet('{gm}')"),
+        # ann_lsh / embedding_neardup / minhash_neardup / simhash /
+        # fingerprint: non-SQL-expressible (hash families, LSH probing) —
+        # rows-only checks.
+    }

@@ -136,11 +136,7 @@ class CrawlEngine:
                                        cfg.ttl_expire_seconds,
                                        namespace=f"crawl_{os.getpid()}_"
                                                  f"{abs(hash(out_dir)) % 99999}")
-            # persistent across rounds: pool spawn cost paid once per crawl
-            self.pool = FetchWorkerPool(self.corpus_ref, cfg,
-                                        self.seen.shards,
-                                        self.allowed_hosts,
-                                        size=cfg.crawler_threads)
+            self.pool = None  # created lazily on the first big round
         else:
             self.corpus_ref = self.index
             self.seen = SeenSet.local(cfg.num_seen_shards,
@@ -225,6 +221,12 @@ class CrawlEngine:
         # fetch + fused extraction (distributed pool or driver-side by size)
         if (self.use_ray and
                 frontier.num_rows > self.small_round_threshold):
+            if self.pool is None:
+                # persistent across rounds: spawn cost paid once per crawl
+                self.pool = FetchWorkerPool(self.corpus_ref, self.cfg,
+                                            self.seen.shards,
+                                            self.allowed_hosts,
+                                            size=self.cfg.crawler_threads)
             narrow, candidates = self.pool.run_round(
                 frontier, now, os.path.join(rdir, "fetched"))
             if narrow is None:

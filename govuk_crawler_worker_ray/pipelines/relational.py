@@ -1,0 +1,114 @@
+"""Relational demonstration pipelines over the TPC-H-ish testdata tables:
+windowed/sessionized event aggregation and a broadcast-dimension join —
+the Ray Data shapes behind SURVEY.md §2.7 ("broadcast small-side
+semi-join", pre-aggregated groupbys, stream-window semantics).
+
+Float sums travel as integer micro-units so the DuckDB oracles hash
+identically (double accumulation order is not associative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def events_hourly(ds):
+    """Tumbling 1-hour windows per event_type: (event_type, bucket,
+    n_events, sum_value_micros).  Per-batch partial aggregation first —
+    the groupby shuffles one row per (type, bucket) per batch, not one
+    per event."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # us since epoch
+        bucket = ts // (3600 * 1_000_000)
+        etype = batch["event_type"].to_pylist()
+        micros = np.rint(batch["value"].to_numpy() * 1_000_000
+                         ).astype(np.int64)
+        df = pd.DataFrame({"event_type": etype, "bucket": bucket,
+                           "n": 1, "v": micros})
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            partial_n=("n", "sum"), partial_v=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("partial_n", alias_name="n_events"),
+                       Sum("partial_v", alias_name="sum_value_micros")))
+
+
+def sessionize(ds, gap_seconds: int = 1800):
+    """Session windows per user (gap > ``gap_seconds`` starts a new
+    session): (user_id, n_sessions, n_events).  groupby(user).map_groups
+    over ts-sorted groups — the documented Ray Data shape for
+    stream-window semantics."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64").to_numpy()  # microseconds
+        gaps = np.diff(ts) > gap_seconds * 1_000_000
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "n_events": [len(g)],
+        })
+
+    return (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
+                      nation_tbl: pa.Table):
+    """Broadcast join: orders (fact) x customer x nation (dims).
+
+    The dims are joined driver-side into one custkey -> nation_name map,
+    ``ray.put`` once, then every orders batch does a numpy gather — no
+    shuffle join.  Revenue as micro-units for oracle-exact sums."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = customer_tbl.select(["c_custkey", "c_nationkey"]).to_pandas()
+    nat = nation_tbl.select(["n_nationkey", "n_name"]).to_pandas()
+    merged = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    # custkeys are dense-ish ints: direct-address array lookup
+    max_key = int(merged["c_custkey"].max())
+    names = np.array(sorted(set(merged["n_name"])), dtype=object)
+    name_idx = {n: i for i, n in enumerate(names)}
+    lut = np.full(max_key + 1, -1, dtype=np.int32)
+    lut[merged["c_custkey"].to_numpy()] = [
+        name_idx[n] for n in merged["n_name"]]
+    ref = ray.put((lut, names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut_, names_ = ray.get(ref)
+        keys = batch["o_custkey"].to_numpy()
+        valid = (keys >= 0) & (keys < len(lut_))
+        nid = np.where(valid, lut_[np.clip(keys, 0, len(lut_) - 1)], -1)
+        micros = np.rint(batch["o_totalprice"].to_numpy() * 100
+                         ).astype(np.int64)  # cents
+        df = pd.DataFrame({"nid": nid, "cents": micros})
+        df = df[df["nid"] >= 0]
+        g = df.groupby("nid", as_index=False).agg(
+            partial_n=("cents", "size"), partial_c=("cents", "sum"))
+        g["n_name"] = names_[g["nid"].to_numpy()]
+        return pa.Table.from_pandas(g[["n_name", "partial_n", "partial_c"]],
+                                    preserve_index=False)
+
+    return (orders_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("partial_n", alias_name="n_orders"),
+                       Sum("partial_c", alias_name="revenue_cents")))
+
+
+def top_docs_by_length(ds, k: int = 25):
+    """Top-k longest documents (sort + limit with deterministic doc_id
+    tiebreak): (doc_id, n_chars)."""
+    with_len = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "neg_id": pc.multiply(b["doc_id"], pa.scalar(-1)),
+        }), batch_format="pyarrow")
+    top = with_len.sort(["n_chars", "neg_id"], descending=True).limit(k)
+    return top.select_columns(["doc_id", "n_chars"])

@@ -151,6 +151,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95) -> pa.Table:
 
     parts = [b for b in (ds.map_batches(partial, batch_format="pyarrow")
                          .iter_batches(batch_format="pyarrow"))]
+    if not parts:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
     out = pa.concat_tables(parts)
     order = np.lexsort((out["vec_b"].to_numpy(), out["vec_a"].to_numpy()))
     return out.take(pa.array(order))

@@ -53,9 +53,10 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
-    """Heuristic quality score in [0,1]: length band + stopword ratio +
-    punctuation sanity (the usual pretraining-filter features).  Kept to
-    exactly-SQL-expressible arithmetic so DuckDB can oracle it."""
+    """Heuristic quality score as integer points 0..10: length band (4) +
+    stopword ratio (4) + punctuation sanity (2) — the usual
+    pretraining-filter features, kept integer so the DuckDB oracle hashes
+    identically (no float accumulation)."""
     text = batch["text"]
     n_chars = pc.cast(pc.utf8_length(text), pa.float64())
     n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
@@ -63,22 +64,21 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     n_stop = pc.cast(pc.count_substring_regex(text, STOP_RE), pa.float64())
     n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE),
                       pa.float64())
-    tok = pc.max_element_wise(n_tokens, pa.scalar(1.0))
-    stop_ratio = pc.divide(n_stop, tok)
+    stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_tokens,
+                                                       pa.scalar(1.0)))
     punct_ratio = pc.divide(n_punct, pc.max_element_wise(n_chars,
                                                          pa.scalar(1.0)))
     len_ok = pc.cast(pc.and_(pc.greater_equal(n_chars, pa.scalar(100.0)),
                              pc.less_equal(n_chars, pa.scalar(20000.0))),
-                     pa.float64())
+                     pa.int64())
     stop_ok = pc.cast(pc.greater_equal(stop_ratio, pa.scalar(0.01)),
-                      pa.float64())
+                      pa.int64())
     punct_ok = pc.cast(pc.less_equal(punct_ratio, pa.scalar(0.2)),
-                       pa.float64())
-    score = pc.round(pc.add(pc.multiply(len_ok, pa.scalar(0.4)),
-                            pc.add(pc.multiply(stop_ok, pa.scalar(0.4)),
-                                   pc.multiply(punct_ok, pa.scalar(0.2)))),
-                     ndigits=2)
-    return pa.table({"doc_id": batch["doc_id"], "quality_score": score})
+                       pa.int64())
+    points = pc.add(pc.multiply(len_ok, pa.scalar(4, pa.int64())),
+                    pc.add(pc.multiply(stop_ok, pa.scalar(4, pa.int64())),
+                           pc.multiply(punct_ok, pa.scalar(2, pa.int64()))))
+    return pa.table({"doc_id": batch["doc_id"], "quality_points": points})
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:

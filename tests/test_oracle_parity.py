@@ -1,0 +1,90 @@
+"""Replicates the driver's correctness gate: run each queries() entry at
+sf=0.01 and compare row count, column names, and order-insensitive values
+against oracle_sql() via DuckDB."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def harness(ray_session):
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return entrymod, con
+
+
+ORACLE_KEYS = [
+    "dedup_exact", "token_count", "text_stats", "quality_score",
+    "lang_histogram", "lang_id", "events_hourly", "sessionize",
+    "revenue_by_nation", "top_docs_by_length", "ann_bruteforce",
+    "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(harness, name):
+    entrymod, con = harness
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_df(q(SF_DIR)))
+    want = _canon(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-6)
+
+
+ROWS_ONLY_KEYS = ["fingerprint", "ann_lsh", "embedding_neardup",
+                  "minhash_neardup", "simhash"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(harness, name):
+    entrymod, _ = harness
+    df = _to_df(entrymod.queries()[name](SF_DIR))
+    assert df is not None
+    assert not any(df[c].isna().all() for c in df.columns) or len(df) == 0
+
+
+def test_entry_smoke(harness):
+    entrymod, _ = harness
+    df = entrymod.entry()
+    assert len(df) > 0
+    assert list(df.columns) == ["round", "seq", "url"]
