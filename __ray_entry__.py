@@ -80,16 +80,25 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
-def _docs(sf_dir: str):
+def _read_sized(path: str, columns: list[str] | None = None):
+    """read_parquet with block count sized to the file (default splitting
+    shatters small files into ~100-row blocks, which turns every groupby
+    into a huge tiny-task shuffle matrix — measured 31s for 5000 rows at
+    32 CPUs)."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    size = os.path.getsize(path)
+    blocks = max(1, min(64, size // (32 << 20)))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=int(blocks))
+
+
+def _docs(sf_dir: str):
+    return _read_sized(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _events(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _read_sized(os.path.join(sf_dir, "events.parquet"))
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -158,8 +167,8 @@ def _q_revenue_by_nation(sf_dir: str):
         revenue_by_nation,
     )
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_custkey", "o_totalprice"])
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     return revenue_by_nation(orders, cust, nat)
@@ -188,7 +197,7 @@ def _q_ann_bruteforce(sf_dir: str):
 
     from govuk_crawler_worker_ray.pipelines.similarity import knn_bruteforce
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
     return knn_bruteforce(ds, _query_vec(sf_dir), k=10).select(
         ["vec_id", "rank"])
 
@@ -198,7 +207,7 @@ def _q_ann_lsh(sf_dir: str):
 
     from govuk_crawler_worker_ray.pipelines.similarity import lsh_knn
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
     return lsh_knn(ds, _query_vec(sf_dir), k=10)
 
 
@@ -209,7 +218,7 @@ def _q_embedding_neardup(sf_dir: str):
         embedding_neardup_pairs,
     )
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_neardup_pairs(ds, threshold=0.95)
 
 
@@ -283,8 +292,8 @@ def _q_mirror_path_fn(sf_dir: str):
                  for u in urls], pa.string()),
         })
 
-    ds = rd.read_parquet(os.path.join(d, "golden_mirror.parquet"),
-                         columns=["url"])
+    ds = _read_sized(os.path.join(d, "golden_mirror.parquet"),
+                     columns=["url"])
     return ds.map_batches(mp, batch_format="pyarrow")
 
 

@@ -1,0 +1,157 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the round-based crawl (URLs fetched+deduped/sec) over a
+deterministic synthetic web corpus sized to the scale factor, through
+the distributed fetch pool + sharded seen set.  Plus representative
+training-data operators over the testdata tables at $GRAFT_SF_DIR.
+
+  python bench.py              # full bench at $RAY_GRAFT_CPUS (def. 32)
+  python bench.py --scaling    # same crawl at 8 and 32 CPUs in fresh
+                               # processes; reports scaling efficiency
+
+No wall-clock dependence in the workload itself (seed fixed); timings
+are measured here only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_PAGES = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _sf_value() -> float:
+    tag = _sf_tag()
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_crawl(num_cpus: int) -> dict:
+    import pyarrow.parquet as pq
+
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS, write_fixture
+    from govuk_crawler_worker_ray.pipelines.crawl import CrawlEngine
+
+    n_pages = int(os.environ.get("GCW_BENCH_PAGES",
+                                 SF_PAGES.get(_sf_tag(), 2000)))
+    fdir = write_fixture(f"/tmp/gcw_fixtures/bench_{n_pages}",
+                         n_pages=n_pages, goldens=False)
+    corpus = pq.read_table(os.path.join(fdir, "corpus.parquet"))
+    seeds = pq.read_table(os.path.join(fdir, "seeds.parquet"))[
+        "url"].to_pylist()
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS),
+                      crawler_threads=max(4, num_cpus),
+                      num_seen_shards=8,
+                      max_rounds=40,
+                      give_up_429_after=3,   # bound the 429 retry tail
+                      checkpoint_every=5)
+    out = f"/tmp/gcw_bench_out/{n_pages}_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    eng = CrawlEngine(corpus, cfg, out, use_ray=True,
+                      small_round_threshold=256,
+                      warm_pool=True)  # pool spawn is setup, not crawl time
+    t0 = time.perf_counter()
+    res = eng.run(seeds)
+    sec = time.perf_counter() - t0
+    fetched = sum(m["fetched"] for m in res.metrics)
+    published = sum(m["published"] for m in res.metrics)
+    eng.shutdown()
+    return {"sec": round(sec, 3), "fetched": fetched,
+            "published": published, "rounds": res.rounds,
+            "urls_per_sec": round((fetched + published) / sec, 1),
+            "corpus_pages": corpus.num_rows}
+
+
+def bench_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    picks = ["dedup_exact", "text_stats", "lang_id", "events_hourly",
+             "revenue_by_nation", "ann_bruteforce", "minhash_neardup",
+             "simhash"]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume to completion (Datasets are lazy)
+        if hasattr(res, "iter_batches"):
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_full() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        crawl = bench_crawl(NUM_CPUS)
+        queries = bench_queries()
+    finally:
+        ray.shutdown()
+    total = crawl["sec"] + sum(queries.values())
+    return {
+        "metric": "crawl (URLs fetched+deduped/sec) + operator suite "
+                  "wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"crawl": crawl["sec"], **queries},
+        "sf": _sf_value(),
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "crawl_detail": crawl,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = (int(os.environ.get("GCW_SCALE_LO", "8")),
+              int(os.environ.get("GCW_SCALE_HI", "32")))
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr_lo = results[lo]["crawl_urls_per_sec"]
+    thr_hi = results[hi]["crawl_urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "crawl throughput scaling efficiency "
+                  f"({lo} -> {hi} CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_value(),
+        f"urls_per_sec_{lo}": thr_lo,
+        f"urls_per_sec_{hi}": thr_hi,
+        f"sec_{lo}": results[lo]["queries"]["crawl"],
+        f"sec_{hi}": results[hi]["queries"]["crawl"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_full()))

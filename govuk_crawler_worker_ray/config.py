@@ -70,6 +70,12 @@ class CrawlConfig:
     # Round cap for the superstep loop (safety net; 429 rows requeue forever
     # in the reference, workflow.go:108-117).
     max_rounds: int = 50
+    # Give up on a URL after this many 429 attempts (engine addition; None =
+    # retry forever like the reference, which only counts 5XXs).
+    give_up_429_after: int | None = None
+    # Write frontier/seen checkpoints every K rounds (1 = every round).
+    # Crash recovery resumes from the last checkpointed round.
+    checkpoint_every: int = 1
     # Digest algorithm for seen-set keys. The reference keys on
     # md5(exact-url-string) (/root/reference/ttl_hash_set/ttl_hash_set.go:202-204);
     # the north rule mandates sha1(canonicalized url). "sha1" is the default

@@ -104,6 +104,21 @@ def generate_corpus(n_pages: int = 300, seed: int = 42) -> CorpusFixture:
             pages.append(_page_url(host, SECTIONS[i % len(SECTIONS)], i))
         host_pages[host] = pages
 
+    # robots.txt per host (north rule; only honored when
+    # CrawlConfig.respect_robots — plain text so it is never mirrored)
+    rows.append(dict(
+        url=f"https://{GOV}/robots.txt", host=GOV, status_code=200,
+        content_type="text/plain", spans=[],
+        body=("User-agent: *\nDisallow: /help\nDisallow: /topics/page-\n"
+              "Allow: /topics/page-8\n"),
+        redirect_location=None, transient=False))
+    rows.append(dict(
+        url=f"https://{EXAMPLE}/robots.txt", host=EXAMPLE, status_code=200,
+        content_type="text/plain", spans=[],
+        body=("User-agent: GOV.UK Crawler Worker\nDisallow: /browse\n\n"
+              "User-agent: *\nDisallow: /\n"),
+        redirect_location=None, transient=False))
+
     # shared asset library on the assets host (dup-heavy decorations)
     asset_lib = []
     for k in range(max(3, n_pages // 50)):
@@ -352,12 +367,14 @@ def _conformance_pages(host_pages: dict[str, list[str]]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
-                  force: bool = False) -> str:
-    """Write corpus/documents/seeds parquet + oracle goldens to
+                  force: bool = False, goldens: bool = True) -> str:
+    """Write corpus/documents/seeds parquet (+ oracle goldens unless
+    ``goldens=False`` — bench fixtures skip the sequential oracle) to
     ``out_dir``.  Idempotent via a marker keyed on (n_pages, seed,
     generator version) — bump _GEN_VERSION when generation logic changes."""
     marker = os.path.join(out_dir, "meta.json")
-    key = {"n_pages": n_pages, "seed": seed, "gen_version": _GEN_VERSION}
+    key = {"n_pages": n_pages, "seed": seed, "gen_version": _GEN_VERSION,
+           "goldens": goldens}
     if not force and os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -373,13 +390,14 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
                              "priority": pa.array([0] * len(fx.seeds),
                                                   pa.int32())}),
                    os.path.join(out_dir, "seeds.parquet"))
-    _write_goldens(out_dir, fx)
+    if goldens:
+        _write_goldens(out_dir, fx)
     with open(marker, "w") as f:
         json.dump(key, f)
     return out_dir
 
 
-_GEN_VERSION = 2
+_GEN_VERSION = 3
 
 
 def _write_goldens(out_dir: str, fx: CorpusFixture) -> None:

@@ -118,7 +118,8 @@ class CrawlEngine:
 
     def __init__(self, corpus: pa.Table, cfg: CrawlConfig, out_dir: str,
                  use_ray: bool = True,
-                 small_round_threshold: int = 0) -> None:
+                 small_round_threshold: int = 0,
+                 warm_pool: bool = False) -> None:
         self.cfg = cfg
         self.out_dir = out_dir
         self.use_ray = use_ray
@@ -137,6 +138,8 @@ class CrawlEngine:
                                        namespace=f"crawl_{os.getpid()}_"
                                                  f"{abs(hash(out_dir)) % 99999}")
             self.pool = None  # created lazily on the first big round
+            if warm_pool:
+                self._ensure_pool()
         else:
             self.corpus_ref = self.index
             self.seen = SeenSet.local(cfg.num_seen_shards,
@@ -187,23 +190,24 @@ class CrawlEngine:
         cfg = self.cfg
         rdir = os.path.join(self.out_dir, f"round={rnd}")
         os.makedirs(os.path.join(rdir, "fetched"), exist_ok=True)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         frontier = frontier.sort_by("discovered_seq")
         m = {"round": rnd, "frontier": frontier.num_rows, "fetched": 0,
              "published": 0, "blacklisted": 0, "rejected": 0,
              "requeued": 0, "non_accepted": 0, "deferred": 0,
-             "aborted_retries": 0, "extract_aborts": 0}
+             "aborted_retries": 0, "extract_aborts": 0,
+             "robots_excluded": 0}
 
         # politeness budget (north rule): per-host cap in seq order
         deferred = _frontier_table([])
         if cfg.per_host_budget is not None:
-            hosts = frontier["host"].to_pylist()
-            take_mask = np.zeros(len(hosts), dtype=bool)
-            counts: dict[str, int] = {}
-            for i, h in enumerate(hosts):
-                c = counts.get(h, 0)
-                if c < cfg.per_host_budget:
-                    counts[h] = c + 1
-                    take_mask[i] = True
+            import pandas as pd
+
+            hosts = pd.Series(frontier["host"].to_pylist())
+            cum = hosts.groupby(hosts).cumcount()  # position-preserving
+            take_mask = (cum < cfg.per_host_budget).to_numpy()
             deferred = frontier.filter(pa.array(~take_mask))
             frontier = frontier.filter(pa.array(take_mask))
             m["deferred"] = deferred.num_rows
@@ -221,12 +225,7 @@ class CrawlEngine:
         # fetch + fused extraction (distributed pool or driver-side by size)
         if (self.use_ray and
                 frontier.num_rows > self.small_round_threshold):
-            if self.pool is None:
-                # persistent across rounds: spawn cost paid once per crawl
-                self.pool = FetchWorkerPool(self.corpus_ref, self.cfg,
-                                            self.seen.shards,
-                                            self.allowed_hosts,
-                                            size=self.cfg.crawler_threads)
+            self._ensure_pool()
             narrow, candidates = self.pool.run_round(
                 frontier, now, os.path.join(rdir, "fetched"))
             if narrow is None:
@@ -249,38 +248,32 @@ class CrawlEngine:
                 extract_candidates_batch(
                     html.select(["url", "discovered_seq", "spans"]),
                     cfg, self.allowed_hosts)])
-        outcomes = narrow["outcome"].to_pylist()
-        for o in outcomes:
-            key = {"fetched": "fetched", "blacklisted": "blacklisted",
-                   "rejected": "rejected", "requeue_429": "requeued",
-                   "requeue_5xx": "requeued",
-                   "acked_non_accepted": "non_accepted",
-                   "aborted_retries": "aborted_retries"}[o]
-            m[key] += 1
+        outcomes = narrow["outcome"]
+        _OUTCOME_METRIC = {
+            "fetched": "fetched", "blacklisted": "blacklisted",
+            "rejected": "rejected", "requeue_429": "requeued",
+            "requeue_5xx": "requeued",
+            "acked_non_accepted": "non_accepted",
+            "aborted_retries": "aborted_retries",
+            "robots_excluded": "robots_excluded"}
+        for vc in pc.value_counts(outcomes).to_pylist():
+            m[_OUTCOME_METRIC[vc["values"]]] += vc["counts"]
 
         order_t = self._order_table(rnd, narrow)
 
+        m["t_fetch_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        _t0 = _time.perf_counter()
         # events: resets (non-accepted), INCRs (5xx) — narrow
-        ev_digest: list[str] = []
-        ev_url: list[str] = []
-        ev_host: list[str] = []
-        ev_pseq: list[int] = []
-        ev_idx: list[int] = []
-        ev_kind: list[int] = []
-        seqs = narrow["discovered_seq"].to_numpy()
-        durls = narrow["url"].to_pylist()
-        dhosts = narrow["host"].to_pylist()
-        ddigs = narrow["url_digest"].to_pylist()
-        for i, o in enumerate(outcomes):
-            kind = (EV_RESET if o == "acked_non_accepted"
-                    else EV_INCR if o == "requeue_5xx" else None)
-            if kind is not None:
-                ev_digest.append(ddigs[i])
-                ev_url.append(durls[i])
-                ev_host.append(dhosts[i])
-                ev_pseq.append(int(seqs[i]))
-                ev_idx.append(-1)
-                ev_kind.append(kind)
+        ev_rows = narrow.filter(pc.is_in(
+            outcomes, value_set=pa.array(["acked_non_accepted",
+                                          "requeue_5xx"])))
+        ev_digest = ev_rows["url_digest"].to_pylist()
+        ev_url = ev_rows["url"].to_pylist()
+        ev_host = ev_rows["host"].to_pylist()
+        ev_pseq = ev_rows["discovered_seq"].to_numpy().tolist()
+        ev_idx = [-1] * ev_rows.num_rows
+        ev_kind = [EV_RESET if o == "acked_non_accepted" else EV_INCR
+                   for o in ev_rows["outcome"].to_pylist()]
         fetch_events = pa.table({
             "digest": pa.array(ev_digest, pa.string()),
             "url": pa.array(ev_url, pa.string()),
@@ -298,47 +291,70 @@ class CrawlEngine:
                                                 EV_ATTEMPT))
         events = pa.concat_tables([candidates, fetch_events])
 
+        m["t_events_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        _t0 = _time.perf_counter()
         # commit: shard-routed replay
         winners = self._commit(events, now)
         m["published"] = winners.num_rows
 
-        # assemble next frontier: deferred + requeues + winners
-        requeue_mask = pa.array([o.startswith("requeue") for o in outcomes])
-        requeues = narrow.filter(requeue_mask)
-        rows: list[tuple[int, str, str, str, int]] = []
-        for i in range(deferred.num_rows):
-            rows.append((int(deferred["discovered_seq"][i].as_py()),
-                         deferred["url"][i].as_py(),
-                         deferred["host"][i].as_py(),
-                         deferred["url_digest"][i].as_py(),
-                         int(deferred["attempt"][i].as_py())))
-        for i in range(requeues.num_rows):
-            rows.append((int(requeues["discovered_seq"][i].as_py()),
-                         requeues["url"][i].as_py(),
-                         requeues["host"][i].as_py(),
-                         requeues["url_digest"][i].as_py(),
-                         int(requeues["attempt"][i].as_py()) + 1))
+        # assemble next frontier: deferred + requeues + winners (vectorized)
+        requeues = narrow.filter(pc.is_in(
+            outcomes, value_set=pa.array(["requeue_429", "requeue_5xx"])))
+        parts = []
+        if deferred.num_rows:
+            parts.append(deferred)
+        if requeues.num_rows:
+            parts.append(pa.table({
+                "discovered_seq": requeues["discovered_seq"],
+                "url": requeues["url"],
+                "host": requeues["host"],
+                "url_digest": requeues["url_digest"],
+                "attempt": pc.add(requeues["attempt"],
+                                  pa.scalar(1, pa.int32())),
+            }))
         if winners.num_rows:
             worder = pc.sort_indices(winners,
                                      sort_keys=[("parent_seq", "ascending"),
                                                 ("link_idx", "ascending")])
             w = winners.take(worder)
-            for i in range(w.num_rows):
-                rows.append((next_seq, w["url"][i].as_py(),
-                             w["host"][i].as_py(), w["digest"][i].as_py(),
-                             0))
-                next_seq += 1
-        next_frontier = _frontier_table(rows)
+            seq_arr = np.arange(next_seq, next_seq + w.num_rows,
+                                dtype=np.int64)
+            next_seq += w.num_rows
+            parts.append(pa.table({
+                "discovered_seq": pa.array(seq_arr, pa.int64()),
+                "url": w["url"],
+                "host": w["host"],
+                "url_digest": w["digest"],
+                "attempt": pa.array(np.zeros(w.num_rows, np.int32),
+                                    pa.int32()),
+            }))
+        next_frontier = (pa.concat_tables(parts) if parts
+                         else _frontier_table([]))
 
-        # checkpoint: order + frontier_next + seen snapshot, manifest LAST
+        m["t_commit_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        _t0 = _time.perf_counter()
+        # checkpoint: order always; frontier + seen snapshot + manifest
+        # (written LAST = the atomic commit marker) every K rounds and on
+        # the final round
         pq.write_table(order_t, os.path.join(rdir, "order.parquet"))
-        pq.write_table(next_frontier,
-                       os.path.join(rdir, "frontier_next.parquet"))
-        self.seen.snapshot(os.path.join(rdir, "seen_snapshot"))
-        with open(os.path.join(rdir, "manifest.json"), "w") as f:
-            json.dump({"round": rnd, "next_seq": next_seq,
-                       "metrics": m}, f)
+        final = next_frontier.num_rows == 0 or rnd + 1 >= self.cfg.max_rounds
+        if final or rnd % self.cfg.checkpoint_every == 0:
+            pq.write_table(next_frontier,
+                           os.path.join(rdir, "frontier_next.parquet"))
+            self.seen.snapshot(os.path.join(rdir, "seen_snapshot"))
+            with open(os.path.join(rdir, "manifest.json"), "w") as f:
+                json.dump({"round": rnd, "next_seq": next_seq,
+                           "metrics": m}, f)
+        m["t_ckpt_ms"] = int((_time.perf_counter() - _t0) * 1000)
         return next_frontier, next_seq, m, order_t
+
+    def _ensure_pool(self) -> None:
+        if self.pool is None:
+            # persistent across rounds: spawn cost paid once per crawl
+            self.pool = FetchWorkerPool(self.corpus_ref, self.cfg,
+                                        self.seen.shards,
+                                        self.allowed_hosts,
+                                        size=self.cfg.crawler_threads)
 
     # ------------------------------------------------------------------
     def _fetch_extract_local(self, frontier: pa.Table, rdir: str,

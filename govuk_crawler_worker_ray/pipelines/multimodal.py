@@ -1,0 +1,180 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio libraries — `import PIL`/`librosa` are gated and raise
+``NotImplementedError`` at use), but everything Ray-side is real and
+tested: the schema (binary column + metadata struct), the actor-pool
+stage signature (setup once per actor in ``__init__``), small
+batch sizes for wide binary rows, and the output layout.  Tests run the
+same stages with the deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.string()),
+    pa.field("kind", pa.string()),          # image | audio | video
+    pa.field("payload", pa.binary()),       # opaque encoded bytes
+    pa.field("content_type", pa.string()),
+])
+
+# Wide binary rows: keep batches small so batch x concurrency fits the
+# worker heap (see module docstring in SURVEY.md §4 memory row).
+MEDIA_BATCH_SIZE = 64
+
+
+def synthesize_media_batch(batch: pa.Table, payload_bytes: int = 4096
+                           ) -> pa.Table:
+    """Deterministic fake media: payload = keyed blake2b stream.  Stands
+    in for reading real blobs; exercises binary-column plumbing."""
+    ids = batch["doc_id"].to_pylist()
+    kinds = ["image", "audio", "video"]
+    payloads = []
+    out_kind = []
+    for i, d in enumerate(ids):
+        seedb = hashlib.blake2b(str(d).encode(), digest_size=32).digest()
+        reps = payload_bytes // 32 + 1
+        payloads.append((seedb * reps)[:payload_bytes])
+        out_kind.append(kinds[i % 3])
+    return pa.table({
+        "media_id": pa.array([str(d) for d in ids], pa.string()),
+        "kind": pa.array(out_kind, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "content_type": pa.array(
+            [{"image": "image/png", "audio": "audio/wav",
+              "video": "video/mp4"}[k] for k in out_kind], pa.string()),
+    })
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``__init__`` loads the (heavy) decoder once per actor;
+    ``__call__`` decodes a batch.  Pass ``decoder="fake"`` for the
+    deterministic stand-in; ``decoder="pil"``/"librosa" require the real
+    libraries (absent here -> NotImplementedError at construction, not
+    silently at batch time).
+
+    Usage:
+        ds.map_batches(MediaDecodeStage,
+                       fn_constructor_kwargs={"decoder": "fake"},
+                       batch_format="pyarrow",
+                       batch_size=MEDIA_BATCH_SIZE,
+                       concurrency=4, num_cpus=1)
+    """
+
+    def __init__(self, decoder: str = "fake") -> None:
+        self.decoder = decoder
+        if decoder == "fake":
+            self._decode = self._decode_fake
+        elif decoder == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decode needs Pillow (not in this "
+                    "container); use decoder='fake'") from e
+            raise NotImplementedError("PIL decode path not implemented")
+        elif decoder == "librosa":
+            try:
+                import librosa  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real audio decode needs librosa (not in this "
+                    "container); use decoder='fake'") from e
+            raise NotImplementedError("librosa decode path not implemented")
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    @staticmethod
+    def _decode_fake(payload: bytes, kind: str) -> dict:
+        """Deterministic pseudo-decode: stable features from the bytes."""
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        base = int.from_bytes(h, "big")
+        return {
+            "width": 16 + base % 1024 if kind != "audio" else 0,
+            "height": 16 + (base >> 10) % 1024 if kind != "audio" else 0,
+            "duration_ms": int(base % 60_000) if kind != "image" else 0,
+            "mean_byte": float(arr.mean()) if len(arr) else 0.0,
+            "n_bytes": len(arr),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        feats = [self._decode(p, k) for p, k in zip(payloads, kinds)]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "width": pa.array([f["width"] for f in feats], pa.int32()),
+            "height": pa.array([f["height"] for f in feats], pa.int32()),
+            "duration_ms": pa.array([f["duration_ms"] for f in feats],
+                                    pa.int64()),
+            "mean_byte": pa.array([round(f["mean_byte"], 6)
+                                   for f in feats], pa.float64()),
+            "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample N pseudo-frames from video payloads —
+    output is one row per (media_id, frame_idx) with a frame digest
+    (the explode layout real frame extraction would produce)."""
+
+    def __init__(self, num_frames: int = 4) -> None:
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, digests = [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            n = len(payload)
+            for f in range(self.num_frames):
+                lo = (n * f) // self.num_frames
+                hi = (n * (f + 1)) // self.num_frames
+                ids.append(mid)
+                frames.append(f)
+                digests.append(hashlib.blake2b(
+                    payload[lo:hi], digest_size=8).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "frame_digest": pa.array(digests, pa.string()),
+        })
+
+
+def media_features(docs_ds, decoder: str = "fake", concurrency: int = 2):
+    """documents -> synthesized media -> actor-pool decode features."""
+    media = docs_ds.map_batches(synthesize_media_batch,
+                                batch_format="pyarrow",
+                                batch_size=MEDIA_BATCH_SIZE)
+    return media.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1)
+
+
+def video_frames(docs_ds, num_frames: int = 4, concurrency: int = 2):
+    media = docs_ds.map_batches(synthesize_media_batch,
+                                batch_format="pyarrow",
+                                batch_size=MEDIA_BATCH_SIZE)
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"num_frames": num_frames},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1)

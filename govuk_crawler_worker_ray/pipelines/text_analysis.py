@@ -105,15 +105,19 @@ _FP_OFF = np.uint64(14695981039346656037)
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Document fingerprint: FNV-1a rolling hash over the utf-8 bytes —
-    cheap content identity for incremental recrawl diffing (the engine
-    analog of mirror-file comparison).  Returned as hex for portability."""
+    """Document fingerprint: degree-n polynomial rolling hash over the
+    utf-8 bytes (uint64 wraparound) — cheap content identity for
+    incremental recrawl diffing (the engine analog of mirror-file
+    comparison).  Fully vectorized per document; hex for portability."""
     out = []
     for t in batch["text"].to_pylist():
-        h = _FP_OFF
-        for b in t.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_MUL
-        out.append(int(h))
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) == 0:
+            out.append(0)
+            continue
+        powers = _FP_MUL ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
+        h = (b.astype(np.uint64) * powers).sum(dtype=np.uint64)
+        out.append(int(h ^ _FP_OFF))
     return pa.table({
         "doc_id": batch["doc_id"],
         "fingerprint": pa.array([f"{v:016x}" for v in out], pa.string()),
@@ -141,7 +145,10 @@ def lang_id(ds):
 
 
 def fingerprints(ds):
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    from .dedup import cpu_split
+
+    return cpu_split(ds).map_batches(fingerprint_batch,
+                                     batch_format="pyarrow")
 
 
 def lang_histogram(ds):

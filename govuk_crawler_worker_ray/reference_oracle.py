@@ -107,6 +107,15 @@ def crawl_oracle(
         if p is not None:
             allowed_hosts.append(netloc_host(p.netloc))
     seen = res.seen
+    robots = {}
+    if cfg.respect_robots:
+        from .functions.urls import host_only
+        from .state.robots import parse_robots, robots_url
+
+        for h in allowed_hosts:
+            row = corpus.get(robots_url(host_only(h)))
+            if row is not None:
+                robots[host_only(h)] = parse_robots(row["body"] or "")
 
     # frontier rows: (seq, url, attempt_so_far)
     frontier = [(i, u, 0) for i, u in enumerate(seeds)]
@@ -117,7 +126,7 @@ def crawl_oracle(
         m = {"round": rnd, "frontier": len(frontier), "fetched": 0,
              "published": 0, "blacklisted": 0, "rejected": 0,
              "requeued": 0, "non_accepted": 0, "deferred": 0,
-             "aborted_retries": 0}
+             "aborted_retries": 0, "robots_excluded": 0}
         process, deferred = [], []
         if cfg.per_host_budget is not None:
             per_host: dict[str, int] = {}
@@ -144,6 +153,13 @@ def crawl_oracle(
             if parts is None:
                 m["rejected"] += 1
                 continue
+            if robots:
+                from .functions.urls import host_only
+
+                rules = robots.get(host_only(netloc_host(parts.netloc)))
+                if rules is not None and not rules.allowed(parts.path):
+                    m["robots_excluded"] += 1
+                    continue
             d = _digest(url, cfg)
             crawl_count = seen.get(d, 0)
             if crawl_count > cfg.max_crawl_retries:
@@ -156,6 +172,10 @@ def crawl_oracle(
             outcome, ct, body, _spans = oracle_fetch(corpus.get(url),
                                                      attempt + 1)
             if outcome == "requeue_429":
+                if (cfg.give_up_429_after is not None
+                        and attempt + 1 > cfg.give_up_429_after):
+                    m["rejected"] += 1
+                    continue
                 next_frontier.append((seq, url, attempt + 1))
                 m["requeued"] += 1
                 continue

@@ -107,6 +107,19 @@ class FetchStage:
         from ..state.seen_set import SeenSet
         self.seen = (seen_shards if isinstance(seen_shards, SeenSet)
                      else SeenSet(seen_shards, remote=True))
+        # robots.txt rules per allowed host (north rule; off by default for
+        # reference parity).  Fetched from the corpus once per actor.
+        self.robots = {}
+        if cfg.respect_robots:
+            from ..state.robots import parse_robots, robots_url
+
+            hosts = [host_only(netloc_host(parse_url(r).netloc))
+                     for r in cfg.root_urls if parse_url(r)]
+            rows = self.idx.lookup([robots_url(h) for h in hosts])
+            for h, r in zip(hosts, rows):
+                if r >= 0:
+                    body = self.idx.table["body"][r].as_py() or ""
+                    self.robots[h] = parse_robots(body)
         self.now = 0.0  # logical clock; set per round via fn_kwargs if needed
 
     def __call__(self, batch: pa.Table, now: float = 0.0) -> pa.Table:
@@ -140,6 +153,10 @@ class FetchStage:
             schemes[i] = p.scheme
             if not any(host_only(hosts[i]) == a for a in self.allowed_hosts):
                 outcome[i] = "rejected"
+            elif self.robots:
+                rules = self.robots.get(host_only(hosts[i]))
+                if rules is not None and not rules.allowed(p.path):
+                    outcome[i] = "robots_excluded"
 
         # retry-abort gate: batched read of the seen counters
         pending = [i for i in range(n) if outcome[i] == ""]
@@ -165,7 +182,10 @@ class FetchStage:
                 if rows[j] < 0:
                     outcome[i] = "rejected"  # no such origin: conn error
                 elif s == 429:
-                    outcome[i] = "requeue_429"
+                    giveup = self.cfg.give_up_429_after
+                    outcome[i] = ("rejected" if giveup is not None
+                                  and int(att[j]) > giveup
+                                  else "requeue_429")
                 elif 500 <= s <= 599:
                     outcome[i] = "requeue_5xx"
                 elif s == 404:

@@ -89,9 +89,12 @@ class FetchWorkerPool:
         """-> (narrow outcomes, publish candidates), both driver-side."""
         import ray
 
-        bs = self.cfg.fetch_batch_size
-        chunks = [frontier.slice(o, bs)
-                  for o in range(0, frontier.num_rows, bs)]
+        # split so every worker gets ~2 chunks (pipelining), capped by the
+        # configured batch size; floor keeps tiny rounds in few chunks
+        n = frontier.num_rows
+        bs = min(self.cfg.fetch_batch_size,
+                 max(512, -(-n // (2 * self.size))))
+        chunks = [frontier.slice(o, bs) for o in range(0, n, bs)]
         narrows: list[pa.Table] = []
         cands: list[pa.Table] = []
         in_flight: dict = {}

@@ -1,0 +1,159 @@
+"""Tests for the training-data pipelines (dedup, similarity, text
+analysis, multimodal plumbing) and robots.txt support."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from govuk_crawler_worker_ray.state.robots import parse_robots
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "the quick brown fox jumps over the lazy dog and runs to the hill",
+        "completely different content about der die und das ist in german",
+        "el gato que vive en la casa de los vecinos es muy bonito",
+        "一些中文内容在这里出现了",
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en", "de", "es", "zh", "en"], pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    from govuk_crawler_worker_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact dup pair
+    dup_row = out[out["n_dups"] == 2]
+    assert len(dup_row) == 1
+    assert dup_row["doc_id"].iloc[0] == 0  # min doc_id kept
+
+
+def test_minhash_neardup(docs_ds):
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(docs_ds, threshold=0.5)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    # docs 0/1 near-dup (one word), 0/5 exact, 1/5 near
+    assert (0, 5) in got and (0, 1) in got and (1, 5) in got
+    assert all(a in (0, 1, 5) and b in (0, 1, 5) for a, b in got)
+    comp = connected_components(pairs)
+    cd = dict(zip(comp["doc_id"].to_pylist(),
+                  comp["component"].to_pylist()))
+    assert cd[0] == cd[1] == cd[5] == 0
+
+
+def test_simhash_close_for_neardups(docs_ds):
+    from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
+
+    out = simhash_signatures(docs_ds).to_pandas()
+    sig = {r.doc_id: int(r.simhash, 16) for r in out.itertuples()}
+    assert sig[0] == sig[5]  # identical text => identical signature
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_lang_id(docs_ds):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import lang_id
+
+    out = lang_id(docs_ds).to_pandas().sort_values("doc_id")
+    assert list(out["pred_lang"]) == ["en", "en", "de", "es", "zh", "en"]
+
+
+def test_knn_and_lsh(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        knn_bruteforce,
+        lsh_knn,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    base[7] = base[0] * 1.1  # near-dup of row 0
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    q = base[0].astype(np.float64)
+    exact = knn_bruteforce(ds, q, k=5)
+    assert exact["vec_id"].to_pylist()[0] == 0  # itself first
+    assert exact["vec_id"].to_pylist()[1] == 7  # scaled copy second
+    approx = lsh_knn(ds, q, k=5)
+    # LSH must find the same top hit (same bucket by construction)
+    assert approx["vec_id"].to_pylist()[0] == 0
+    assert 7 in approx["vec_id"].to_pylist()
+
+
+def test_multimodal_plumbing(docs_ds):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        MediaDecodeStage,
+        media_features,
+        video_frames,
+    )
+
+    feats = media_features(docs_ds, decoder="fake").to_pandas()
+    assert len(feats) == 6
+    assert set(feats.columns) >= {"media_id", "kind", "width", "height",
+                                  "duration_ms", "mean_byte", "n_bytes"}
+    assert (feats["n_bytes"] == 4096).all()
+    frames = video_frames(docs_ds, num_frames=3).to_pandas()
+    assert (frames.groupby("media_id").size() == 3).all()
+    # real decoders are stubbed with a clear error
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(decoder="pil")
+
+
+def test_robots_parsing():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /help\nDisallow: /topics/page-\n"
+        "Allow: /topics/page-8\n")
+    assert not rules.allowed("/help")
+    assert not rules.allowed("/help/sub")
+    assert not rules.allowed("/topics/page-3")
+    assert rules.allowed("/topics/page-8")  # longest match wins
+    assert rules.allowed("/guidance/x")
+    # UA-specific group overrides *
+    ua = parse_robots(
+        "User-agent: GOV.UK Crawler Worker\nDisallow: /browse\n\n"
+        "User-agent: *\nDisallow: /\n")
+    assert not ua.allowed("/browse/x")
+    assert ua.allowed("/other")
+
+
+def test_crawl_with_robots(tmp_path):
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS, generate_corpus
+    from govuk_crawler_worker_ray.pipelines.crawl import run_crawl
+    from govuk_crawler_worker_ray.reference_oracle import crawl_oracle
+
+    fx = generate_corpus(150, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), respect_robots=True)
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    res = run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "robots"),
+                    use_ray=False)
+    eng_order = list(zip(res.crawl_order["round"].to_pylist(),
+                         res.crawl_order["url"].to_pylist()))
+    assert eng_order == [(r, u) for r, _, u in oracle.crawl_order]
+    assert sum(m["robots_excluded"] for m in res.metrics) > 0
+    # nothing under /help on gov.uk was fetched
+    assert not any(u.startswith("https://www.gov.uk/help")
+                   for _, u in eng_order)
