@@ -297,6 +297,67 @@ def _q_mirror_path_fn(sf_dir: str):
     return ds.map_batches(mp, batch_format="pyarrow")
 
 
+def _q_extract_links(sf_dir: str):
+    """Span-path link extraction over the fixture corpus, hash-compared
+    against the HTML-path golden (two independent parsers — the
+    span-sequence invariant from BASELINE.json input_hint)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS
+    from govuk_crawler_worker_ray.functions.extract import (
+        extract_links_spans_batch,
+    )
+    from govuk_crawler_worker_ray.functions.urls import netloc_host, parse_url
+
+    d = _fixture()
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    allowed = [netloc_host(parse_url(r).netloc) for r in cfg.root_urls]
+    ds = _read_sized(os.path.join(d, "corpus.parquet"),
+                     columns=["url", "status_code", "content_type",
+                              "spans"])
+
+    def ex(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(batch["status_code"], 200),
+                    pc.match_substring_regex(batch["content_type"],
+                                             "^text/html")),
+            pc.greater(pc.list_value_length(batch["spans"]), 0))
+        sub = batch.filter(pc.fill_null(mask, False))
+        links = extract_links_spans_batch(sub, allowed,
+                                          cfg.blacklist_paths)
+        links = links.filter(pc.greater_equal(links["link_seq"], 0))
+        return pa.table({"doc_id": links["src_url"],
+                         "link_seq": links["link_seq"],
+                         "link_url": links["link_url"]})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def _q_content_type_gate(sf_dir: str):
+    """The AcceptedContentType allowlist gate
+    (crawler_response.go:35-48) vectorized over the fixture corpus."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.functions.content_types import (
+        accepted_mask,
+    )
+
+    d = _fixture()
+    ds = _read_sized(os.path.join(d, "corpus.parquet"),
+                     columns=["url", "content_type"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "accepted": accepted_mask(
+                batch["content_type"].combine_chunks()),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -319,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
         "mirror_path_fn": _q_mirror_path_fn,
+        "extract_links": _q_extract_links,
+        "content_type_gate": _q_content_type_gate,
     }
 
 
@@ -331,11 +394,28 @@ _PUNCT = r"[.,;:!?]"
 _TOK = r"\S+"
 
 
+_ACCEPTED_SQL = ("'text/css','text/csv',"
+                 "'application/vnd.openxmlformats-officedocument."
+                 "wordprocessingml.document','image/gif','text/html',"
+                 "'image/x-icon','text/calendar',"
+                 "'application/javascript','image/jpeg',"
+                 "'application/json',"
+                 "'application/vnd.oasis.opendocument.presentation',"
+                 "'application/vnd.oasis.opendocument.spreadsheet',"
+                 "'application/vnd.oasis.opendocument.text',"
+                 "'application/pdf','image/png',"
+                 "'application/vnd.ms-excel',"
+                 "'application/vnd.openxmlformats-officedocument."
+                 "spreadsheetml.sheet'")
+
+
 def oracle_sql() -> dict[str, str]:
     d = _fixture()  # goldens must exist for the read_parquet oracles
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
     gs = os.path.join(d, "golden_seen.parquet")
+    gl = os.path.join(d, "golden_links.parquet")
+    corp = os.path.join(d, "corpus.parquet")
     return {
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
@@ -417,6 +497,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT mirror_path, url, body FROM read_parquet('{gm}')"),
         "mirror_path_fn": (
             f"SELECT url, mirror_path FROM read_parquet('{gm}')"),
+        "extract_links": (
+            f"SELECT doc_id, link_seq, link_url FROM read_parquet('{gl}')"),
+        "content_type_gate": (
+            "SELECT url, CASE WHEN lower(trim(split_part(content_type, "
+            f"';', 1))) IN ({_ACCEPTED_SQL}) THEN true ELSE false END AS "
+            f"accepted FROM read_parquet('{corp}')"),
         # ann_lsh / embedding_neardup / minhash_neardup / simhash /
         # fingerprint: non-SQL-expressible (hash families, LSH probing) —
         # rows-only checks.

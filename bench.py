@@ -24,7 +24,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SF_PAGES = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
+# crawl corpus size per scale factor — sf0.1 is sized so per-round
+# parallel work dominates the driver-side commit (scaling needs it)
+SF_PAGES = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 100000}
 
 
 def _sf_tag() -> str:

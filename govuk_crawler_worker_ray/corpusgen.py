@@ -397,7 +397,7 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
     return out_dir
 
 
-_GEN_VERSION = 3
+_GEN_VERSION = 4
 
 
 def _write_goldens(out_dir: str, fx: CorpusFixture) -> None:
@@ -422,3 +422,32 @@ def _write_goldens(out_dir: str, fx: CorpusFixture) -> None:
         "digest": pa.array(digests, pa.string()),
         "status": pa.array([res.seen[d] for d in digests], pa.int32()),
     }), os.path.join(out_dir, "golden_seen.parquet"))
+
+    # per-page link extraction golden via the HTML path (independent
+    # parser from the engine's span path — the cross-check the
+    # input_hint's span-sequence invariant requires)
+    from .functions.extract import extract_links_from_html
+    from .functions.urls import netloc_host, parse_url
+
+    allowed = [netloc_host(parse_url(r).netloc) for r in ROOT_URLS]
+    l_doc, l_seq, l_url = [], [], []
+    for row in fx.corpus.to_pylist():
+        if (row["status_code"] != 200
+                or not row["content_type"].startswith("text/html")
+                or not row["spans"]):
+            continue
+        p = parse_url(row["url"])
+        links = extract_links_from_html(row["body"], p.scheme,
+                                        netloc_host(p.netloc), allowed,
+                                        cfg.blacklist_paths)
+        if links is None:
+            continue  # abort pages emit nothing
+        for i, link in enumerate(links):
+            l_doc.append(row["url"])
+            l_seq.append(i)
+            l_url.append(link)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(l_doc, pa.string()),
+        "link_seq": pa.array(l_seq, pa.int32()),
+        "link_url": pa.array(l_url, pa.string()),
+    }), os.path.join(out_dir, "golden_links.parquet"))

@@ -390,14 +390,14 @@ class CrawlEngine:
                 sub, sort_keys=[("parent_seq", "ascending"),
                                 ("link_idx", "ascending")]))
             subs.append(sub)
-            digests = sub["digest"].to_pylist()
-            kinds = sub["kind"].to_numpy().tolist()
             if self.seen.remote:
-                calls.append(self.seen.shards[s].replay_events_batch.remote(
-                    digests, kinds, now))
+                calls.append(self.seen.shards[s].replay_events_arrow.remote(
+                    sub["digest"].combine_chunks(),
+                    sub["kind"].combine_chunks(), now))
             else:
                 calls.append(self.seen.shards[s].replay_events_batch(
-                    digests, kinds, now))
+                    sub["digest"].to_pylist(),
+                    sub["kind"].to_numpy().tolist(), now))
         if self.seen.remote:
             import ray
 

@@ -140,6 +140,16 @@ class SeenShard:
                 out[i] = True
         return out
 
+    def replay_events_arrow(self, digests, kinds, now: float):
+        """Arrow-argument variant of replay: the driver ships pa.Arrays
+        (cheap serialization) and the to_pylist() cost runs here — on the
+        shard, in parallel across shards — instead of on the driver."""
+        import numpy as _np
+
+        out = self.replay_events_batch(digests.to_pylist(),
+                                       kinds.to_numpy().tolist(), now)
+        return _np.asarray(out, dtype=bool)
+
     def replay_events_batch(self, digests: list[str], kinds: list[int],
                             now: float) -> list[bool]:
         """Round-commit replay (the publish gate P5 + the fetch stage's
