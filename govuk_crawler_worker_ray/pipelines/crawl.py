@@ -53,6 +53,7 @@ from ..stages.publish import (
     EV_INCR,
     EV_RESET,
     extract_candidates_batch,
+    stage_events_to_shards,
 )
 from ..state.seen_set import SeenSet, keys_u64
 
@@ -133,8 +134,11 @@ class CrawlEngine:
             import ray
 
             self.corpus_ref = ray.put(self.index)
+            expected = max(1 << 16,
+                           4 * corpus.num_rows // cfg.num_seen_shards)
             self.seen = SeenSet.actors(cfg.num_seen_shards,
                                        cfg.ttl_expire_seconds,
+                                       expected_keys=expected,
                                        namespace=f"crawl_{os.getpid()}_"
                                                  f"{abs(hash(out_dir)) % 99999}")
             self.pool = None  # created lazily on the first big round
@@ -222,17 +226,40 @@ class CrawlEngine:
         else:
             dup_rows = None
 
-        # fetch + fused extraction (distributed pool or driver-side by size)
+        # pre-fetch the round's RETRY counters once: only statuses > 1 can
+        # trigger the abort gate (with max_retries >= 1), and those exist
+        # only for URLs with 5XX history — a tiny per-shard dict, fetched
+        # in one fan-out instead of a full-frontier get.  Round-start
+        # reads are exactly the semantics the replay design guarantees.
+        if self.cfg.max_crawl_retries >= 1:
+            high = self._high_counters(now)
+            if high:
+                digs_all = frontier["url_digest"].to_pylist()
+                counts = np.fromiter((high.get(d, 0) for d in digs_all),
+                                     dtype=np.int64, count=len(digs_all))
+            else:
+                counts = np.zeros(frontier.num_rows, dtype=np.int64)
+        else:  # pathological config: exact counters needed
+            counts = self.seen.get(frontier["url_digest"].to_pylist(), now)
+        frontier = frontier.append_column(
+            "crawl_count", pa.array(counts, pa.int64()))
+
+        # reset the shards' staging buffers (a failed previous attempt of
+        # this round must not leak events into the commit)
+        self._clear_staged()
+
+        # fetch + fused extraction; candidates are staged worker->shard
+        stage_refs: list = []
         if (self.use_ray and
                 frontier.num_rows > self.small_round_threshold):
             self._ensure_pool()
-            narrow, candidates = self.pool.run_round(
+            narrow, extract_aborts, stage_refs = self.pool.run_round(
                 frontier, now, os.path.join(rdir, "fetched"))
             if narrow is None:
-                narrow, candidates = self._fetch_extract_local(
+                narrow, extract_aborts = self._fetch_extract_local(
                     _frontier_table([]), rdir, now, "part-empty")
         else:
-            narrow, candidates = self._fetch_extract_local(
+            narrow, extract_aborts = self._fetch_extract_local(
                 frontier, rdir, now, "part-local")
         if dup_rows is not None:
             dup_fetched = self._run_dup_lane(dup_rows, now)
@@ -243,11 +270,10 @@ class CrawlEngine:
             html = dup_fetched.filter(pc.and_(
                 pc.equal(dup_fetched["outcome"], "fetched"),
                 pc.equal(dup_fetched["content_type"], "text/html")))
-            candidates = pa.concat_tables([
-                candidates,
+            extract_aborts += self._stage_candidates(
                 extract_candidates_batch(
                     html.select(["url", "discovered_seq", "spans"]),
-                    cfg, self.allowed_hosts)])
+                    cfg, self.allowed_hosts))
         outcomes = narrow["outcome"]
         _OUTCOME_METRIC = {
             "fetched": "fetched", "blacklisted": "blacklisted",
@@ -281,20 +307,22 @@ class CrawlEngine:
             "parent_seq": pa.array(ev_pseq, pa.int64()),
             "link_idx": pa.array(ev_idx, pa.int32()),
             "kind": pa.array(ev_kind, pa.int8()),
+            "key_u64": pa.array(keys_u64(ev_digest), pa.uint64()),
         })
-
-        # publish-attempt candidates came fused from the fetch pass
-        aborts = candidates.filter(pc.equal(candidates["kind"], -1))
-        m["extract_aborts"] = aborts.num_rows
-        m["rejected"] += aborts.num_rows
-        candidates = candidates.filter(pc.equal(candidates["kind"],
-                                                EV_ATTEMPT))
-        events = pa.concat_tables([candidates, fetch_events])
+        stage_events_to_shards(fetch_events, self.seen.shards,
+                               self.seen.remote)
+        m["extract_aborts"] = extract_aborts
+        m["rejected"] += extract_aborts
 
         m["t_events_ms"] = int((_time.perf_counter() - _t0) * 1000)
         _t0 = _time.perf_counter()
-        # commit: shard-routed replay
-        winners = self._commit(events, now)
+        # barrier: all worker->shard staging must land before the commit
+        if stage_refs:
+            import ray
+
+            ray.get(stage_refs)
+        # commit: every shard sorts + replays ITS staged events locally
+        winners = self._commit_staged(now)
         m["published"] = winners.num_rows
 
         # assemble next frontier: deferred + requeues + winners (vectorized)
@@ -302,7 +330,8 @@ class CrawlEngine:
             outcomes, value_set=pa.array(["requeue_429", "requeue_5xx"])))
         parts = []
         if deferred.num_rows:
-            parts.append(deferred)
+            parts.append(deferred.select(
+                ["discovered_seq", "url", "host", "url_digest", "attempt"]))
         if requeues.num_rows:
             parts.append(pa.table({
                 "discovered_seq": requeues["discovered_seq"],
@@ -370,43 +399,50 @@ class CrawlEngine:
         cands = extract_candidates_batch(
             html.select(["url", "discovered_seq", "spans"]),
             self.cfg, self.allowed_hosts)
-        return fetched.select(NARROW_COLS), cands
+        aborts = self._stage_candidates(cands)
+        return fetched.select(NARROW_COLS), aborts
 
-    def _commit(self, events: pa.Table, now: float) -> pa.Table:
-        """Hash-route events to their owning seen-set shard and replay
-        (the P5 exchange — narrow rows only).  All shard calls fly
-        concurrently; each shard replays its digests in discovery order."""
-        if events.num_rows == 0:
-            return _empty_events()
-        shard_ids = (keys_u64(events["digest"].to_pylist())
-                     % np.uint64(self.seen.num_shards)).astype(np.int64)
-        subs: list[pa.Table] = []
-        calls = []
-        for s in range(self.seen.num_shards):
-            sub = events.filter(pa.array(shard_ids == s))
-            if sub.num_rows == 0:
-                continue
-            sub = sub.take(pc.sort_indices(
-                sub, sort_keys=[("parent_seq", "ascending"),
-                                ("link_idx", "ascending")]))
-            subs.append(sub)
-            if self.seen.remote:
-                calls.append(self.seen.shards[s].replay_events_arrow.remote(
-                    sub["digest"].combine_chunks(),
-                    sub["kind"].combine_chunks(), now))
-            else:
-                calls.append(self.seen.shards[s].replay_events_batch(
-                    sub["digest"].to_pylist(),
-                    sub["kind"].to_numpy().tolist(), now))
+    def _stage_candidates(self, cands: pa.Table) -> int:
+        """Stage attempt rows to their shards; returns the abort count."""
+        aborts = int(pc.sum(pc.cast(pc.equal(cands["kind"], -1),
+                                    pa.int32())).as_py() or 0)
+        attempts = cands.filter(pc.equal(cands["kind"], EV_ATTEMPT))
+        stage_events_to_shards(attempts, self.seen.shards, self.seen.remote)
+        return aborts
+
+    def _high_counters(self, now: float) -> dict:
         if self.seen.remote:
             import ray
 
-            results = ray.get(calls)
+            parts = ray.get([s.high_counters.remote(now)
+                             for s in self.seen.shards])
         else:
-            results = calls
-        winners = [sub.filter(pa.array(np.asarray(mask, dtype=bool)))
-                   for sub, mask in zip(subs, results)]
-        return (pa.concat_tables(winners) if winners else _empty_events())
+            parts = [s.high_counters(now) for s in self.seen.shards]
+        out: dict = {}
+        for p in parts:
+            out.update(p)
+        return out
+
+    def _clear_staged(self) -> None:
+        if self.seen.remote:
+            import ray
+
+            ray.get([s.clear_staged.remote() for s in self.seen.shards])
+        else:
+            for s in self.seen.shards:
+                s.clear_staged()
+
+    def _commit_staged(self, now: float) -> pa.Table:
+        """Trigger every shard's local sort+replay of its staged events;
+        gather only the (narrow, small) winner rows."""
+        if self.seen.remote:
+            import ray
+
+            tables = ray.get([s.commit_staged.remote(now)
+                              for s in self.seen.shards])
+        else:
+            tables = [s.commit_staged(now) for s in self.seen.shards]
+        return pa.concat_tables(tables)
 
     # ------------------------------------------------------------------
     def _run_dup_lane(self, rows: pa.Table, now: float):
@@ -521,6 +557,7 @@ def _empty_events() -> pa.Table:
         "parent_seq": pa.array([], pa.int64()),
         "link_idx": pa.array([], pa.int32()),
         "kind": pa.array([], pa.int8()),
+        "key_u64": pa.array([], pa.uint64()),
     })
 
 

@@ -158,13 +158,22 @@ class FetchStage:
                 if rules is not None and not rules.allowed(p.path):
                     outcome[i] = "robots_excluded"
 
-        # retry-abort gate: batched read of the seen counters
-        pending = [i for i in range(n) if outcome[i] == ""]
-        if pending:
-            counts = self.seen.get([digests[i] for i in pending], now)
-            for j, i in enumerate(pending):
-                if counts[j] > self.cfg.max_crawl_retries:
+        # retry-abort gate: counts come as a precomputed column when the
+        # driver pre-fetched them for the whole round (ONE shard fan-out
+        # per round instead of one per chunk); else batched RPC here.
+        if "crawl_count" in batch.column_names:
+            counts_all = batch["crawl_count"].to_numpy()
+            for i in range(n):
+                if outcome[i] == "" and \
+                        counts_all[i] > self.cfg.max_crawl_retries:
                     outcome[i] = "aborted_retries"
+        else:
+            pending = [i for i in range(n) if outcome[i] == ""]
+            if pending:
+                counts = self.seen.get([digests[i] for i in pending], now)
+                for j, i in enumerate(pending):
+                    if counts[j] > self.cfg.max_crawl_retries:
+                        outcome[i] = "aborted_retries"
 
         # corpus lookup + status dispatch (vectorized over pending rows)
         pending = [i for i in range(n) if outcome[i] == ""]

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from .fetch import FetchStage
-from .publish import extract_candidates_batch
+from .publish import extract_candidates_batch, stage_events_to_shards
 
 NARROW_COLS = ["url", "host", "url_digest", "discovered_seq", "attempt",
                "outcome"]
@@ -46,7 +46,7 @@ class FetchWorker:
         self.allowed_hosts = allowed_hosts
 
     def process(self, batch: pa.Table, now: float,
-                out_path: str | None) -> tuple[pa.Table, pa.Table]:
+                out_path: str | None) -> tuple[pa.Table, int]:
         fetched = self.stage(batch, now=now)
         if out_path is not None:
             pq.write_table(fetched, out_path)
@@ -57,7 +57,17 @@ class FetchWorker:
         cands = extract_candidates_batch(
             html.select(["url", "discovered_seq", "spans"]),
             self.cfg, self.allowed_hosts)
-        return narrow, cands
+        aborts = int(pc.sum(pc.cast(pc.equal(cands["kind"], -1),
+                                    pa.int32())).as_py() or 0)
+        attempts = cands.filter(pc.equal(cands["kind"], 0))
+        # candidates go STRAIGHT to their seen shards (never via driver);
+        # the worker does NOT await the staging — the refs travel back to
+        # the driver, which barriers on them before the round commit
+        stage_refs = stage_events_to_shards(attempts,
+                                            self.stage.seen.shards,
+                                            remote=self.stage.seen.remote,
+                                            block=False)
+        return narrow, aborts, stage_refs
 
     def ping(self) -> bool:
         return True
@@ -85,36 +95,32 @@ class FetchWorkerPool:
         ray.get([w.ping.remote() for w in self.workers])
 
     def run_round(self, frontier: pa.Table, now: float,
-                  out_dir: str) -> tuple[pa.Table, pa.Table]:
-        """-> (narrow outcomes, publish candidates), both driver-side."""
+                  out_dir: str) -> tuple[pa.Table, int, list]:
+        """-> (narrow outcomes, extract-abort count, staging refs).
+
+        Publish candidates are staged worker->shard and never reach the
+        driver; the caller must ray.get the staging refs before the round
+        commit.  All chunks are submitted upfront — actors process their
+        queues in order, so the driver does no per-completion churn."""
         import ray
 
         # split so every worker gets ~2 chunks (pipelining), capped by the
         # configured batch size; floor keeps tiny rounds in few chunks
         n = frontier.num_rows
         bs = min(self.cfg.fetch_batch_size,
-                 max(512, -(-n // (2 * self.size))))
+                 max(1024, -(-n // (2 * self.size))))
         chunks = [frontier.slice(o, bs) for o in range(0, n, bs)]
-        narrows: list[pa.Table] = []
-        cands: list[pa.Table] = []
-        in_flight: dict = {}
-        max_in_flight = 2 * self.size
-        ci = 0
-        while ci < len(chunks) or in_flight:
-            while ci < len(chunks) and len(in_flight) < max_in_flight:
-                w = self.workers[ci % self.size]
-                path = os.path.join(out_dir, f"part-{ci:06d}.parquet")
-                ref = w.process.remote(chunks[ci], now, path)
-                in_flight[ref] = ci
-                ci += 1
-            done, _ = ray.wait(list(in_flight), num_returns=1)
-            for ref in done:
-                in_flight.pop(ref)
-                n, c = ray.get(ref)
-                narrows.append(n)
-                cands.append(c)
-        return (pa.concat_tables(narrows) if narrows else None,
-                pa.concat_tables(cands) if cands else None)
+        refs = []
+        for ci, chunk in enumerate(chunks):
+            w = self.workers[ci % self.size]
+            path = os.path.join(out_dir, f"part-{ci:06d}.parquet")
+            refs.append(w.process.remote(chunk, now, path))
+        results = ray.get(refs)
+        narrows = [r[0] for r in results]
+        aborts = sum(r[1] for r in results)
+        stage_refs = [ref for r in results for ref in r[2]]
+        return (pa.concat_tables(narrows) if narrows else None, aborts,
+                stage_refs)
 
     def shutdown(self) -> None:
         import ray

@@ -70,12 +70,19 @@ def extract_candidates_batch(batch: pa.Table, cfg: CrawlConfig,
         out_pseq.append(ps)
         out_idx.append(int(li))
         out_kind.append(EV_ATTEMPT)
-    # digests in one vectorized pass
+    # digests in one vectorized pass; the 64-bit routing key is computed
+    # HERE (in the worker) so the driver's commit never loops over rows
+    from ..state.seen_set import keys_u64
+
     dig = digest_hex_batch([u for u, k in zip(out_url, out_kind)
                             if k == EV_ATTEMPT], cfg.digest)
     it = iter(dig)
     out_digest = [next(it) if k == EV_ATTEMPT else ""
                   for k in out_kind]
+    keys = np.zeros(len(out_digest), dtype=np.uint64)
+    attempt_mask = np.array([k == EV_ATTEMPT for k in out_kind], dtype=bool)
+    if attempt_mask.any():
+        keys[attempt_mask] = keys_u64(dig)
     return pa.table({
         "digest": pa.array(out_digest, pa.string()),
         "url": pa.array(out_url, pa.string()),
@@ -83,37 +90,49 @@ def extract_candidates_batch(batch: pa.Table, cfg: CrawlConfig,
         "parent_seq": pa.array(out_pseq, pa.int64()),
         "link_idx": pa.array(out_idx, pa.int32()),
         "kind": pa.array(out_kind, pa.int8()),
+        "key_u64": pa.array(keys, pa.uint64()),
     })
 
 
-def commit_events_to_shard(shard, events: pa.Table, now: float,
-                           remote: bool):
-    """Send one shard's event rows to its SeenShard for ordered replay.
+def stage_events_to_shards(events: pa.Table, shards, remote: bool,
+                           block: bool = True):
+    """Route event rows (digest, url, host, parent_seq, link_idx, kind,
+    key_u64) to their owning shards' staging buffers.  Used by fetch
+    workers (their candidates never touch the driver) and by the driver
+    for the small reset/INCR event set.
 
-    ``events``: (digest, url, host, parent_seq, link_idx, kind) — all
-    digests must belong to ``shard``.  Returns the winner sub-table of
-    publish attempts that survived the gate.
-    """
+    With ``block=False`` returns the in-flight ObjectRefs instead of
+    waiting — callers must await them before the round commit (workers
+    hand them to the driver so staging overlaps their next chunk)."""
     if events.num_rows == 0:
-        return events
-    # order: (seq, link_idx) — EV_RESET/EV_INCR happen at the fetch seq of
-    # the digest itself, attempts at the linking parent's seq; ties across
-    # kinds are impossible per digest (non-HTML pages emit no links).
-    order = pa.compute.sort_indices(
-        events, sort_keys=[("parent_seq", "ascending"),
-                           ("link_idx", "ascending")])
-    ev = events.take(order)
-    digests = ev["digest"].to_pylist()
-    kinds = ev["kind"].to_numpy()
-    if remote:
+        return []
+    num_shards = len(shards)
+    sids = (events["key_u64"].to_numpy()
+            % np.uint64(num_shards)).astype(np.int64)
+    order = np.argsort(sids, kind="stable")
+    ev = events.take(pa.array(order))
+    bounds = np.searchsorted(sids[order], np.arange(num_shards + 1))
+    refs = []
+    for s in range(num_shards):
+        sub = ev.slice(bounds[s], bounds[s + 1] - bounds[s])
+        if sub.num_rows == 0:
+            continue
+        args = (sub["digest"].combine_chunks(),
+                sub["url"].combine_chunks(),
+                sub["host"].combine_chunks(),
+                sub["parent_seq"].to_numpy(),
+                sub["link_idx"].to_numpy(),
+                sub["kind"].to_numpy())
+        if remote:
+            refs.append(shards[s].stage_events.remote(*args))
+        else:
+            shards[s].stage_events(*args)
+    if refs and block:
         import ray
 
-        winners_mask = ray.get(shard.replay_events_batch.remote(
-            digests, kinds.tolist(), now))
-    else:
-        winners_mask = shard.replay_events_batch(digests, kinds.tolist(), now)
-    mask = np.asarray(winners_mask, dtype=bool)
-    return ev.filter(pa.array(mask))
+        ray.get(refs)
+        return []
+    return refs
 
 
 # (replay itself lives on state.seen_set.SeenShard.replay_events_batch —

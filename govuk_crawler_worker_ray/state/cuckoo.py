@@ -42,50 +42,62 @@ class CuckooFilter:
         return ((idx.astype(np.uint64) ^ h) & self._mask).astype(np.int64)
 
     # -- ops --------------------------------------------------------------
+    def _alt_index_scalar(self, idx: int, fp: int) -> int:
+        return (idx ^ ((fp * 0x5BD1E995) & 0xFFFFFFFFFFFFFFFF)) & (
+            self.nbuckets - 1)
+
     def insert_many(self, keys: np.ndarray) -> int:
         """Insert; returns number that failed (filter full).  Duplicates
-        are inserted again (multiset semantics, like the paper)."""
+        are inserted again (multiset semantics, like the paper).
+
+        Hot path is scalar-int arithmetic over a Python list view of the
+        table — per-key numpy allocations cost ~80us/key, which made
+        large round commits take tens of seconds at 10^5 keys/round."""
         if len(keys) == 0:
             return 0
         keys = keys.astype(np.uint64)
-        fps = self._fingerprint(keys)
-        i1s = self._index1(keys)
+        fps = self._fingerprint(keys).tolist()
+        i1s = self._index1(keys).tolist()
         failed = 0
+        flat = self.table.reshape(-1)  # scalar numpy indexing on 1-D
         for fp, i1 in zip(fps, i1s):
-            if not self._insert_one(int(fp), int(i1)):
+            if not self._insert_one_fast(flat, int(fp), int(i1)):
                 failed += 1
         return failed
 
-    def _insert_one(self, fp: int, i1: int) -> bool:
-        row = self.table[i1]
-        empty = np.nonzero(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            self.count += 1
-            return True
-        i2 = int(self._alt_index(np.array([i1]), np.array([fp], np.uint16))[0])
-        row = self.table[i2]
-        empty = np.nonzero(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            self.count += 1
-            return True
+    def _insert_one_fast(self, flat, fp: int, i1: int) -> bool:
+        base = i1 * 4
+        for s in range(4):
+            if flat[base + s] == 0:
+                flat[base + s] = fp
+                self.count += 1
+                return True
+        i2 = self._alt_index_scalar(i1, fp)
+        base = i2 * 4
+        for s in range(4):
+            if flat[base + s] == 0:
+                flat[base + s] = fp
+                self.count += 1
+                return True
         # evict loop
         rng_state = (fp * 0x9E3779B1 + i1) & 0xFFFFFFFF
         idx = i1
         for _ in range(MAX_KICKS):
             rng_state = (rng_state * 1103515245 + 12345) & 0xFFFFFFFF
             slot = rng_state & 3
-            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
-            idx = int(self._alt_index(np.array([idx]),
-                                      np.array([fp], np.uint16))[0])
-            row = self.table[idx]
-            empty = np.nonzero(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
+            pos = idx * 4 + slot
+            fp, flat[pos] = int(flat[pos]), fp
+            idx = self._alt_index_scalar(idx, fp)
+            base = idx * 4
+            for s in range(4):
+                if flat[base + s] == 0:
+                    flat[base + s] = fp
+                    self.count += 1
+                    return True
         return False
+
+    def _insert_one(self, fp: int, i1: int) -> bool:
+        return self._insert_one_fast(self.table.reshape(-1), fp, i1)
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:

@@ -79,32 +79,60 @@ class SeenShard:
             self.cuckoo.insert_many(k)
         self.store[digest] = (status, now + self.ttl)
 
+    def _put_many(self, digests: list[str], statuses, now: float) -> None:
+        """Bulk insert: ONE vectorized bloom/cuckoo add for all new keys
+        (per-key numpy calls cost ~100us each — the replay hot path)."""
+        new = [d for d in digests if d not in self.store]
+        exp = now + self.ttl
+        for d, s in zip(digests, statuses):
+            self.store[d] = (int(s), exp)
+        if new:
+            k = keys_u64(new)
+            self.bloom.add_many(k)
+            self.cuckoo.insert_many(k)
+
     # -- batch API (all take/return input order) --------------------------
     def get_batch(self, digests: list[str], now: float) -> np.ndarray:
         self.ops += len(digests)
+        store = self.store
+        ents = [store.get(d) for d in digests]  # tight C loop
         out = np.zeros(len(digests), dtype=np.int64)
-        maybe = self.bloom.contains_many(keys_u64(digests))
-        for i, d in enumerate(digests):
-            if not maybe[i]:
-                continue  # bloom definite-miss => 0 (missing reads as 0)
-            ent = self._live(d, now)
+        expired = []
+        for i, ent in enumerate(ents):
             if ent is not None:
-                out[i] = ent[0]
+                if ent[1] <= now:
+                    expired.append(digests[i])
+                else:
+                    out[i] = ent[0]
+        for d in expired:
+            if d in store:
+                del store[d]
+        if expired:
+            self.cuckoo.delete_many(keys_u64(expired))
         return out
+
+    def get_batch_arrow(self, digests, now: float) -> np.ndarray:
+        """Arrow-argument variant (cheap task-arg serialization)."""
+        return self.get_batch(digests.to_pylist(), now)
 
     def set_batch(self, digests: list[str], status: int, now: float) -> None:
         self.ops += len(digests)
-        for d in digests:
-            self._put(d, status, now)
+        self._put_many(digests, [status] * len(digests), now)
 
     def incr_batch(self, digests: list[str], now: float) -> np.ndarray:
         self.ops += len(digests)
         out = np.zeros(len(digests), dtype=np.int64)
+        vals: dict[str, int] = {}
         for i, d in enumerate(digests):
-            ent = self._live(d, now)
-            val = (ent[0] if ent else 0) + 1
-            self._put(d, val, now)
+            if d in vals:
+                val = vals[d] + 1
+            else:
+                ent = self._live(d, now)
+                val = (ent[0] if ent else 0) + 1
+            vals[d] = val
             out[i] = val
+        items = list(vals.items())
+        self._put_many([d for d, _ in items], [v for _, v in items], now)
         return out
 
     def exists_batch(self, digests: list[str], now: float) -> np.ndarray:
@@ -132,13 +160,84 @@ class SeenShard:
         (second call on the same digest returns False)."""
         self.ops += len(digests)
         out = np.zeros(len(digests), dtype=bool)
+        won: list[str] = []
+        won_set: set[str] = set()
         for i, d in enumerate(digests):
+            if d in won_set:
+                continue  # earlier position in this batch already won
             ent = self._live(d, now)
             status = ent[0] if ent else 0
             if status < 1:  # ReadyToEnqueue / missing
-                self._put(d, 1, now)
+                won.append(d)
+                won_set.add(d)
                 out[i] = True
+        self._put_many(won, [1] * len(won), now)
         return out
+
+    # -- staged round commit (worker -> shard direct event flow) ---------
+    # Fetch workers push their publish-attempt candidates straight to the
+    # owning shard (narrow columns); the driver only triggers the commit.
+    # This keeps the P5 exchange off the driver entirely: each shard
+    # sorts ITS events by discovery order and replays locally.
+
+    def stage_events(self, digests, urls, hosts, parent_seqs, link_idxs,
+                     kinds) -> int:
+        if not hasattr(self, "_staged"):
+            self._staged = []
+        self._staged.append((digests, urls, hosts, parent_seqs, link_idxs,
+                             kinds))
+        return len(self._staged)
+
+    def clear_staged(self) -> None:
+        self._staged = []
+
+    def commit_staged(self, now: float):
+        """Sort all staged events by (parent_seq, link_idx), replay, and
+        return the winner rows as an Arrow table (url, host, digest,
+        parent_seq, link_idx)."""
+        import pyarrow as _pa
+
+        staged = getattr(self, "_staged", [])
+        self._staged = []
+        if not staged:
+            return _pa.table({
+                "url": _pa.array([], _pa.string()),
+                "host": _pa.array([], _pa.string()),
+                "digest": _pa.array([], _pa.string()),
+                "parent_seq": _pa.array([], _pa.int64()),
+                "link_idx": _pa.array([], _pa.int32()),
+            })
+        digests: list[str] = []
+        urls: list[str] = []
+        hosts: list[str] = []
+        pseqs: list = []
+        idxs: list = []
+        kinds: list = []
+        for dg, u, h, ps, li, kd in staged:
+            digests.extend(dg if isinstance(dg, list) else dg.to_pylist())
+            urls.extend(u if isinstance(u, list) else u.to_pylist())
+            hosts.extend(h if isinstance(h, list) else h.to_pylist())
+            pseqs.append(np.asarray(ps))
+            idxs.append(np.asarray(li))
+            kinds.append(np.asarray(kd))
+        pseq = np.concatenate(pseqs)
+        lidx = np.concatenate(idxs)
+        kind = np.concatenate(kinds)
+        order = np.lexsort((lidx, pseq))
+        sorted_digests = [digests[i] for i in order]
+        won = self.replay_events_batch(sorted_digests,
+                                       kind[order].tolist(), now)
+        win_idx = [order[i] for i, w in enumerate(won) if w]
+        return _pa.table({
+            "url": _pa.array([urls[i] for i in win_idx], _pa.string()),
+            "host": _pa.array([hosts[i] for i in win_idx], _pa.string()),
+            "digest": _pa.array([digests[i] for i in win_idx],
+                                _pa.string()),
+            "parent_seq": _pa.array(pseq[win_idx].astype(np.int64),
+                                    _pa.int64()),
+            "link_idx": _pa.array(lidx[win_idx].astype(np.int32),
+                                  _pa.int32()),
+        })
 
     def replay_events_arrow(self, digests, kinds, now: float):
         """Arrow-argument variant of replay: the driver ships pa.Arrays
@@ -182,8 +281,8 @@ class SeenShard:
                     out[i] = True
                     touched.add(d)
             state[d] = s
-        for d in touched:
-            self._put(d, state[d], now)
+        tl = list(touched)
+        self._put_many(tl, [state[d] for d in tl], now)
         self.ops += len(digests)
         return out
 
@@ -195,6 +294,14 @@ class SeenShard:
         if dead:
             self.cuckoo.delete_many(keys_u64(dead))
         return len(dead)
+
+    def high_counters(self, now: float) -> dict:
+        """All live digests with status > 1 (5XX retry counters) — the
+        only statuses the fetch-time abort gate can trigger on
+        (workflow.go:93-98 with maxRetries >= 1).  Small by construction:
+        one entry per URL with a pending 5XX history."""
+        return {d: s for d, (s, exp) in self.store.items()
+                if s > 1 and exp > now}
 
     def stats(self) -> dict:
         return {
@@ -248,7 +355,11 @@ def make_shard_actors(num_shards: int, ttl_seconds: float,
     calls ray.init (driver owns the session)."""
     import ray
 
-    actor_cls = ray.remote(num_cpus=0.25, max_restarts=2)(SeenShard)
+    # num_cpus=0: shards are reactive (short bursts serving RPCs) and must
+    # always be schedulable — fractional reservations deadlock tiny
+    # sessions (8 shards x 0.25 fills a 2-CPU session before the fetch
+    # pool gets a token).
+    actor_cls = ray.remote(num_cpus=0, max_restarts=2)(SeenShard)
     return [
         actor_cls.options(name=f"{namespace}_shard_{i}", get_if_exists=True)
         .remote(i, ttl_seconds, expected_keys)
