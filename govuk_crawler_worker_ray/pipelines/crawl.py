@@ -284,6 +284,12 @@ class CrawlEngine:
             "robots_excluded": "robots_excluded"}
         for vc in pc.value_counts(outcomes).to_pylist():
             m[_OUTCOME_METRIC[vc["values"]]] += vc["counts"]
+        # per-host fetch counts (north rule: fetch/dedup metrics)
+        fetched_hosts = narrow.filter(
+            pc.equal(outcomes, "fetched"))["host"]
+        m["_per_host"] = {vc["values"]: vc["counts"]
+                         for vc in pc.value_counts(fetched_hosts)
+                         .to_pylist()}
 
         order_t = self._order_table(rnd, narrow)
 
@@ -495,6 +501,12 @@ class CrawlEngine:
         for m in metrics:
             for k, v in m.items():
                 if k == "round":
+                    continue
+                if k == "_per_host":
+                    for host, n in v.items():
+                        rows.append({"round": m["round"],
+                                     "metric": "fetched_by_host",
+                                     "key": host, "value": int(n)})
                     continue
                 rows.append({"round": m["round"], "metric": k, "key": "",
                              "value": int(v)})
