@@ -163,6 +163,27 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
     bands = cpu_split(ds).map_batches(lambda b: minhash_bands_batch(b, k),
                                       batch_format="pyarrow")
 
+    # almost every band bucket is a singleton: aggregate counts first
+    # (cheap combiner groupby), keep only COLLIDED buckets, and generate
+    # pairs from that small set — map_groups over every singleton bucket
+    # costs per-group Python overhead x num_docs x num_bands.
+    from ray.data.aggregate import Count
+
+    counts = (bands.groupby(["band_id", "band_hash"])
+              .aggregate(Count(alias_name="n")))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    if len(hot) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        bid = b["band_id"].to_pylist()
+        bh = b["band_hash"].to_pylist()
+        mask = pa.array([(i, h) in hot_keys for i, h in zip(bid, bh)])
+        return b.filter(mask)
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
         out_a, out_b = [], []
@@ -172,7 +193,8 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
                 out_b.append(ids[j])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    pairs = (bands.groupby(["band_id", "band_hash"])
+    pairs = (bands.map_batches(only_hot, batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
