@@ -179,7 +179,7 @@ def run_scaling() -> dict:
     numbers interpretable)."""
     lo, hi = (int(os.environ.get("GCW_SCALE_LO", "4")),
               int(os.environ.get("GCW_SCALE_HI", "16")))
-    reps = int(os.environ.get("GCW_SCALE_REPS", "3"))
+    reps = int(os.environ.get("GCW_SCALE_REPS", "1"))
     results = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))

@@ -86,3 +86,15 @@ class CrawlConfig:
     fetch_batch_size: int = 4096
     gate_batch_size: int = 16384
     mirror_root: str | None = None  # MIRROR_ROOT (main.go:33,72-74)
+    # Fetch-request identity (http_crawler/crawler.go:64-75); carried for
+    # API parity — the sandbox fetch is a corpus lookup, a real deployment
+    # sets these as HTTP headers/auth exactly like the reference.
+    basic_auth_username: str = ""   # BASIC_AUTH_USERNAME (main.go:24)
+    basic_auth_password: str = ""   # BASIC_AUTH_PASSWORD (main.go:23)
+    rate_limit_token: str = ""      # RATE_LIMIT_TOKEN (main.go:37)
+
+
+def user_agent(hostname: str = "localhost",
+               version: str = VERSION_NUMBER) -> str:
+    """The reference's UA string (http_crawler/crawler.go:74-75)."""
+    return f"GOV.UK Crawler Worker/{version} on host '{hostname}'"

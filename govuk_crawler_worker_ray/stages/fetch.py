@@ -186,6 +186,10 @@ class FetchStage:
                                  False)
             att = attempts[pending] + 1  # 1-based fetch ordinal
             eff = np.where(transient & (att >= 2), np.int16(200), status)
+            ok_batch: list[int] = []   # batch row index, plain 200 content
+            ok_corpus: list[int] = []  # matching corpus row
+            rd_batch: list[int] = []   # redirects
+            rd_corpus: list[int] = []
             for j, i in enumerate(pending):
                 s = int(eff[j])
                 if rows[j] < 0:
@@ -200,19 +204,33 @@ class FetchStage:
                 elif s == 404:
                     outcome[i] = "rejected"
                 elif is_redirect(s):
-                    loc = self.idx.table["redirect_location"][
-                        rows[j]].as_py() or ""
                     outcome[i] = "fetched"
+                    rd_batch.append(i)
+                    rd_corpus.append(int(rows[j]))
+                else:
+                    outcome[i] = "fetched"
+                    ok_batch.append(i)
+                    ok_corpus.append(int(rows[j]))
+            # content gathering via BULK takes (chunked per-row .as_py()
+            # costs ~100us/row and dominated the fetch phase)
+            if ok_corpus:
+                sub = self.idx.table.take(pa.array(ok_corpus, pa.int64()))
+                ct_l = sub["content_type"].to_pylist()
+                body_l = sub["body"].to_pylist()
+                spans_l = sub["spans"].to_pylist()
+                for t, i in enumerate(ok_batch):
+                    content_type[i] = ct_l[t]
+                    body[i] = body_l[t] or ""
+                    spans[i] = spans_l[t]
+            if rd_corpus:
+                locs = self.idx.table["redirect_location"].take(
+                    pa.array(rd_corpus, pa.int64())).to_pylist()
+                for t, i in enumerate(rd_batch):
+                    loc = locs[t] or ""
                     content_type[i] = "text/html"
                     body[i] = synthesize_redirect_body(loc)
                     spans[i] = [{"kind": "link", "text": loc,
                                  "media_ref": loc, "offset": 0}]
-                else:
-                    outcome[i] = "fetched"
-                    content_type[i] = self.idx.table["content_type"][
-                        rows[j]].as_py()
-                    body[i] = self.idx.table["body"][rows[j]].as_py() or ""
-                    spans[i] = self.idx.table["spans"][rows[j]].as_py()
 
         # content gate + mirror path (P3)
         for i in range(n):
