@@ -358,6 +358,19 @@ def _q_content_type_gate(sf_dir: str):
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_pages_by_host(sf_dir: str):
+    """Skew-safe per-host counts over the (mega-host-skewed) fixture
+    corpus via salted two-phase aggregation."""
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        count_by_host_salted,
+    )
+
+    d = _fixture()
+    ds = _read_sized(os.path.join(d, "corpus.parquet"),
+                     columns=["url", "host"])
+    return count_by_host_salted(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -382,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_path_fn": _q_mirror_path_fn,
         "extract_links": _q_extract_links,
         "content_type_gate": _q_content_type_gate,
+        "pages_by_host": _q_pages_by_host,
     }
 
 
@@ -503,6 +517,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, CASE WHEN lower(trim(split_part(content_type, "
             f"';', 1))) IN ({_ACCEPTED_SQL}) THEN true ELSE false END AS "
             f"accepted FROM read_parquet('{corp}')"),
+        "pages_by_host": (
+            "SELECT host, count(*) AS n_pages FROM "
+            f"read_parquet('{corp}') GROUP BY host"),
         # ann_lsh / embedding_neardup / minhash_neardup / simhash /
         # fingerprint: non-SQL-expressible (hash families, LSH probing) —
         # rows-only checks.

@@ -101,6 +101,33 @@ def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
                        Sum("partial_c", alias_name="revenue_cents")))
 
 
+def count_by_host_salted(ds, num_salts: int = 8):
+    """Per-host row counts over a HOST-SKEWED table (www.gov.uk holds
+    ~80% of the corpus) with salted-key two-phase aggregation: phase 1
+    groups on (host, salt) so the mega-host's rows spread across
+    ``num_salts`` reducers, phase 2 merges the per-salt partials — the
+    north rule's skew treatment, demonstrated on the one host-keyed
+    aggregate the engine exposes.  Output: (host, n_pages)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_pylist()
+        urls = batch["url"].to_pylist()
+        salt = np.array([hash(u) % num_salts for u in urls],
+                        dtype=np.int32)
+        df = pd.DataFrame({"host": hosts, "salt": salt, "n": 1})
+        g = df.groupby(["host", "salt"], as_index=False).agg(
+            partial_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    salted = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["host", "salt"])
+              .aggregate(Sum("partial_n", alias_name="salt_n")))
+    return (salted.groupby("host")
+            .aggregate(Sum("salt_n", alias_name="n_pages")))
+
+
 def top_docs_by_length(ds, k: int = 25):
     """Top-k longest documents (sort + limit with deterministic doc_id
     tiebreak): (doc_id, n_chars)."""

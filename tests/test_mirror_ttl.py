@@ -51,3 +51,27 @@ def test_engine_health(tmp_path):
     cfg = CrawlConfig(root_urls=list(ROOT_URLS))
     eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "h"), use_ray=False)
     assert engine_health(eng) == "ok"
+
+
+def test_cli_subprocess(tmp_path):
+    """The CLI binary surface end-to-end in a fresh process (owns its Ray
+    session; env-var config parity with main.go)."""
+    import json
+    import subprocess
+    import sys
+
+    from govuk_crawler_worker_ray.corpusgen import write_fixture
+
+    d = write_fixture(str(tmp_path / "fx"), n_pages=60, seed=7,
+                      goldens=False)
+    out = subprocess.run(
+        [sys.executable, "-m", "govuk_crawler_worker_ray.cli",
+         "--corpus", f"{d}/corpus.parquet", "--seeds", f"{d}/seeds.parquet",
+         "--out", str(tmp_path / "out"), "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "MIRROR_ROOT": str(tmp_path / "m"),
+             "CRAWLER_THREADS": "2"},
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["fetched"] > 0 and summary["mirror_files"] > 0
