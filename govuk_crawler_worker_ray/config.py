@@ -76,6 +76,11 @@ class CrawlConfig:
     # Write frontier/seen checkpoints every K rounds (1 = every round).
     # Crash recovery resumes from the last checkpointed round.
     checkpoint_every: int = 1
+    # Logical seconds the clock advances per crawl round (0 = frozen
+    # time).  The reference's wall clock moves during a crawl, so TTL'd
+    # seen entries can expire MID-crawl and re-open URLs; rounds are the
+    # engine's time steps.
+    seconds_per_round: float = 0.0
     # Digest algorithm for seen-set keys. The reference keys on
     # md5(exact-url-string) (/root/reference/ttl_hash_set/ttl_hash_set.go:202-204);
     # the north rule mandates sha1(canonicalized url). "sha1" is the default

@@ -174,7 +174,8 @@ class CrawlEngine:
         rnd = start_round
         while frontier.num_rows > 0 and rnd < cfg.max_rounds:
             frontier, next_seq, m, order_t = self._run_round(
-                rnd, frontier, next_seq, now)
+                rnd, frontier, next_seq,
+                now + rnd * cfg.seconds_per_round)
             metrics.append(m)
             if order_t.num_rows:
                 order_parts.append(order_t)

@@ -117,11 +117,26 @@ def crawl_oracle(
             if row is not None:
                 robots[host_only(h)] = parse_robots(row["body"] or "")
 
+    # Logical TTL clock: entries written at round k expire once the
+    # clock passes write_time + ttl; with seconds_per_round > 0 this can
+    # happen MID-crawl (the reference's 12h TTL against a long crawl).
+    expiry: dict[str, float] = {}
+
+    def seen_get(d: str, now_t: float) -> int:
+        if d in seen and expiry.get(d, float("inf")) <= now_t:
+            del seen[d]
+        return seen.get(d, 0)
+
+    def seen_put(d: str, v: int, now_t: float) -> None:
+        seen[d] = v
+        expiry[d] = now_t + cfg.ttl_expire_seconds
+
     # frontier rows: (seq, url, attempt_so_far)
     frontier = [(i, u, 0) for i, u in enumerate(seeds)]
     next_seq = len(seeds)
     rnd = 0
     while frontier and rnd < cfg.max_rounds:
+        t_now = rnd * cfg.seconds_per_round
         frontier.sort(key=lambda t: t[0])
         m = {"round": rnd, "frontier": len(frontier), "fetched": 0,
              "published": 0, "blacklisted": 0, "rejected": 0,
@@ -161,7 +176,7 @@ def crawl_oracle(
                     m["robots_excluded"] += 1
                     continue
             d = _digest(url, cfg)
-            crawl_count = seen.get(d, 0)
+            crawl_count = seen_get(d, t_now)
             if crawl_count > cfg.max_crawl_retries:
                 m["aborted_retries"] += 1
                 continue
@@ -180,7 +195,7 @@ def crawl_oracle(
                 m["requeued"] += 1
                 continue
             if outcome == "requeue_5xx":
-                seen[d] = seen.get(d, 0) + 1  # INCR (workflow.go:107)
+                seen_put(d, seen_get(d, t_now) + 1, t_now)  # INCR
                 next_frontier.append((seq, url, attempt + 1))
                 m["requeued"] += 1
                 continue
@@ -190,7 +205,7 @@ def crawl_oracle(
             mime = parse_content_type(ct)
             if mime not in ACCEPTED_CONTENT_TYPES:
                 # ack + reset to ReadyToEnqueue (workflow.go:129-140)
-                seen[d] = 0
+                seen_put(d, 0, t_now)
                 m["non_accepted"] += 1
                 continue
             m["fetched"] += 1
@@ -216,9 +231,9 @@ def crawl_oracle(
                 if not publish_gate_params(link):
                     continue
                 dl = _digest(link, cfg)
-                if seen.get(dl, 0) >= 1:
+                if seen_get(dl, t_now) >= 1:
                     continue
-                seen[dl] = 1
+                seen_put(dl, 1, t_now)
                 next_frontier.append((next_seq, link, 0))
                 next_seq += 1
                 res.published.append(link)

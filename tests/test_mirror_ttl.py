@@ -75,3 +75,32 @@ def test_cli_subprocess(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["fetched"] > 0 and summary["mirror_files"] > 0
+
+
+def test_mid_crawl_ttl_expiry(tmp_path):
+    """With a TTL shorter than the crawl, Enqueued marks expire MID-crawl
+    and URLs are re-published and re-fetched; engine rounds advance the
+    logical clock (seconds_per_round) exactly like the oracle."""
+    fx = generate_corpus(80, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), ttl_expire_seconds=3.0,
+                      seconds_per_round=1.0, max_rounds=9)
+    from govuk_crawler_worker_ray.reference_oracle import crawl_oracle
+
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    res = run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "ttl"),
+                    use_ray=False)
+    eng_order = list(zip(res.crawl_order["round"].to_pylist(),
+                         res.crawl_order["url"].to_pylist()))
+    assert eng_order == [(r, u) for r, _, u in oracle.crawl_order]
+    # expiry must actually bite: some URL fetched in 2+ distinct rounds
+    from collections import Counter
+
+    per_url = Counter(u for _, u in eng_order)
+    assert max(per_url.values()) >= 2
+
+    # frozen-time control: same corpus, long TTL -> strictly fewer
+    # refetches
+    cfg2 = CrawlConfig(root_urls=list(ROOT_URLS), max_rounds=9)
+    res2 = run_crawl(fx.corpus, fx.seeds, cfg2, str(tmp_path / "frozen"),
+                     use_ray=False)
+    assert res2.crawl_order.num_rows <= res.crawl_order.num_rows
