@@ -1,0 +1,115 @@
+"""Crawl-output curation: the handoff from the crawl half of the engine
+to the training-data half, as ONE streaming Ray Data pipeline over the
+per-round fetched parquet partitions:
+
+  read round=*/fetched (column-pruned, row-filtered at the reader)
+    -> visible-text extraction from interleaved spans (zero-copy walk)
+    -> text stats + integer quality points + language ID (vectorized)
+    -> exact dedup on content hash (single narrow groupby)
+    -> curated parquet (resumable directory sink)
+
+Nothing materializes: blocks stream from the reader through the
+transforms into the writer with backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Interleaved spans -> visible text: concatenate text spans and link
+    anchor texts in offset order (media refs carry no visible text)."""
+    spans = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    offsets = flat.field("offset").to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    buckets: list[list[tuple[int, str]]] = [[] for _ in range(n)]
+    for p, k, t, o in zip(parents, kinds, texts, offsets):
+        if t and k in ("text", "link"):
+            buckets[p].append((int(o), t))
+    out = [" ".join(t for _, t in sorted(b)) for b in buckets]
+    return pa.table({
+        "doc_id": batch["url"],
+        "text": pa.array(out, pa.string()),
+    })
+
+
+def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
+                        min_quality_points: int = 4):
+    """-> (curated Dataset written to dest_dir, row count).
+
+    Reads every round's fetched partition; keeps accepted HTML pages;
+    extracts text; scores; drops low-quality docs; exact-dedups by
+    content hash keeping the first-crawled doc."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .dedup import content_hash_batch
+    from .text_analysis import lang_id_batch, quality_score_batch
+
+    round_dirs = sorted(
+        os.path.join(crawl_out_dir, d, "fetched")
+        for d in os.listdir(crawl_out_dir)
+        if d.startswith("round=") and
+        os.path.isdir(os.path.join(crawl_out_dir, d, "fetched")))
+    rounds = [os.path.join(rdir, f) for rdir in round_dirs
+              for f in sorted(os.listdir(rdir)) if f.endswith(".parquet")]
+    ds = rd.read_parquet(
+        rounds,
+        columns=["url", "spans", "outcome", "content_type"],
+        filter=((pc.field("outcome") == "fetched") &
+                (pc.field("content_type") == "text/html")))
+    docs = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    docs = docs.filter(expr="text != ''")
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        lang = lang_id_batch(batch)
+        hashed = content_hash_batch(batch)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "quality_points": q["quality_points"],
+            "pred_lang": lang["pred_lang"],
+            "content_hash": hashed["content_hash"],
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    kept = scored.filter(
+        expr=f"quality_points >= {min_quality_points}")
+    # exact dedup: first doc per content hash (narrow groupby — text
+    # itself never shuffles; the winner set is re-joined by broadcast)
+    winners = (kept.select_columns(["doc_id", "content_hash"])
+               .groupby("content_hash")
+               .aggregate(Min("doc_id", alias_name="keep_id"),
+                          Count(alias_name="n_dups")))
+    keep_ids = set(winners.to_pandas()["keep_id"])
+
+    def only_winners(batch: pa.Table) -> pa.Table:
+        mask = pa.array([d in keep_ids for d in
+                         batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    import pandas as pd
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    # the broadcast winner filter removed the dup MASS; a final grouped
+    # head(1) on the (already nearly unique) survivors removes recrawl
+    # copies of the same URL across rounds
+    curated = (kept.map_batches(only_winners, batch_format="pyarrow")
+               .groupby("content_hash")
+               .map_groups(first_row, batch_format="pandas"))
+    curated.write_parquet(dest_dir)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(dest_dir, format="parquet").count_rows()
+    return dest_dir, n

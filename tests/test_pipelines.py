@@ -157,3 +157,31 @@ def test_crawl_with_robots(tmp_path):
     # nothing under /help on gov.uk was fetched
     assert not any(u.startswith("https://www.gov.uk/help")
                    for _, u in eng_order)
+
+
+def test_curate_crawl_output(ray_session, tmp_path):
+    """Crawl -> curation handoff: one streaming pipeline over the crawl's
+    own fetched partitions."""
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS, generate_corpus
+    from govuk_crawler_worker_ray.pipelines.crawl import run_crawl
+    from govuk_crawler_worker_ray.pipelines.curate import curate_crawl_output
+
+    fx = generate_corpus(120, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    res = run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "crawl"),
+                    use_ray=False)
+    dest, n = curate_crawl_output(str(tmp_path / "crawl"),
+                                  str(tmp_path / "curated"),
+                                  min_quality_points=0)
+    assert n > 0
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(dest, format="parquet").to_table()
+    assert set(t.column_names) >= {"doc_id", "text", "quality_points",
+                                   "pred_lang", "content_hash"}
+    # dedup: all content hashes unique
+    hashes = t["content_hash"].to_pylist()
+    assert len(hashes) == len(set(hashes))
+    # fewer curated docs than fetched html pages (dups + empties removed)
+    assert n <= res.crawl_order.num_rows
