@@ -358,6 +358,27 @@ def _q_content_type_gate(sf_dir: str):
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_curate(sf_dir: str):
+    """Crawl -> curated-training-data handoff over the fixture crawl's
+    own output (rows-only: span-to-text + quality + lang + exact dedup
+    are not SQL-expressible end to end)."""
+    import pyarrow.dataset as pads
+
+    from govuk_crawler_worker_ray.pipelines.curate import (
+        curate_crawl_output,
+    )
+
+    import shutil
+
+    _run_fixture_crawl()  # ensures /tmp/gcw_entry_out/t1000 exists
+    shutil.rmtree("/tmp/gcw_entry_out/curated", ignore_errors=True)
+    dest, _ = curate_crawl_output("/tmp/gcw_entry_out/t1000",
+                                  "/tmp/gcw_entry_out/curated",
+                                  min_quality_points=0)
+    t = pads.dataset(dest, format="parquet").to_table()
+    return t.sort_by("doc_id")
+
+
 def _q_pages_by_host(sf_dir: str):
     """Skew-safe per-host counts over the (mega-host-skewed) fixture
     corpus via salted two-phase aggregation."""
@@ -396,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "content_type_gate": _q_content_type_gate,
         "pages_by_host": _q_pages_by_host,
+        "curate_crawl": _q_curate,
     }
 
 

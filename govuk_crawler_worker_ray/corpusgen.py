@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .schemas import CORPUS_SCHEMA, DOCUMENTS_SCHEMA, SPAN_STRUCT
+from .schemas import CORPUS_SCHEMA, DOCUMENTS_SCHEMA
 
 GOV = "www.gov.uk"
 ASSETS = "assets.digital.cabinet-office.gov.uk"

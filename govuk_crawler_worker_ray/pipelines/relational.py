@@ -66,7 +66,7 @@ def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
     ``ray.put`` once, then every orders batch does a numpy gather — no
     shuffle join.  Revenue as micro-units for oracle-exact sums."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     cust = customer_tbl.select(["c_custkey", "c_nationkey"]).to_pandas()
     nat = nation_tbl.select(["n_nationkey", "n_name"]).to_pandas()

@@ -73,7 +73,7 @@ def test_query_matches_oracle(harness, name):
 
 
 ROWS_ONLY_KEYS = ["fingerprint", "ann_lsh", "embedding_neardup",
-                  "minhash_neardup", "simhash"]
+                  "minhash_neardup", "simhash", "curate_crawl"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
