@@ -106,3 +106,24 @@ def test_dup_frontier_rows_handled(tmp_path):
     flaky = [u for _, u in _order(res) if u.endswith("flaky-seed")]
     assert len(flaky) >= 1
     _check_parity(res, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_engine_parity_medium(tmp_path):
+    """Pool path with MANY concurrent chunks per round: candidates stage
+    worker->shard out of order and must still replay in discovery order
+    (the shard-side sort).  Small rounds never exercise this."""
+    fx = generate_corpus(1500, 11)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), crawler_threads=4,
+                      fetch_batch_size=128)  # force multi-chunk rounds
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "med"),
+                      use_ray=True, small_round_threshold=8)
+    try:
+        res = eng.run(fx.seeds)
+        assert _order(res) == [(r, u) for r, _, u in oracle.crawl_order]
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+    finally:
+        eng.shutdown()
