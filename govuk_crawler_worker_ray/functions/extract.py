@@ -134,16 +134,25 @@ def postprocess_links(
             if parse_url(h) is None:
                 return None  # whole-page abort
             resolved.append(resolve_href(h, base_scheme, base_host))
+        # parse each resolved link ONCE (the host-grouping pass below
+        # would otherwise re-parse per allowed host)
+        hosts_of: list[str | None] = []
+        keep: list[bool] = []
+        for r in resolved:
+            parts = parse_url(r)
+            if parts is None:
+                hosts_of.append(None)
+                keep.append(False)
+                continue
+            hosts_of.append(netloc_host(parts.netloc))
+            keep.append(not is_blacklisted_path(unquote(parts.path),
+                                                blacklist))
         # filterURLsByHost groups output by allowed-host order
         # (crawler_message_item.go:167-175).
         for allowed in allowed_hosts:
-            for r in resolved:
-                parts = parse_url(r)
-                if parts is None or netloc_host(parts.netloc) != allowed:
-                    continue
-                if is_blacklisted_path(unquote(parts.path), blacklist):
-                    continue
-                out.append(remove_fragment(r))
+            for r, h, k in zip(resolved, hosts_of, keep):
+                if k and h == allowed:
+                    out.append(remove_fragment(r))
     seen: set[str] = set()
     unique: list[str] = []
     for u in out:
