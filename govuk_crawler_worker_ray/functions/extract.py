@@ -182,7 +182,29 @@ def extract_links_from_spans(
 # batch (Arrow) version over interleaved spans — the hot path
 # ---------------------------------------------------------------------------
 
-def extract_links_spans_batch(
+# RE2-safe detectors (no lookahead): an INVALID percent escape is a '%'
+# not followed by two hex digits (string-end cases included).
+_BAD_ESCAPE_RE = (r"%($|[^0-9a-fA-F]|[0-9a-fA-F]($|[^0-9a-fA-F]))")
+_CTRL_RE = r"[\x00-\x1f\x7f]"
+_SCHEME_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<netloc>[^/?#]*)"
+_PATH_RE = r"^[^:/?#]+://[^/?#]*(?P<path>[^?#]*)"
+
+
+def _vector_link_fields(resolved: pa.Array):
+    """netloc-host and raw path per resolved URL via RE2 kernels; null
+    where the URL is not scheme://-shaped (mailto:, garbage)."""
+    st = pc.extract_regex(resolved, _SCHEME_HOST_RE)
+    netloc = pc.struct_field(st, "netloc")
+    # strip userinfo: keep text after the last '@'
+    host = pc.replace_substring_regex(pc.fill_null(netloc, ""),
+                                      r"^.*@", "")
+    host = pc.if_else(pc.is_null(netloc), pa.nulls(len(resolved),
+                                                   pa.string()), host)
+    pt = pc.extract_regex(resolved, _PATH_RE)
+    path = pc.fill_null(pc.struct_field(pt, "path"), "")
+    return host, path
+
+def extract_links_spans_batch_scalar(
     batch: pa.Table,
     allowed_hosts: list[str],
     blacklist: list[str],
@@ -254,6 +276,159 @@ def extract_links_spans_batch(
             src_out.append(page_url)
             link_out.append(link)
             seq_out.append(j)
+    return pa.table({
+        "src_url": pa.array(src_out, pa.string()),
+        "link_url": pa.array(link_out, pa.string()),
+        "link_seq": pa.array(seq_out, pa.int32()),
+    })
+
+
+def extract_links_spans_batch(
+    batch: pa.Table,
+    allowed_hosts: list[str],
+    blacklist: list[str],
+    url_col: str = "url",
+    spans_col: str = "spans",
+) -> pa.Table:
+    """Vectorized link explode — semantically identical to
+    ``extract_links_spans_batch_scalar`` (equivalence pinned by
+    tests/test_extract.py::test_vectorized_equals_scalar) but the
+    per-link work runs in Arrow RE2/string kernels:
+
+    - abort detection (control chars / invalid %-escapes) as regex masks;
+    - absolute and root-relative resolution without urllib (scalar
+      urljoin only for the rare other shapes);
+    - host/path extraction, host ranking, blacklist prefixes, fragment
+      strip — all batch kernels;
+    - the reference's output order (parent, class, allowed-host rank,
+      document position) via one lexsort; keep-first dedup per page.
+    """
+    n = batch.num_rows
+    empty = pa.table({"src_url": pa.array([], pa.string()),
+                      "link_url": pa.array([], pa.string()),
+                      "link_seq": pa.array([], pa.int32())})
+    if n == 0:
+        return empty
+    urls = batch[url_col].to_pylist()
+    spans = batch[spans_col].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents_all = pc.list_parent_indices(spans).to_numpy(
+        zero_copy_only=False)
+    kinds_all = flat.field("kind")
+    link_mask = pc.is_in(kinds_all, value_set=pa.array(list(LINK_KINDS)))
+    sel = link_mask.to_numpy(zero_copy_only=False)
+    idx = np.nonzero(sel)[0]
+    if len(idx) == 0:
+        return empty
+    take = pa.array(idx)
+    parent = parents_all[idx]
+    kind_rank = np.array(
+        [_KIND_RANK[k] for k in kinds_all.take(take).to_pylist()],
+        dtype=np.int8)
+    offset = flat.field("offset").take(take).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    refs = pc.utf8_trim_whitespace(
+        pc.fill_null(flat.field("media_ref").take(take), ""))
+
+    # page bases (python, one per PAGE not per link)
+    base_prefix: list[str | None] = []
+    for u in urls:
+        p = parse_url(u)
+        base_prefix.append(f"{p.scheme}://{netloc_host(p.netloc)}"
+                           if p is not None else None)
+
+    # abort masks: control chars, invalid %-escapes, and the rare shapes
+    # urlsplit itself can reject (bracketed hosts) via scalar re-check
+    bad = pc.or_(pc.match_substring_regex(refs, _CTRL_RE),
+                 pc.match_substring_regex(refs, _BAD_ESCAPE_RE)
+                 ).to_numpy(zero_copy_only=False)
+    odd = pc.match_substring(refs, "[").to_numpy(zero_copy_only=False)
+    refs_py = refs.to_pylist()
+    for i in np.nonzero(odd & ~bad)[0]:
+        if parse_url(refs_py[i]) is None:
+            bad[i] = True
+    page_abort = np.zeros(n, dtype=bool)
+    np.logical_or.at(page_abort, parent[bad], True)
+    # pages with an unparseable base URL emit nothing (scalar-path parity)
+    page_dead = np.array([bp is None for bp in base_prefix], dtype=bool)
+
+    # resolution: absolute | root-relative | scalar fallback
+    is_abs = pc.or_(pc.starts_with(refs, pattern="http://"),
+                    pc.starts_with(refs, pattern="https://")
+                    ).to_numpy(zero_copy_only=False)
+    starts_slash = pc.starts_with(refs, pattern="/").to_numpy(
+        zero_copy_only=False)
+    proto_rel = pc.starts_with(refs, pattern="//").to_numpy(
+        zero_copy_only=False)
+    is_root = starts_slash & ~proto_rel
+    resolved: list[str] = [""] * len(idx)
+    for i in range(len(idx)):
+        bp = base_prefix[parent[i]]
+        if bp is None:
+            continue
+        r = refs_py[i]
+        if is_abs[i]:
+            resolved[i] = r
+        elif is_root[i]:
+            resolved[i] = bp + r
+        else:
+            resolved[i] = urljoin(bp, r)
+    resolved_arr = pa.array(resolved, pa.string())
+
+    host, path = _vector_link_fields(resolved_arr)
+    host_rank = pc.index_in(host, value_set=pa.array(allowed_hosts,
+                                                     pa.string()))
+    rank_np = host_rank.to_numpy(zero_copy_only=False).astype(float)
+    in_host = ~np.isnan(rank_np)
+
+    # blacklist on the DECODED path (scalar unquote only for %-paths)
+    path_py = path.to_pylist()
+    has_pct = pc.match_substring(path, "%").to_numpy(zero_copy_only=False)
+    for i in np.nonzero(has_pct)[0]:
+        path_py[i] = unquote(path_py[i])
+    if blacklist:
+        blk = np.array([is_blacklisted_path(p, blacklist)
+                        for p in path_py], dtype=bool)
+    else:
+        blk = np.zeros(len(idx), dtype=bool)
+
+    keep = (in_host & ~blk & ~page_abort[parent] & ~page_dead[parent]
+            & ~bad)
+    kidx = np.nonzero(keep)[0]
+    # reference order: per page, classes in scan order, within class the
+    # allowed-host groups in root order, within group document order
+    order = kidx[np.lexsort((offset[kidx], rank_np[kidx].astype(np.int64),
+                             kind_rank[kidx], parent[kidx]))]
+    nofrag = pc.replace_substring_regex(
+        resolved_arr.take(pa.array(order)), r"(?s)#.*$", "").to_pylist()
+
+    src_out: list[str] = []
+    link_out: list[str | None] = []
+    seq_out: list[int] = []
+    cur_page = -1
+    seen_page: set[str] = set()
+    seq = 0
+    for pos, i in enumerate(order):
+        pg = parent[i]
+        if pg != cur_page:
+            cur_page = pg
+            seen_page = set()
+            seq = 0
+        u = nofrag[pos]
+        if u in seen_page:
+            continue
+        seen_page.add(u)
+        src_out.append(urls[pg])
+        link_out.append(u)
+        seq_out.append(seq)
+        seq += 1
+    # abort markers (one per aborted page with a parseable base)
+    for pg in np.nonzero(page_abort & ~page_dead)[0]:
+        src_out.append(urls[pg])
+        link_out.append(None)
+        seq_out.append(-1)
     return pa.table({
         "src_url": pa.array(src_out, pa.string()),
         "link_url": pa.array(link_out, pa.string()),

@@ -160,9 +160,91 @@ def test_batch_extraction_matches_scalar():
     out = E.extract_links_spans_batch(batch, ROOT_HOSTS, ["/search"])
     rows = list(zip(out["src_url"].to_pylist(), out["link_url"].to_pylist(),
                     out["link_seq"].to_pylist()))
-    assert rows == [
+    links = [r for r in rows if r[2] >= 0]
+    markers = [r for r in rows if r[2] < 0]
+    assert links == [
         ("https://www.gov.uk/p1", "https://www.gov.uk/a.html", 0),
         ("https://www.gov.uk/p1", "https://www.gov.uk/i.png", 1),
-        ("https://www.gov.uk/p2", None, -1),  # abort marker
         ("https://example.com/p4", "https://example.com/s.js", 0),
     ]
+    assert markers == [("https://www.gov.uk/p2", None, -1)]  # abort
+
+
+def test_vectorized_equals_scalar_on_corpus():
+    """The vectorized batch extractor must be row-identical to the scalar
+    reference implementation over the full conformance corpus."""
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS, generate_corpus
+    from govuk_crawler_worker_ray.functions.extract import (
+        extract_links_spans_batch,
+        extract_links_spans_batch_scalar,
+    )
+    from govuk_crawler_worker_ray.functions.urls import netloc_host, parse_url
+
+    fx = generate_corpus(400, 42)
+    allowed = [netloc_host(parse_url(r).netloc) for r in ROOT_URLS]
+    bl = ["/search", "/government/uploads"]
+    html = fx.corpus.filter(
+        pa.compute.match_substring_regex(fx.corpus["content_type"],
+                                         "^text/html"))
+    batch = pa.table({"url": html["url"], "spans": html["spans"]})
+    a = extract_links_spans_batch_scalar(batch, allowed, bl)
+    b = extract_links_spans_batch(batch, allowed, bl)
+
+    def rows(t):
+        links = [r for r in zip(t["src_url"].to_pylist(),
+                                t["link_url"].to_pylist(),
+                                t["link_seq"].to_pylist())
+                 if r[2] >= 0]
+        markers = {r[0] for r in zip(t["src_url"].to_pylist(),
+                                     t["link_seq"].to_pylist())
+                   if r[1] < 0}
+        return links, markers
+
+    la, ma = rows(a)
+    lb, mb = rows(b)
+    assert la == lb
+    assert ma == mb and len(ma) > 0  # abort page present and identical
+
+
+def test_vectorized_equals_scalar_on_edge_refs():
+    from govuk_crawler_worker_ray.functions.extract import (
+        extract_links_spans_batch,
+        extract_links_spans_batch_scalar,
+    )
+    from govuk_crawler_worker_ray.schemas import SPAN_STRUCT
+
+    edge_refs = [
+        "", " ", "/a", "//proto.example.com/x", "relative/path",
+        "../up", "mailto:a@b.c", "https://www.gov.uk", "HTTP://WWW.GOV.UK/x",
+        "https://www.gov.uk:443/y", "https://user:p@www.gov.uk/z",
+        "/with%20escape", "/with+plus", "#only-frag", "?only-query",
+        "/page#frag", "https://example.com/q?page=1",
+        "https://www.gov.uk/search?q=x", "javascript:void(0)",
+        "  /spaces  ", "/semi;colon", "/per%cent-bad",
+    ]
+    docs = []
+    for i, r in enumerate(edge_refs):
+        docs.append((f"https://www.gov.uk/p{i}",
+                     [{"kind": "link", "text": "t", "media_ref": r,
+                       "offset": 0},
+                      {"kind": "img", "text": "", "media_ref": "/i.png",
+                       "offset": 1}]))
+    # one page with ALL refs together (intra-page interactions)
+    docs.append(("https://example.com/all",
+                 [{"kind": "link", "text": "", "media_ref": r, "offset": o}
+                  for o, r in enumerate(edge_refs)]))
+    batch = pa.table({
+        "url": pa.array([d[0] for d in docs]),
+        "spans": pa.array([d[1] for d in docs], pa.list_(SPAN_STRUCT)),
+    })
+    allowed = ["www.gov.uk", "example.com"]
+    bl = ["/search"]
+    a = extract_links_spans_batch_scalar(batch, allowed, bl)
+    b = extract_links_spans_batch(batch, allowed, bl)
+    ra = list(zip(a["src_url"].to_pylist(), a["link_url"].to_pylist(),
+                  a["link_seq"].to_pylist()))
+    rb = list(zip(b["src_url"].to_pylist(), b["link_url"].to_pylist(),
+                  b["link_seq"].to_pylist()))
+    assert sorted(ra, key=str) == sorted(rb, key=str)
+    # link ordering (non-marker) must match exactly
+    assert [r for r in ra if r[2] >= 0] == [r for r in rb if r[2] >= 0]
