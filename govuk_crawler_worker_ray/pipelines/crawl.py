@@ -5,11 +5,13 @@ flagship pipeline, replacing the reference's queue-driven infinite loop
 Per round k:
   frontier_k (narrow rows: url, host, digest, seq, attempt)
     politeness budget (per-host, seq order)                 [north rule]
-    -> map_batches(FetchStage actor pool)                   [P1+P2+P3 gates]
-    -> write round=k/fetched parquet (mirror sink + extract input;
-       written once, read back narrow — bodies never shuffle)
-    -> read narrow -> extract_candidates_batch              [P4]
-    -> + reset/INCR events -> groupby(shard) -> shard replay[P5 commit]
+    -> persistent fetch-worker pool, each chunk fused:      [P1+P2+P3+P4]
+         gates+fetch -> write own round=k/fetched parquet part (bodies
+         leave the worker once, never shuffle) -> span extraction ->
+         stage publish candidates DIRECTLY to their seen shard
+    -> driver stages the (small) reset/INCR events           [P5 events]
+    -> barrier on staging refs -> each shard sorts + replays [P5 commit]
+       ITS events in discovery order, returns winners (narrow)
     -> winners + requeues + deferred => frontier_{k+1}      [P6 checkpoint]
 
 Scale notes (explicit, per north rule):
