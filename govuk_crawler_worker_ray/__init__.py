@@ -19,3 +19,32 @@ Nothing here calls ``ray.init()``; sessions are owned by the caller
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "CrawlConfig", "CrawlEngine", "run_crawl", "SeenSet",
+    "generate_corpus", "write_fixture", "crawl_oracle",
+]
+
+
+def __getattr__(name):  # lazy: keep bare import light
+    if name in ("CrawlEngine", "run_crawl"):
+        from .pipelines import crawl as _c
+
+        return getattr(_c, name)
+    if name == "CrawlConfig":
+        from .config import CrawlConfig
+
+        return CrawlConfig
+    if name == "SeenSet":
+        from .state.seen_set import SeenSet
+
+        return SeenSet
+    if name in ("generate_corpus", "write_fixture"):
+        from . import corpusgen as _g
+
+        return getattr(_g, name)
+    if name == "crawl_oracle":
+        from .reference_oracle import crawl_oracle
+
+        return crawl_oracle
+    raise AttributeError(name)

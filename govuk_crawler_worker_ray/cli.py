@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--max-rounds", type=int, default=None)
+    ap.add_argument("--healthcheck-port", type=int, default=None,
+                    help="serve GET /healthcheck on 127.0.0.1:<port> "
+                         "during the crawl (main.go:147-151 parity)")
     args = ap.parse_args(argv)
 
     import pyarrow.parquet as pq
@@ -76,7 +79,14 @@ def main(argv: list[str] | None = None) -> int:
             seeds = cfg.root_urls
         eng = CrawlEngine(corpus, cfg, args.out, use_ray=True,
                           small_round_threshold=256)
+        hc = None
+        if args.healthcheck_port:
+            from .healthcheck import start_healthcheck_server
+
+            hc = start_healthcheck_server(eng, args.healthcheck_port)
         res = eng.run(seeds, resume=args.resume)
+        if hc is not None:
+            hc.shutdown()
         summary = {
             "rounds": res.rounds,
             "fetched": sum(m["fetched"] for m in res.metrics),

@@ -104,3 +104,36 @@ def test_mid_crawl_ttl_expiry(tmp_path):
     res2 = run_crawl(fx.corpus, fx.seeds, cfg2, str(tmp_path / "frozen"),
                      use_ray=False)
     assert res2.crawl_order.num_rows <= res.crawl_order.num_rows
+
+
+def test_healthcheck_http_endpoint(tmp_path):
+    """GET /healthcheck parity (main.go:147-151): JSON, worst status
+    wins, 200 when healthy."""
+    import json
+    import urllib.request
+
+    from govuk_crawler_worker_ray.healthcheck import (
+        start_healthcheck_server,
+    )
+
+    fx = generate_corpus(40, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "hc"), use_ray=False)
+    srv = start_healthcheck_server(eng, port=18763)
+    try:
+        with urllib.request.urlopen(
+                "http://127.0.0.1:18763/healthcheck", timeout=10) as r:
+            assert r.status == 200
+            payload = json.loads(r.read())
+        assert payload["status"] == "ok"
+        assert payload["checks"]["seen_set"] == "ok"
+        # unknown path -> 404
+        import urllib.error
+        try:
+            urllib.request.urlopen("http://127.0.0.1:18763/nope",
+                                   timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
