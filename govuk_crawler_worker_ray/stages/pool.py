@@ -45,8 +45,8 @@ class FetchWorker:
         self.cfg = cfg
         self.allowed_hosts = allowed_hosts
 
-    def process(self, batch: pa.Table, now: float,
-                out_path: str | None) -> tuple[pa.Table, int]:
+    def _one_chunk(self, batch: pa.Table, now: float,
+                   out_path: str | None) -> tuple[pa.Table, pa.Table]:
         fetched = self.stage(batch, now=now)
         if out_path is not None:
             pq.write_table(fetched, out_path)
@@ -57,17 +57,32 @@ class FetchWorker:
         cands = extract_candidates_batch(
             html.select(["url", "discovered_seq", "spans"]),
             self.cfg, self.allowed_hosts)
+        return narrow, cands
+
+    def process_many(self, chunks: list[pa.Table], now: float,
+                     out_paths: list[str]) -> tuple[pa.Table, int, list]:
+        """Process this worker's WHOLE round allocation in one RPC:
+        per-chunk fetch+write+extract, then ONE staging message per shard
+        for all the worker's candidates (per-chunk RPCs dominated the
+        fetch phase at 100+ chunks/round).  The staging refs travel back
+        so the driver can barrier before the round commit."""
+        narrows: list[pa.Table] = []
+        cand_parts: list[pa.Table] = []
+        for chunk, path in zip(chunks, out_paths):
+            n, c = self._one_chunk(chunk, now, path)
+            narrows.append(n)
+            cand_parts.append(c)
+        cands = pa.concat_tables(cand_parts) if cand_parts else None
+        if cands is None or cands.num_rows == 0:
+            return (pa.concat_tables(narrows) if narrows else None, 0, [])
         aborts = int(pc.sum(pc.cast(pc.equal(cands["kind"], -1),
                                     pa.int32())).as_py() or 0)
         attempts = cands.filter(pc.equal(cands["kind"], 0))
-        # candidates go STRAIGHT to their seen shards (never via driver);
-        # the worker does NOT await the staging — the refs travel back to
-        # the driver, which barriers on them before the round commit
         stage_refs = stage_events_to_shards(attempts,
                                             self.stage.seen.shards,
                                             remote=self.stage.seen.remote,
                                             block=False)
-        return narrow, aborts, stage_refs
+        return pa.concat_tables(narrows), aborts, stage_refs
 
     def ping(self) -> bool:
         return True
@@ -108,19 +123,25 @@ class FetchWorkerPool:
         # configured batch size; floor keeps tiny rounds in few chunks
         n = frontier.num_rows
         bs = min(self.cfg.fetch_batch_size,
-                 max(1024, -(-n // (2 * self.size))))
+                 max(512, -(-n // (4 * self.size))))
         chunks = [frontier.slice(o, bs) for o in range(0, n, bs)]
+        # ONE RPC per worker per round: worker i gets chunks i, i+W, ...
         refs = []
-        for ci, chunk in enumerate(chunks):
-            w = self.workers[ci % self.size]
-            path = os.path.join(out_dir, f"part-{ci:06d}.parquet")
-            refs.append(w.process.remote(chunk, now, path))
-        results = ray.get(refs)
+        for wi, w in enumerate(self.workers):
+            my = list(range(wi, len(chunks), self.size))
+            if not my:
+                continue
+            my_chunks = [chunks[ci] for ci in my]
+            my_paths = [os.path.join(out_dir, f"part-{ci:06d}.parquet")
+                        for ci in my]
+            refs.append(w.process_many.remote(my_chunks, now, my_paths))
+        results = [r for r in ray.get(refs) if r[0] is not None]
+        if not results:
+            return None, 0, []
         narrows = [r[0] for r in results]
         aborts = sum(r[1] for r in results)
         stage_refs = [ref for r in results for ref in r[2]]
-        return (pa.concat_tables(narrows) if narrows else None, aborts,
-                stage_refs)
+        return (pa.concat_tables(narrows), aborts, stage_refs)
 
     def shutdown(self) -> None:
         import ray

@@ -263,23 +263,27 @@ class SeenShard:
         out = [False] * len(digests)
         state: dict[str, int] = {}
         touched: set[str] = set()
+        store = self.store  # inline hot path: no per-event method calls
+        state_get = state.get
+        store_get = store.get
         for i, (d, k) in enumerate(zip(digests, kinds)):
-            if d in state:
-                s = state[d]
-            else:
-                ent = self._live(d, now)
-                s = ent[0] if ent else 0
-            if k == 2:      # INCR
-                s += 1
-                touched.add(d)
-            elif k == 1:    # RESET
-                s = 0
-                touched.add(d)
-            elif k == 0:    # ATTEMPT
+            s = state_get(d)
+            if s is None:
+                ent = store_get(d)
+                # expired entries read as missing (lazy deletion happens
+                # on the get/exists paths, not in the replay hot loop)
+                s = ent[0] if ent is not None and ent[1] > now else 0
+            if k == 0:      # ATTEMPT (the overwhelmingly common event)
                 if s < 1:
                     s = 1
                     out[i] = True
                     touched.add(d)
+            elif k == 2:    # INCR
+                s += 1
+                touched.add(d)
+            else:           # RESET
+                s = 0
+                touched.add(d)
             state[d] = s
         tl = list(touched)
         self._put_many(tl, [state[d] for d in tl], now)
