@@ -196,6 +196,14 @@ class CrawlEngine:
                    now: float):
         cfg = self.cfg
         rdir = os.path.join(self.out_dir, f"round={rnd}")
+        # a directory for this round can only exist from a CRASHED attempt
+        # (completed rounds are behind the checkpoint manifest): clear it,
+        # or stale fetched parts from the failed attempt would leak into
+        # the mirror and the narrow read-backs
+        if os.path.exists(rdir):
+            import shutil
+
+            shutil.rmtree(rdir)
         os.makedirs(os.path.join(rdir, "fetched"), exist_ok=True)
         import time as _time
 

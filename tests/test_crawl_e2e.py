@@ -127,3 +127,27 @@ def test_ray_engine_parity_medium(tmp_path):
                         st["status"].to_pylist())) == oracle.seen
     finally:
         eng.shutdown()
+
+
+def test_crash_leftovers_cleared_on_resume(tmp_path):
+    """A crashed round attempt leaves partial fetched parts; resume must
+    clear them or they leak into the mirror (stale-part bug)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    fx = generate_corpus(120, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    out = str(tmp_path / "crash")
+    cfg3 = CrawlConfig(root_urls=list(ROOT_URLS), max_rounds=3)
+    run_crawl(fx.corpus, fx.seeds, cfg3, out, use_ray=False)
+    # simulate a crashed round=3 attempt: stale part with bogus rows
+    rdir = os.path.join(out, "round=3", "fetched")
+    os.makedirs(rdir, exist_ok=True)
+    stale = pq_.read_table(os.path.join(out, "round=0", "fetched",
+                                        "part-local.parquet"))
+    pq_.write_table(stale, os.path.join(rdir, "part-stale.parquet"))
+    res = run_crawl(fx.corpus, fx.seeds, cfg, out, use_ray=False,
+                    resume=True)
+    _check_parity(res, oracle)
