@@ -185,3 +185,26 @@ def test_curate_crawl_output(ray_session, tmp_path):
     assert len(hashes) == len(set(hashes))
     # fewer curated docs than fetched html pages (dups + empties removed)
     assert n <= res.crawl_order.num_rows
+
+
+def test_documents_source_roundtrip(ray_session, tmp_path):
+    """Lance-gated document IO falls back to parquet with identical
+    schema; .lance paths rewrite transparently."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.corpusgen import generate_corpus
+    from govuk_crawler_worker_ray.sources import (
+        read_documents,
+        write_documents,
+    )
+
+    fx = generate_corpus(60, 42)
+    ds = rd.from_arrow(fx.documents)
+    written = write_documents(ds, str(tmp_path / "docs.lance"))
+    assert written.endswith(".parquet")  # no lance wheel in container
+    back = read_documents(written)
+    t = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = fx.documents.to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+    assert list(t["doc_id"]) == list(orig["doc_id"])
+    assert t["spans"].map(len).sum() == orig["spans"].map(len).sum()
