@@ -151,3 +151,19 @@ def test_crash_leftovers_cleared_on_resume(tmp_path):
     res = run_crawl(fx.corpus, fx.seeds, cfg, out, use_ray=False,
                     resume=True)
     _check_parity(res, oracle)
+
+
+def test_combined_features_parity(tmp_path):
+    """All engine features at once — robots + politeness budget + 429
+    give-up + sparse checkpoints + mid-crawl TTL — against the oracle."""
+    fx = generate_corpus(250, 99)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), respect_robots=True,
+                      per_host_budget=25, give_up_429_after=2,
+                      checkpoint_every=3, ttl_expire_seconds=20.0,
+                      seconds_per_round=1.0, max_rounds=25)
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    res = run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "combo"),
+                    use_ray=False)
+    assert _order(res) == [(r, u) for r, _, u in oracle.crawl_order]
+    assert sum(m["robots_excluded"] for m in res.metrics) > 0
+    assert any(m["deferred"] > 0 for m in res.metrics)

@@ -78,3 +78,64 @@ def test_publish_gate_and_blacklist_never_raise(u):
     U.is_blacklisted(u, ["/search", "/government/uploads"])
     U.has_params(u)
     U.canonicalize_url(u)
+
+
+# ---------------------------------------------------------------------------
+# model-based seen-set check (FIXTURES.md F7): random op sequences against
+# a plain dict+TTL reference model
+# ---------------------------------------------------------------------------
+
+_KEYS = [f"{i:040x}" for i in range(8)]
+_ops = st.lists(
+    st.tuples(st.sampled_from(["set0", "set1", "incr", "get", "exists",
+                               "gate", "advance"]),
+              st.sampled_from(_KEYS)),
+    max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_ops)
+def test_seen_shard_matches_dict_model(ops):
+    from govuk_crawler_worker_ray.state.seen_set import SeenShard
+
+    TTL = 10.0
+    shard = SeenShard(0, TTL)
+    model: dict[str, tuple[int, float]] = {}
+    now = 0.0
+
+    def m_get(k):
+        ent = model.get(k)
+        if ent is None or ent[1] <= now:
+            model.pop(k, None)
+            return 0
+        return ent[0]
+
+    for op, k in ops:
+        if op == "advance":
+            now += 3.0
+            continue
+        if op == "set0":
+            shard.set_batch([k], 0, now)
+            model[k] = (0, now + TTL)
+        elif op == "set1":
+            shard.set_batch([k], 1, now)
+            model[k] = (1, now + TTL)
+        elif op == "incr":
+            got = shard.incr_batch([k], now)[0]
+            want = m_get(k) + 1
+            model[k] = (want, now + TTL)
+            assert got == want
+        elif op == "get":
+            assert shard.get_batch([k], now)[0] == m_get(k)
+        elif op == "exists":
+            want = (k in model and model[k][1] > now)
+            assert bool(shard.exists_batch([k], now)[0]) == want
+        elif op == "gate":
+            got = bool(shard.enqueue_gate_batch([k], now)[0])
+            want = m_get(k) < 1
+            if want:
+                model[k] = (1, now + TTL)
+            assert got == want
+    # final states agree for every key
+    for k in _KEYS:
+        assert shard.get_batch([k], now)[0] == m_get(k)
