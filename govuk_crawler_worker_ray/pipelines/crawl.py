@@ -95,23 +95,31 @@ class CrawlResult:
         return t.take(pa.array(idx, pa.int64()))
 
 
-def _frontier_table(rows: list[tuple[int, str, str, str, int]]) -> pa.Table:
-    """rows: (seq, url, host, digest, attempt)"""
+def _frontier_table(
+        rows: list[tuple[int, str, str, str, int, int]]) -> pa.Table:
+    """rows: (seq, url, host, digest, attempt, priority)"""
     return pa.table({
         "discovered_seq": pa.array([r[0] for r in rows], pa.int64()),
         "url": pa.array([r[1] for r in rows], pa.string()),
         "host": pa.array([r[2] for r in rows], pa.string()),
         "url_digest": pa.array([r[3] for r in rows], pa.string()),
         "attempt": pa.array([r[4] for r in rows], pa.int32()),
+        "priority": pa.array([r[5] for r in rows], pa.int32()),
     })
 
 
-def seeds_to_frontier(seeds: list[str], cfg: CrawlConfig) -> pa.Table:
+def seeds_to_frontier(seeds: list[str], cfg: CrawlConfig,
+                      priorities: list[int] | None = None) -> pa.Table:
+    """Seed rows; ``priorities`` mirrors the queue message priority field
+    (hardwired 0 by the reference, queue/queue_connection.go:129; the
+    north rule's politeness priority queue honors it: higher first)."""
     digs = digest_hex_batch(seeds, cfg.digest)
+    pr = priorities or [0] * len(seeds)
     rows = []
     for i, (u, d) in enumerate(zip(seeds, digs)):
         p = parse_url(u)
-        rows.append((i, u, netloc_host(p.netloc) if p else "", d, 0))
+        rows.append((i, u, netloc_host(p.netloc) if p else "", d, 0,
+                     int(pr[i])))
     return _frontier_table(rows)
 
 
@@ -155,12 +163,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[str], now: float = 0.0,
-            resume: bool = False) -> CrawlResult:
+            resume: bool = False,
+            seed_priorities: list[int] | None = None) -> CrawlResult:
         cfg = self.cfg
         metrics: list[dict] = []
         order_parts: list[pa.Table] = []
         start_round = 0
-        frontier = seeds_to_frontier(seeds, cfg)
+        frontier = seeds_to_frontier(seeds, cfg, seed_priorities)
         next_seq = frontier.num_rows
 
         if resume:
@@ -208,7 +217,24 @@ class CrawlEngine:
         import time as _time
 
         _t0 = _time.perf_counter()
-        frontier = frontier.sort_by("discovered_seq")
+        # priority queue order: higher priority first, FIFO within a
+        # priority level (reference parity: all-zero priorities reduce to
+        # pure FIFO)
+        frontier = frontier.sort_by([("priority", "descending"),
+                                     ("discovered_seq", "ascending")])
+        # With mixed priorities the PROCESSING order differs from seq
+        # order, and everything downstream (publish-event replay, winner
+        # seq assignment) orders by seq — so renumber seqs to processing
+        # order.  Skipped when priorities are uniform so reference-parity
+        # seq values stay bit-identical to the oracle goldens.
+        prio_np = frontier["priority"].to_numpy()
+        if frontier.num_rows and (prio_np != prio_np[0]).any():
+            new_seqs = np.arange(next_seq, next_seq + frontier.num_rows,
+                                 dtype=np.int64)
+            next_seq += frontier.num_rows
+            frontier = frontier.set_column(
+                frontier.schema.get_field_index("discovered_seq"),
+                "discovered_seq", pa.array(new_seqs, pa.int64()))
         m = {"round": rnd, "frontier": frontier.num_rows, "fetched": 0,
              "published": 0, "blacklisted": 0, "rejected": 0,
              "requeued": 0, "non_accepted": 0, "deferred": 0,
@@ -348,7 +374,8 @@ class CrawlEngine:
         parts = []
         if deferred.num_rows:
             parts.append(deferred.select(
-                ["discovered_seq", "url", "host", "url_digest", "attempt"]))
+                ["discovered_seq", "url", "host", "url_digest", "attempt",
+                 "priority"]))
         if requeues.num_rows:
             parts.append(pa.table({
                 "discovered_seq": requeues["discovered_seq"],
@@ -357,6 +384,7 @@ class CrawlEngine:
                 "url_digest": requeues["url_digest"],
                 "attempt": pc.add(requeues["attempt"],
                                   pa.scalar(1, pa.int32())),
+                "priority": requeues["priority"],
             }))
         if winners.num_rows:
             worder = pc.sort_indices(winners,
@@ -373,6 +401,10 @@ class CrawlEngine:
                 "url_digest": w["digest"],
                 "attempt": pa.array(np.zeros(w.num_rows, np.int32),
                                     pa.int32()),
+                # published links enter at default priority (the reference
+                # publishes everything at 0, queue_connection.go:129)
+                "priority": pa.array(np.zeros(w.num_rows, np.int32),
+                                     pa.int32()),
             }))
         next_frontier = (pa.concat_tables(parts) if parts
                          else _frontier_table([]))
@@ -497,8 +529,9 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _order_table(self, rnd: int, narrow: pa.Table) -> pa.Table:
         f = narrow.filter(pc.equal(narrow["outcome"], "fetched"))
-        f = f.take(pc.sort_indices(f, sort_keys=[("discovered_seq",
-                                                  "ascending")]))
+        # processing order within a round: priority desc, then FIFO
+        f = f.take(pc.sort_indices(f, sort_keys=[
+            ("priority", "descending"), ("discovered_seq", "ascending")]))
         return pa.table({
             "round": pa.array([rnd] * f.num_rows, pa.int32()),
             "seq": f["discovered_seq"],

@@ -97,6 +97,7 @@ def crawl_oracle(
     corpus: dict[str, dict],
     seeds: list[str],
     cfg: CrawlConfig,
+    seed_priorities: list[int] | None = None,
 ) -> OracleResult:
     """Run the full crawl sequentially.  ``corpus`` maps exact URL string
     -> corpus row dict (schemas.CORPUS_SCHEMA fields)."""
@@ -131,13 +132,14 @@ def crawl_oracle(
         seen[d] = v
         expiry[d] = now_t + cfg.ttl_expire_seconds
 
-    # frontier rows: (seq, url, attempt_so_far)
-    frontier = [(i, u, 0) for i, u in enumerate(seeds)]
+    # frontier rows: (seq, url, attempt_so_far, priority)
+    pr = seed_priorities or [0] * len(seeds)
+    frontier = [(i, u, 0, int(pr[i])) for i, u in enumerate(seeds)]
     next_seq = len(seeds)
     rnd = 0
     while frontier and rnd < cfg.max_rounds:
         t_now = rnd * cfg.seconds_per_round
-        frontier.sort(key=lambda t: t[0])
+        frontier.sort(key=lambda t: (-t[3], t[0]))  # priority desc, FIFO
         m = {"round": rnd, "frontier": len(frontier), "fetched": 0,
              "published": 0, "blacklisted": 0, "rejected": 0,
              "requeued": 0, "non_accepted": 0, "deferred": 0,
@@ -158,7 +160,7 @@ def crawl_oracle(
             process = frontier
         next_frontier: list[tuple[int, str, int]] = list(deferred)
 
-        for seq, url, attempt in process:
+        for seq, url, attempt, prio in process:
             # P1 ReadFromQueue: blacklist gate (workflow.go:40-44)
             if is_blacklisted(url, cfg.blacklist_paths):
                 m["blacklisted"] += 1
@@ -191,12 +193,12 @@ def crawl_oracle(
                         and attempt + 1 > cfg.give_up_429_after):
                     m["rejected"] += 1
                     continue
-                next_frontier.append((seq, url, attempt + 1))
+                next_frontier.append((seq, url, attempt + 1, prio))
                 m["requeued"] += 1
                 continue
             if outcome == "requeue_5xx":
                 seen_put(d, seen_get(d, t_now) + 1, t_now)  # INCR
-                next_frontier.append((seq, url, attempt + 1))
+                next_frontier.append((seq, url, attempt + 1, prio))
                 m["requeued"] += 1
                 continue
             if outcome in ("not_found", "error"):
@@ -234,7 +236,7 @@ def crawl_oracle(
                 if seen_get(dl, t_now) >= 1:
                     continue
                 seen_put(dl, 1, t_now)
-                next_frontier.append((next_seq, link, 0))
+                next_frontier.append((next_seq, link, 0, 0))
                 next_seq += 1
                 res.published.append(link)
                 m["published"] += 1

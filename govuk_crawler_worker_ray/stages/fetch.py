@@ -254,12 +254,15 @@ class FetchStage:
                 spans[i] = None  # only HTML forwarded to extraction
 
         from ..schemas import SPAN_STRUCT
+        prio = (batch["priority"] if "priority" in batch.column_names
+                else pa.array(np.zeros(n, np.int32), pa.int32()))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "host": batch["host"],
             "url_digest": pa.array(digests, pa.string()),
             "discovered_seq": pa.array(seqs, pa.int64()),
             "attempt": pa.array(attempts, pa.int32()),
+            "priority": prio,
             "status_code": pa.array(
                 [None] * n, pa.int16()),
             "content_type": pa.array(content_type, pa.string()),
@@ -279,6 +282,7 @@ def _empty_fetched() -> pa.Table:
         "url_digest": pa.array([], pa.string()),
         "discovered_seq": pa.array([], pa.int64()),
         "attempt": pa.array([], pa.int32()),
+        "priority": pa.array([], pa.int32()),
         "status_code": pa.array([], pa.int16()),
         "content_type": pa.array([], pa.string()),
         "spans": pa.array([], pa.list_(pa.struct([

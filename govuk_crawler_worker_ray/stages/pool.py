@@ -33,7 +33,7 @@ from .fetch import FetchStage
 from .publish import extract_candidates_batch, stage_events_to_shards
 
 NARROW_COLS = ["url", "host", "url_digest", "discovered_seq", "attempt",
-               "outcome"]
+               "priority", "outcome"]
 
 
 class FetchWorker:

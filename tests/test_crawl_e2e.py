@@ -167,3 +167,22 @@ def test_combined_features_parity(tmp_path):
     assert _order(res) == [(r, u) for r, _, u in oracle.crawl_order]
     assert sum(m["robots_excluded"] for m in res.metrics) > 0
     assert any(m["deferred"] > 0 for m in res.metrics)
+
+
+def test_seed_priorities_order(tmp_path):
+    """Higher-priority seeds are crawled first (the north rule's priority
+    queue; the reference publishes everything at priority 0 —
+    queue_connection.go:129 — so default behavior is unchanged FIFO)."""
+    fx = generate_corpus(60, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    pr = [0, 0, 5, 0]  # example.com root gets priority 5
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg, seed_priorities=pr)
+    from govuk_crawler_worker_ray.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "prio"),
+                      use_ray=False)
+    res = eng.run(fx.seeds, seed_priorities=pr)
+    order = _order(res)
+    assert order == [(r, u) for r, _, u in oracle.crawl_order]
+    # the priority-5 seed is the FIRST fetch of round 0
+    assert order[0][1] == "https://example.com/"
