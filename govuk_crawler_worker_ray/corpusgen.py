@@ -331,6 +331,12 @@ def _conformance_pages(host_pages: dict[str, list[str]]) -> list[dict]:
         _SpanBuilder().add("text", "dir page").spans)))
     out.append(page("/conformance/plus+name", (
         _SpanBuilder().add("text", "plus page").spans)))
+    # mirror-path error: parseable URL whose decoded path fails the SECOND
+    # decode (QueryUnescape of 'a%zz' errors, crawler_message_item.go:51) —
+    # the reference crawls it (counted fetched, appended to crawl order in
+    # CrawlURL) and only WriteItemToDisk rejects it (workflow.go:162-170)
+    out.append(page("/conformance/mirror-err%25zz", (
+        _SpanBuilder().add("text", "unmirrorable page").spans)))
     # redirect page + its target (crawler.go:91-109)
     out.append(page("/conformance/redirect", [], ct="", status=302,
                     redirect=mk("/conformance/target-a"), body=""))
@@ -397,7 +403,7 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
     return out_dir
 
 
-_GEN_VERSION = 4
+_GEN_VERSION = 5  # v5: mirror-err%25zz conformance page (mirror_rejected)
 
 
 def _write_goldens(out_dir: str, fx: CorpusFixture) -> None:

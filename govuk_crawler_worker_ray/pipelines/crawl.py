@@ -146,11 +146,15 @@ class CrawlEngine:
             self.corpus_ref = ray.put(self.index)
             expected = max(1 << 16,
                            4 * corpus.num_rows // cfg.num_seen_shards)
+            import uuid
+
+            # collision-safe namespace: every engine instance gets FRESH
+            # shard actors (a (pid, out_dir)-keyed name could silently
+            # attach a second engine to contaminated shard state)
             self.seen = SeenSet.actors(cfg.num_seen_shards,
                                        cfg.ttl_expire_seconds,
                                        expected_keys=expected,
-                                       namespace=f"crawl_{os.getpid()}_"
-                                                 f"{abs(hash(out_dir)) % 99999}")
+                                       namespace=f"crawl_{uuid.uuid4().hex[:12]}")
             self.pool = None  # created lazily on the first big round
             if warm_pool:
                 self._ensure_pool()
@@ -320,10 +324,17 @@ class CrawlEngine:
             "aborted_retries": "aborted_retries",
             "robots_excluded": "robots_excluded"}
         for vc in pc.value_counts(outcomes).to_pylist():
-            m[_OUTCOME_METRIC[vc["values"]]] += vc["counts"]
+            if vc["values"] == "mirror_rejected":
+                # fetched AND rejected, per the reference's accounting
+                # (crawl counted in CrawlURL, reject in WriteItemToDisk)
+                m["fetched"] += vc["counts"]
+                m["rejected"] += vc["counts"]
+            else:
+                m[_OUTCOME_METRIC[vc["values"]]] += vc["counts"]
         # per-host fetch counts (north rule: fetch/dedup metrics)
-        fetched_hosts = narrow.filter(
-            pc.equal(outcomes, "fetched"))["host"]
+        fetched_hosts = narrow.filter(pc.is_in(
+            outcomes,
+            value_set=pa.array(["fetched", "mirror_rejected"])))["host"]
         m["_per_host"] = {vc["values"]: vc["counts"]
                          for vc in pc.value_counts(fetched_hosts)
                          .to_pylist()}
@@ -528,7 +539,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _order_table(self, rnd: int, narrow: pa.Table) -> pa.Table:
-        f = narrow.filter(pc.equal(narrow["outcome"], "fetched"))
+        f = narrow.filter(pc.is_in(
+            narrow["outcome"],
+            value_set=pa.array(["fetched", "mirror_rejected"])))
         # processing order within a round: priority desc, then FIFO
         f = f.take(pc.sort_indices(f, sort_keys=[
             ("priority", "descending"), ("discovered_seq", "ascending")]))

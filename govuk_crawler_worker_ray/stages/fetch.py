@@ -247,7 +247,13 @@ class FetchStage:
             if not has_params(urls[i]):
                 mp = relative_file_path(urls[i], mime)
                 if mp is None:
-                    outcome[i] = "rejected"
+                    # the reference counts this page as FETCHED (crawl_order
+                    # is appended inside CrawlURL) and only WriteItemToDisk
+                    # rejects it afterwards (workflow.go:162-170): distinct
+                    # outcome so ordering + metrics match the oracle while
+                    # extraction is still skipped
+                    outcome[i] = "mirror_rejected"
+                    spans[i] = None
                     continue
                 mirror_path[i] = mp
             if mime != HTML:

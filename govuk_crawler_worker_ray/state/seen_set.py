@@ -56,10 +56,23 @@ class SeenShard:
                  expected_keys: int = 1 << 16) -> None:
         self.shard_id = shard_id
         self.ttl = float(ttl_seconds)
+        self.expected_keys = expected_keys
         self.store: dict[str, tuple[int, float]] = {}
         self.bloom = BloomFilter(expected_keys)
         self.cuckoo = CuckooFilter(expected_keys)
+        # insert failures make the cuckoo lossy: it stops being a
+        # definite-miss filter and reads fall back to bloom + dict
+        self.cuckoo_overflow = 0
         self.ops = 0  # simple metric counter
+
+    def reset(self) -> None:
+        """Drop all state and rebuild empty filters (snapshot load uses
+        this so a snapshot REPLACES state instead of merging into it)."""
+        self.store = {}
+        self.bloom = BloomFilter(self.expected_keys)
+        self.cuckoo = CuckooFilter(self.expected_keys)
+        self.cuckoo_overflow = 0
+        self._staged = []
 
     # -- internals --------------------------------------------------------
     def _live(self, digest: str, now: float) -> tuple[int, float] | None:
@@ -76,7 +89,7 @@ class SeenShard:
         if digest not in self.store:
             k = keys_u64([digest])
             self.bloom.add_many(k)
-            self.cuckoo.insert_many(k)
+            self.cuckoo_overflow += self.cuckoo.insert_many(k)
         self.store[digest] = (status, now + self.ttl)
 
     def _put_many(self, digests: list[str], statuses, now: float) -> None:
@@ -89,16 +102,27 @@ class SeenShard:
         if new:
             k = keys_u64(new)
             self.bloom.add_many(k)
-            self.cuckoo.insert_many(k)
+            self.cuckoo_overflow += self.cuckoo.insert_many(k)
 
     # -- batch API (all take/return input order) --------------------------
     def get_batch(self, digests: list[str], now: float) -> np.ndarray:
         self.ops += len(digests)
-        store = self.store
-        ents = [store.get(d) for d in digests]  # tight C loop
         out = np.zeros(len(digests), dtype=np.int64)
+        if not digests:
+            return out
+        store = self.store
+        # deletion-aware pre-filter: a cuckoo miss is a definite miss
+        # (inserts mirror the store, deletes mirror expiry) so the dict
+        # is probed only for possible hits — unless an insert ever
+        # overflowed, which makes the cuckoo lossy and non-authoritative
+        if self.cuckoo_overflow == 0:
+            maybe = self.cuckoo.contains_many(keys_u64(digests))
+            candidates = np.nonzero(maybe)[0]
+        else:
+            candidates = range(len(digests))
         expired = []
-        for i, ent in enumerate(ents):
+        for i in candidates:
+            ent = store.get(digests[i])
             if ent is not None:
                 if ent[1] <= now:
                     expired.append(digests[i])
@@ -137,11 +161,17 @@ class SeenShard:
 
     def exists_batch(self, digests: list[str], now: float) -> np.ndarray:
         self.ops += len(digests)
-        maybe = self.bloom.contains_many(keys_u64(digests))
         out = np.zeros(len(digests), dtype=bool)
-        for i, d in enumerate(digests):
-            if maybe[i]:
-                out[i] = self._live(d, now) is not None
+        if not digests:
+            return out
+        keys = keys_u64(digests)
+        # bloom (append-only, never-deleted keys) AND cuckoo (tracks
+        # deletions) both saying "maybe" gates the exact-dict probe
+        maybe = self.bloom.contains_many(keys)
+        if self.cuckoo_overflow == 0:
+            maybe &= self.cuckoo.contains_many(keys)
+        for i in np.nonzero(maybe)[0]:
+            out[i] = self._live(digests[i], now) is not None
         return out
 
     def ttl_batch(self, digests: list[str], now: float) -> np.ndarray:
@@ -338,15 +368,20 @@ class SeenShard:
         return t.num_rows
 
     def load_table(self, t: pa.Table) -> int:
+        """REPLACE shard state with the snapshot (a load into a shard that
+        already holds state — e.g. resume attaching to live actors —
+        must not merge: digests absent from the snapshot would otherwise
+        survive and suppress re-publishes after resume)."""
+        self.reset()
         digests = t["digest"].to_pylist()
         statuses = t["status"].to_pylist()
         expires = t["expire_at"].to_pylist()
         for d, s, e in zip(digests, statuses, expires):
-            if d not in self.store:
-                k = keys_u64([d])
-                self.bloom.add_many(k)
-                self.cuckoo.insert_many(k)
             self.store[d] = (s, e)
+        if digests:
+            k = keys_u64(digests)
+            self.bloom.add_many(k)
+            self.cuckoo_overflow += self.cuckoo.insert_many(k)
         return len(digests)
 
     def load_from(self, path: str) -> int:
@@ -412,10 +447,14 @@ class SeenSet:
                 groups.append((s, idx, [digests[i] for i in idx]))
         return groups
 
-    def _call(self, method: str, digests: list[str], *args):
-        """Scatter-gather with result reassembly in input order."""
-        groups = self._route(digests)
+    def _call(self, method: str, digests: list[str], *args,
+              empty_dtype=np.int64):
+        """Scatter-gather with result reassembly in input order.  Empty
+        input round-trips as an empty TYPED array (never None)."""
         n = len(digests)
+        if n == 0:
+            return np.zeros(0, dtype=empty_dtype)
+        groups = self._route(digests)
         results = [None] * len(groups)
         if self.remote:
             import ray
@@ -453,13 +492,15 @@ class SeenSet:
         return self._call("incr_batch", digests, now)
 
     def exists(self, digests: list[str], now: float) -> np.ndarray:
-        return self._call("exists_batch", digests, now)
+        return self._call("exists_batch", digests, now, empty_dtype=bool)
 
     def ttl(self, digests: list[str], now: float) -> np.ndarray:
-        return self._call("ttl_batch", digests, now)
+        return self._call("ttl_batch", digests, now,
+                          empty_dtype=np.float64)
 
     def enqueue_gate(self, digests: list[str], now: float) -> np.ndarray:
-        return self._call("enqueue_gate_batch", digests, now)
+        return self._call("enqueue_gate_batch", digests, now,
+                          empty_dtype=bool)
 
     # -- maintenance / checkpoint -----------------------------------------
     def stats(self) -> list[dict]:

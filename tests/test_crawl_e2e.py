@@ -186,3 +186,24 @@ def test_seed_priorities_order(tmp_path):
     assert order == [(r, u) for r, _, u in oracle.crawl_order]
     # the priority-5 seed is the FIRST fetch of round 0
     assert order[0][1] == "https://example.com/"
+
+
+def test_mirror_rejected_page_counted_fetched(tmp_path):
+    """A fetched, content-accepted page whose mirror path errors (second
+    percent-decode fails: /conformance/mirror-err%25zz) is counted as
+    FETCHED and appears in crawl order, but is rejected by the write
+    stage and never mirrored or extracted (workflow.go:162-170 ordering
+    vs CrawlURL)."""
+    fx = generate_corpus(60, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS))
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    res = run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "merr"),
+                    use_ray=False)
+    bad = "https://www.gov.uk/conformance/mirror-err%25zz"
+    assert bad in [u for _, u in _order(res)]
+    assert bad in [u for _, _, u in oracle.crawl_order]
+    _check_parity(res, oracle)
+    assert all(bad != u for u, _ in oracle.mirror.values())
+    # engine metrics count it as both fetched and rejected
+    tot_fetched = sum(m["fetched"] for m in res.metrics)
+    assert tot_fetched == len(oracle.crawl_order)

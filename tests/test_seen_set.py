@@ -135,3 +135,60 @@ def test_actor_path_matches_local():
     assert (ss.enqueue_gate(ds, 0.0) == local.enqueue_gate(ds, 0.0)).all()
     assert ss.health() == ["ok"] * 4
     ss.shutdown()
+
+
+def test_empty_batches_round_trip():
+    """Empty input must return empty TYPED arrays, never None (an empty
+    post-split frontier crashed the max_crawl_retries<1 path)."""
+    ss = SeenSet.local(4, TTL)
+    assert ss.get([], 0.0).dtype == np.int64 and len(ss.get([], 0.0)) == 0
+    assert ss.incr([], 0.0).dtype == np.int64
+    assert ss.exists([], 0.0).dtype == bool
+    assert ss.enqueue_gate([], 0.0).dtype == bool
+    assert ss.ttl([], 0.0).dtype == np.float64
+    ss.set([], 1, 0.0)  # no-op, no crash
+
+
+def test_load_replaces_state():
+    """Snapshot load REPLACES shard state (merge would let stale digests
+    survive a resume and suppress re-publishes)."""
+    sh = SeenShard(0, TTL)
+    stale = dig("https://www.gov.uk/stale")
+    sh.set_batch(stale, 1, 0.0)
+    fresh = SeenShard(1, TTL)
+    fresh.set_batch(dig("https://www.gov.uk/fresh"), 1, 0.0)
+    sh.load_table(fresh.snapshot_table())
+    assert sh.get_batch(stale, 0.0)[0] == 0          # stale digest gone
+    assert not sh.exists_batch(stale, 0.0)[0]        # cuckoo rebuilt too
+    assert sh.get_batch(dig("https://www.gov.uk/fresh"), 0.0)[0] == 1
+
+
+def test_cuckoo_prefilter_consistent_after_expiry():
+    """The cuckoo IS consulted on reads (deletion-aware pre-filter): after
+    TTL expiry deletes keys, reads must stay exact, and the cuckoo count
+    must reflect the deletions."""
+    sh = SeenShard(0, TTL)
+    ds = dig(*[f"https://www.gov.uk/x{i}" for i in range(300)])
+    sh.set_batch(ds, 1, 0.0)
+    assert sh.cuckoo.count == 300
+    assert sh.exists_batch(ds, 0.0).all()
+    # expire half by advancing the logical clock past their TTL
+    later = TTL + 1.0
+    sh.set_batch(ds[:150], 2, later)  # refresh first half at `later`
+    assert (~sh.exists_batch(ds[150:], later)).all()
+    assert sh.exists_batch(ds[:150], later).all()
+    got = sh.get_batch(ds, later)
+    assert (got[:150] == 2).all() and (got[150:] == 0).all()
+    assert sh.cuckoo.count == 150  # expired keys deleted from the cuckoo
+
+
+def test_cuckoo_overflow_falls_back_exact():
+    """When the cuckoo overflows (insert failures) it stops being a
+    definite-miss filter; reads must fall back to bloom+dict and stay
+    exact."""
+    sh = SeenShard(0, TTL, expected_keys=64)  # tiny filter
+    ds = dig(*[f"https://www.gov.uk/o{i}" for i in range(2000)])
+    sh.set_batch(ds, 1, 0.0)
+    assert sh.cuckoo_overflow > 0  # filter actually overflowed
+    assert (sh.get_batch(ds, 0.0) == 1).all()
+    assert sh.exists_batch(ds, 0.0).all()
