@@ -81,14 +81,23 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _read_sized(path: str, columns: list[str] | None = None):
-    """read_parquet with block count sized to the file (default splitting
-    shatters small files into ~100-row blocks, which turns every groupby
-    into a huge tiny-task shuffle matrix — measured 31s for 5000 rows at
-    32 CPUs)."""
+    """read_parquet with block count pinned to CPU width (floored by
+    file size).  Two measured failure modes bracket this choice: Ray's
+    default splitting shatters small files into ~100-row blocks (groupby
+    becomes a tiny-task shuffle matrix — 31s for 5000 rows at 32 CPUs),
+    while a 1-block read serializes every downstream map stage AND makes
+    sort-aggregates pathological (8-10s for an 80k-row groupby; a
+    repartition() to fix it costs ~2-5s of all-to-all overhead).
+    Splitting at the read costs neither."""
+    import ray
     import ray.data as rd
 
+    try:
+        ncpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpus = 4
     size = os.path.getsize(path)
-    blocks = max(1, min(64, size // (32 << 20)))
+    blocks = max(ncpus, min(64, size // (32 << 20)))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=int(blocks))
 
@@ -219,7 +228,8 @@ def _q_embedding_neardup(sf_dir: str):
     )
 
     ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_neardup_pairs(ds, threshold=0.95)
+    return embedding_neardup_pairs(ds, threshold=0.95).select(
+        ["vec_a", "vec_b"])
 
 
 def _q_minhash_neardup(sf_dir: str):
@@ -524,6 +534,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, "
             "vec_id ASC) AS BIGINT) AS rank FROM s "
             "ORDER BY cos DESC, vec_id ASC LIMIT 10"),
+        "embedding_neardup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.95 "
+            "ORDER BY vec_a, vec_b"),
         "crawl_order": (
             f"SELECT round, seq, url FROM read_parquet('{go}')"),
         "crawl_seen": (

@@ -35,10 +35,13 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
         if t and k in ("text", "link"):
             buckets[p].append((int(o), t))
     out = [" ".join(t for _, t in sorted(b)) for b in buckets]
-    return pa.table({
+    cols = {
         "doc_id": batch["url"],
         "text": pa.array(out, pa.string()),
-    })
+    }
+    if "discovered_seq" in batch.column_names:
+        cols["discovered_seq"] = batch["discovered_seq"]
+    return pa.table(cols)
 
 
 def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
@@ -63,7 +66,8 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
               for f in sorted(os.listdir(rdir)) if f.endswith(".parquet")]
     ds = rd.read_parquet(
         rounds,
-        columns=["url", "spans", "outcome", "content_type"],
+        columns=["url", "spans", "outcome", "content_type",
+                 "discovered_seq"],
         filter=((pc.field("outcome") == "fetched") &
                 (pc.field("content_type") == "text/html")))
     docs = ds.map_batches(extract_text_batch, batch_format="pyarrow")
@@ -73,41 +77,54 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
         q = quality_score_batch(batch)
         lang = lang_id_batch(batch)
         hashed = content_hash_batch(batch)
+        # rowkey (doc_id | zero-padded seq) is UNIQUE per fetched row
+        # (a seq is fetched at most once across rounds), so the winner
+        # semi-join below keeps exactly one physical row per hash with
+        # no second dedup pass
+        rowkey = pc.binary_join_element_wise(
+            batch["doc_id"],
+            pc.utf8_lpad(pc.cast(batch["discovered_seq"], pa.string()),
+                         12, "0"), "|")
         return pa.table({
             "doc_id": batch["doc_id"],
             "text": batch["text"],
             "quality_points": q["quality_points"],
             "pred_lang": lang["pred_lang"],
             "content_hash": hashed["content_hash"],
+            "rowkey": rowkey,
         })
 
     scored = docs.map_batches(score, batch_format="pyarrow")
     kept = scored.filter(
         expr=f"quality_points >= {min_quality_points}")
-    # exact dedup: first doc per content hash (narrow groupby — text
-    # itself never shuffles; the winner set is re-joined by broadcast)
-    winners = (kept.select_columns(["doc_id", "content_hash"])
+    # exact dedup, ONE narrow shuffle: min rowkey per content hash (min
+    # doc_id, earliest-crawled copy on ties) — text never shuffles
+    winners = (kept.select_columns(["content_hash", "rowkey"])
                .groupby("content_hash")
-               .aggregate(Min("doc_id", alias_name="keep_id"),
+               .aggregate(Min("rowkey", alias_name="win_key"),
                           Count(alias_name="n_dups")))
-    keep_ids = set(winners.to_pandas()["keep_id"])
+    win_parts = []
+    for b in winners.iter_batches(batch_format="pyarrow"):
+        win_parts.append(pc.binary_join_element_wise(
+            b["content_hash"], b["win_key"], "|"))
+    import ray
+
+    win_set = (pa.concat_arrays([p.combine_chunks() if isinstance(
+        p, pa.ChunkedArray) else p for p in win_parts])
+        if win_parts else pa.array([], pa.string()))
+    win_ref = ray.put(win_set)
 
     def only_winners(batch: pa.Table) -> pa.Table:
-        mask = pa.array([d in keep_ids for d in
-                         batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
+        full = pc.binary_join_element_wise(batch["content_hash"],
+                                           batch["rowkey"], "|")
+        mask = pc.is_in(full, value_set=ray.get(win_ref))
+        return batch.filter(mask).drop_columns(["rowkey"])
 
-    import pandas as pd
-
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
-
-    # the broadcast winner filter removed the dup MASS; a final grouped
-    # head(1) on the (already nearly unique) survivors removes recrawl
-    # copies of the same URL across rounds
-    curated = (kept.map_batches(only_winners, batch_format="pyarrow")
-               .groupby("content_hash")
-               .map_groups(first_row, batch_format="pandas"))
+    # broadcast semi-join on the composite winner key: vectorized is_in,
+    # no driver row loop, no second shuffle.  (When the winner set
+    # outgrows a broadcast — 10^9+ distinct hashes — the documented
+    # scale path is a hash-partitioned join on content_hash.)
+    curated = kept.map_batches(only_winners, batch_format="pyarrow")
     curated.write_parquet(dest_dir)
     import pyarrow.dataset as pads
 

@@ -36,13 +36,25 @@ _B = _RNG.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
 def cpu_split(ds):
     """Split blocks so a CPU-heavy map stage can use the whole machine —
     a small input file otherwise arrives as one block and the stage runs
-    serial (measured: 121s -> ~8s for the minhash pass at 32 CPUs)."""
+    serial (measured: 121s -> ~8s for the minhash pass at 32 CPUs).
+
+    Prefer splitting AT THE READ (``override_num_blocks`` in
+    ``read_parquet``, see ``__ray_entry__._read_sized``): the
+    repartition here is an all-to-all that costs ~2-5 s of fixed
+    overhead in this environment.  This helper only repartitions when
+    the input genuinely arrives in fewer blocks than CPUs."""
     try:
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         n = 4
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = 1
+    if nb is not None and nb >= min(4, n):
+        return ds
     return ds.repartition(max(2, n))
 
 
@@ -116,27 +128,29 @@ def minhash_signature(text: str, k: int = 5,
 
 
 def minhash_bands_batch(batch: pa.Table, k: int = 5) -> pa.Table:
-    """docs -> exploded (band_id, band_hash, doc_id) narrow rows."""
+    """docs -> exploded (doc_id, band_key) narrow rows.  ``band_key`` is
+    one 63-bit blake2b over (band_id || band row values): a single
+    fixed-width int column so the bucket groupby shuffles/sorts one int64
+    key instead of an (int32, string) composite (measured ~2x on the
+    aggregate).  A cross-band key collision only adds a candidate pair,
+    which the exact Jaccard verify then rejects — correctness unaffected."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     cache: dict = {}  # token-hash memo shared across the batch
     out_doc: list = []
-    out_band: list[int] = []
-    out_hash: list[int] = []
+    out_key: list[int] = []
     for d, t in zip(doc_ids, texts):
         sig = minhash_signature(t, k, cache)
         bands = sig.reshape(NUM_BANDS, ROWS_PER_BAND)
         for b in range(NUM_BANDS):
             bh = int.from_bytes(
-                hashlib.blake2b(bands[b].tobytes(),
-                                digest_size=8).digest(), "big")
+                hashlib.blake2b(bytes([b]) + bands[b].tobytes(),
+                                digest_size=8).digest(), "big") >> 1
             out_doc.append(d)
-            out_band.append(b)
-            out_hash.append(bh)
+            out_key.append(bh)
     return pa.table({
         "doc_id": pa.array(out_doc),
-        "band_id": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array([f"{h:016x}" for h in out_hash], pa.string()),
+        "band_key": pa.array(out_key, pa.int64()),
     })
 
 
@@ -149,71 +163,137 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
-    """-> candidate near-dup pairs (doc_a < doc_b, jaccard >= threshold).
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.int64()),
+                     "doc_b": pa.array([], pa.int64()),
+                     "jaccard": pa.array([], pa.float64())})
 
-    Stages: minhash+bands (vectorized map_batches) -> groupby(band) for
-    bucket candidates (narrow shuffle) -> pair verify (Jaccard over
-    shingles, recomputed only for candidate pairs — at most
-    O(bucket^2) per bucket) -> distinct pairs.
-    Returns a pyarrow Table (pairs are a small result set).
+
+def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
+    """-> verified near-dup pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Stages, all distributed (the driver only ever holds narrow hot-bucket
+    keys, candidate doc IDS, and candidate texts — never the pair/text
+    mass):
+      1. minhash+bands (vectorized map_batches), MATERIALIZED once —
+         the band table feeds two consumers (count + pairing) and is
+         narrow (doc_id, band_id, band_hash);
+      2. groupby(band) count -> collided buckets only (broadcast keys);
+      3. vectorized is_in filter -> groupby(band).map_groups pairing
+         over collided buckets only;
+      4. distinct pairs via a narrow groupby(doc_a, doc_b) aggregate;
+      5. Jaccard verify INSIDE map_batches against broadcast candidate
+         texts (ray.put once; per-batch shingle-set memo).
+    Returns a pyarrow Table (the verified pair set is small).
+
+    Scale note: the text broadcast is bounded by the candidate count; at
+    10^10 docs the candidates' texts route through the same worker->shard
+    staging as the crawl publish gate (ROADMAP #3).
     """
     import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
 
-    bands = cpu_split(ds).map_batches(lambda b: minhash_bands_batch(b, k),
-                                      batch_format="pyarrow")
+    # minhash at full CPU width; band rows are narrow (doc_id, band_key)
+    bands = (cpu_split(ds)
+             .map_batches(lambda b: minhash_bands_batch(b, k),
+                          batch_format="pyarrow")
+             .materialize())
 
     # almost every band bucket is a singleton: aggregate counts first
     # (cheap combiner groupby), keep only COLLIDED buckets, and generate
     # pairs from that small set — map_groups over every singleton bucket
     # costs per-group Python overhead x num_docs x num_bands.
-    from ray.data.aggregate import Count
-
-    counts = (bands.groupby(["band_id", "band_hash"])
+    counts = (bands.groupby("band_key")
               .aggregate(Count(alias_name="n")))
-    hot = counts.filter(expr="n > 1").to_pandas()
-    if len(hot) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+    hot = counts.filter(expr="n > 1")
+    hot_parts = []
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        hot_parts.append(b["band_key"].combine_chunks())
+    if not hot_parts or sum(len(p) for p in hot_parts) == 0:
+        return _empty_pairs()
+    hot_ref = ray.put(pa.concat_arrays(
+        [p if isinstance(p, pa.Array) else p.combine_chunks()
+         for p in hot_parts]))
 
     def only_hot(b: pa.Table) -> pa.Table:
-        bid = b["band_id"].to_pylist()
-        bh = b["band_hash"].to_pylist()
-        mask = pa.array([(i, h) in hot_keys for i, h in zip(bid, bh)])
-        return b.filter(mask)
+        return b.filter(pc.is_in(b["band_key"],
+                                 value_set=ray.get(hot_ref)))
+
+    # collided band rows are SMALL by construction: materialize them once
+    # (feeds both the candidate-id scan and the pairing groupby)
+    hot_bands = (bands.map_batches(only_hot, batch_format="pyarrow")
+                 .materialize())
+    ids: set = set()
+    for b in hot_bands.iter_batches(batch_format="pyarrow"):
+        ids.update(b["doc_id"].to_pylist())
+    if not ids:
+        return _empty_pairs()
+    # broadcast candidate texts once; verification runs INSIDE the same
+    # pairing execution (fused map after the bucket groupby)
+    text_ref = ray.put(_collect_texts(ds, ids))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
+        ids_ = sorted(g["doc_id"].tolist())
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        for i in range(len(ids_)):
+            for j in range(i + 1, len(ids_)):
+                out_a.append(ids_[i])
+                out_b.append(ids_[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
 
-    pairs = (bands.map_batches(only_hot, batch_format="pyarrow")
-             .groupby(["band_id", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pdf = pdf.drop_duplicates().reset_index(drop=True)
-    # verify candidates against the real shingle sets
-    texts = _collect_texts(ds, set(pdf["doc_a"]) | set(pdf["doc_b"]))
-    keep_a, keep_b, keep_j = [], [], []
-    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-        j = jaccard(texts[a], texts[b], k)
-        if j >= threshold:
-            keep_a.append(a)
-            keep_b.append(b)
-            keep_j.append(round(j, 6))
-    return pa.table({"doc_a": pa.array(keep_a),
-                     "doc_b": pa.array(keep_b),
-                     "jaccard": pa.array(keep_j, pa.float64())})
+    def verify(b: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        memo: dict = {}
+
+        def shingles(d):
+            s = memo.get(d)
+            if s is None:
+                s = set(_shingle_hashes(texts[d], k))
+                memo[d] = s
+            return s
+
+        seen_pairs: set = set()
+        keep_a, keep_b, keep_j = [], [], []
+        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            if (a, bb) in seen_pairs:  # same pair from multiple bands
+                continue
+            seen_pairs.add((a, bb))
+            sa, sb = shingles(a), shingles(bb)
+            if not sa and not sb:
+                j = 1.0
+            elif not sa or not sb:
+                j = 0.0
+            else:
+                j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(bb)
+                keep_j.append(round(j, 6))
+        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                         "doc_b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(keep_j, pa.float64())})
+
+    parts = [b for b in (hot_bands
+                         .groupby("band_key")
+                         .map_groups(bucket_pairs, batch_format="pandas")
+                         .map_batches(verify, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))]
+    if not parts:
+        return _empty_pairs()
+    out = pa.concat_tables(parts)
+    a = out["doc_a"].to_numpy()
+    b = out["doc_b"].to_numpy()
+    j = out["jaccard"].to_numpy()
+    # cross-batch dedup of the (small) VERIFIED pair set + stable order
+    order = np.lexsort((b, a))
+    a, b, j = a[order], b[order], j[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                     "doc_b": pa.array(b[keep], pa.int64()),
+                     "jaccard": pa.array(j[keep], pa.float64())})
 
 
 def _collect_texts(ds, ids: set) -> dict:

@@ -112,10 +112,14 @@ def count_by_host_salted(ds, num_salts: int = 8):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        import zlib
+
         hosts = batch["host"].to_pylist()
         urls = batch["url"].to_pylist()
-        salt = np.array([hash(u) % num_salts for u in urls],
-                        dtype=np.int32)
+        # stable seeded hash: builtin hash() is PYTHONHASHSEED-dependent,
+        # which made the salt partitioning nondeterministic run-to-run
+        salt = np.array([zlib.crc32(u.encode("utf-8")) % num_salts
+                         for u in urls], dtype=np.int32)
         df = pd.DataFrame({"host": hosts, "salt": salt, "n": 1})
         g = df.groupby(["host", "salt"], as_index=False).agg(
             partial_n=("n", "sum"))
@@ -128,14 +132,30 @@ def count_by_host_salted(ds, num_salts: int = 8):
             .aggregate(Sum("salt_n", alias_name="n_pages")))
 
 
-def top_docs_by_length(ds, k: int = 25):
-    """Top-k longest documents (sort + limit with deterministic doc_id
-    tiebreak): (doc_id, n_chars)."""
-    with_len = ds.map_batches(
-        lambda b: pa.table({
-            "doc_id": b["doc_id"],
-            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
-            "neg_id": pc.multiply(b["doc_id"], pa.scalar(-1)),
-        }), batch_format="pyarrow")
-    top = with_len.sort(["n_chars", "neg_id"], descending=True).limit(k)
-    return top.select_columns(["doc_id", "n_chars"])
+def top_docs_by_length(ds, k: int = 25) -> pa.Table:
+    """Top-k longest documents with deterministic doc_id tiebreak:
+    (doc_id, n_chars).  Per-batch partial top-k + driver merge of
+    k rows/batch — no all-to-all Sort operator in the plan (the
+    knn_bruteforce pattern)."""
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy()
+        ids = b["doc_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        # full ordering (n_chars desc, doc_id asc) so boundary ties pick
+        # the right members even within a batch
+        order = np.lexsort((ids, -n))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "n_chars": pa.array(n[order], pa.int64())})
+
+    parts = [b for b in (ds.map_batches(partial, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))]
+    allp = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_chars": pa.array([], pa.int64())})
+    ids = allp["doc_id"].to_numpy()
+    n = allp["n_chars"].to_numpy()
+    order = np.lexsort((ids, -n))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "n_chars": pa.array(n[order], pa.int64())})

@@ -208,3 +208,40 @@ def test_documents_source_roundtrip(ray_session, tmp_path):
         drop=True)
     assert list(t["doc_id"]) == list(orig["doc_id"])
     assert t["spans"].map(len).sum() == orig["spans"].map(len).sum()
+
+
+def test_embedding_neardup_matches_bruteforce(ray_session):
+    """LSH-bucketed near-dup pairing must produce EXACTLY the brute-force
+    pair set on a planted-near-dup fixture (recall engineered ~1-1e-4 at
+    threshold 0.95; precision exact via within-bucket cosine verify)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 32, 300
+    base = rng.standard_normal((n_base, dim))
+    rows = [base[i] for i in range(n_base)]
+    planted = []
+    for i in range(0, 60, 3):  # 20 planted near-dups of base rows
+        dup = base[i] + 0.05 * rng.standard_normal(dim)
+        planted.append((i, n_base + len(planted)))
+        rows.append(dup)
+    m = np.stack(rows)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    # brute-force truth (float32 round-trip like the pipeline reads)
+    m32 = m.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    s = mn @ mn.T
+    ai, bj = np.nonzero(np.triu(s >= 0.95, k=1))
+    truth = set(zip(ai.tolist(), bj.tolist()))
+    assert len(truth) >= 15  # fixture actually planted qualifying pairs
+    got = embedding_neardup_pairs(rd.from_arrow(tbl), threshold=0.95)
+    pairs = set(zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist()))
+    assert pairs == truth
