@@ -457,6 +457,14 @@ _ACCEPTED_SQL = ("'text/css','text/csv',"
 
 def oracle_sql() -> dict[str, str]:
     d = _fixture()  # goldens must exist for the read_parquet oracles
+    # scalar-twin goldens for the deterministic per-row hash operators
+    # (driver runs the side-by-side compare at sf0.01 per its contract)
+    from govuk_crawler_worker_ray.goldens import write_scalar_goldens
+
+    oracle_sf = os.environ.get("GCW_ORACLE_SF", "/root/testdata/sf0.01")
+    sg = write_scalar_goldens(
+        os.path.join(oracle_sf, "documents.parquet"),
+        "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
     gs = os.path.join(d, "golden_seen.parquet")
@@ -559,7 +567,16 @@ def oracle_sql() -> dict[str, str]:
         "pages_by_host": (
             "SELECT host, count(*) AS n_pages FROM "
             f"read_parquet('{corp}') GROUP BY host"),
-        # ann_lsh / embedding_neardup / minhash_neardup / simhash /
-        # fingerprint: non-SQL-expressible (hash families, LSH probing) —
-        # rows-only checks.
+        # deterministic per-row hash ops: goldens from the independent
+        # pure-Python scalar twins (goldens.py), hash-verified like the
+        # crawl goldens
+        "simhash": (
+            "SELECT doc_id, simhash FROM "
+            f"read_parquet('{sg['simhash']}')"),
+        "fingerprint": (
+            "SELECT doc_id, fingerprint FROM "
+            f"read_parquet('{sg['fingerprint']}')"),
+        # ann_lsh / minhash_neardup: non-SQL-expressible (LSH probing,
+        # banding) — rows-only checks; minhash is pinned by the
+        # planted-fixture pair tests instead.
     }

@@ -245,3 +245,31 @@ def test_embedding_neardup_matches_bruteforce(ray_session):
     got = embedding_neardup_pairs(rd.from_arrow(tbl), threshold=0.95)
     pairs = set(zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist()))
     assert pairs == truth
+
+
+def test_scalar_goldens_match_vectorized(docs_ds):
+    """The pure-Python scalar twins (goldens.py, the oracle producers)
+    must agree with the vectorized batch kernels on every doc."""
+    from govuk_crawler_worker_ray.goldens import (
+        fingerprint_scalar,
+        simhash_scalar,
+    )
+    from govuk_crawler_worker_ray.pipelines.dedup import simhash_batch
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        fingerprint_batch,
+    )
+
+    tbl = _docs_table()
+    sh = simhash_batch(tbl)["simhash"].to_pylist()
+    fp = fingerprint_batch(tbl)["fingerprint"].to_pylist()
+    for i, text in enumerate(tbl["text"].to_pylist()):
+        assert sh[i] == f"{simhash_scalar(text):016x}"
+        assert fp[i] == f"{fingerprint_scalar(text):016x}"
+    # edge cases: empty text and unicode
+    for text in ("", "  ", "héllo wörld 中文"):
+        t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array([text], pa.string())})
+        assert simhash_batch(t2)["simhash"].to_pylist()[0] == \
+            f"{simhash_scalar(text):016x}"
+        assert fingerprint_batch(t2)["fingerprint"].to_pylist()[0] == \
+            f"{fingerprint_scalar(text):016x}"
