@@ -65,6 +65,13 @@ class CrawlConfig:
     # Politeness: max fetches per host per round (north rule; the reference
     # has only the global 429 back-off, workflow.go:108-114). None = no cap.
     per_host_budget: int | None = None
+    # Politeness token bucket (north rule's per-host rate limiting as a
+    # REAL budget, SURVEY.md §4 rate-limiting row): each host accrues
+    # this many fetch tokens per round (unused tokens carry over up to
+    # 2x), and a host that returned ANY 429 in round k gets zero tokens
+    # in round k+1 — a per-host back-off, unlike the reference's global
+    # 5s sleep (workflow.go:109-114).  None = feature off (parity mode).
+    host_token_budget: int | None = None
     # Honor robots.txt (north-rule addition; absent in the reference).
     respect_robots: bool = False
     # Round cap for the superstep loop (safety net; 429 rows requeue forever

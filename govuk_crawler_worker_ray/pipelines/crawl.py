@@ -164,6 +164,9 @@ class CrawlEngine:
                                       cfg.ttl_expire_seconds)
             self.pool = None
         self._local_fetcher = FetchStage(self.index, cfg, self.seen)
+        # politeness token-bucket state (host_token_budget feature)
+        self._host_tokens: dict[str, int] = {}
+        self._hosts_429: set[str] = set()
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[str], now: float = 0.0,
@@ -245,14 +248,34 @@ class CrawlEngine:
              "aborted_retries": 0, "extract_aborts": 0,
              "robots_excluded": 0}
 
-        # politeness budget (north rule): per-host cap in seq order
+        # politeness budget (north rule): per-host cap in seq order.
+        # Vectorized (unique codes + grouped cumcount in numpy) — the
+        # previous pandas groupby-cumcount was a driver-side per-row pass.
         deferred = _frontier_table([])
-        if cfg.per_host_budget is not None:
-            import pandas as pd
-
-            hosts = pd.Series(frontier["host"].to_pylist())
-            cum = hosts.groupby(hosts).cumcount()  # position-preserving
-            take_mask = (cum < cfg.per_host_budget).to_numpy()
+        if (cfg.per_host_budget is not None
+                or cfg.host_token_budget is not None):
+            hosts_np = np.asarray(frontier["host"].to_pylist(),
+                                  dtype=object)
+            codes, inv = np.unique(hosts_np, return_inverse=True)
+            cum = _group_cumcount(inv)
+            if cfg.host_token_budget is not None:
+                # token bucket with carry-over; a host that 429'd last
+                # round gets zero tokens this round (per-host back-off)
+                rate = cfg.host_token_budget
+                avail = np.empty(len(codes), dtype=np.int64)
+                for ci, h in enumerate(codes):
+                    if h in self._hosts_429:
+                        avail[ci] = 0
+                    else:
+                        avail[ci] = min(self._host_tokens.get(h, 0) + rate,
+                                        2 * rate)
+                take_mask = cum < avail[inv]
+                taken = np.bincount(inv[take_mask], minlength=len(codes))
+                for ci, h in enumerate(codes):
+                    self._host_tokens[h] = int(avail[ci] - taken[ci])
+                self._hosts_429 = set()  # re-armed from this round
+            else:
+                take_mask = cum < cfg.per_host_budget
             deferred = frontier.filter(pa.array(~take_mask))
             frontier = frontier.filter(pa.array(take_mask))
             m["deferred"] = deferred.num_rows
@@ -331,6 +354,11 @@ class CrawlEngine:
                 m["rejected"] += vc["counts"]
             else:
                 m[_OUTCOME_METRIC[vc["values"]]] += vc["counts"]
+        if self.cfg.host_token_budget is not None:
+            # per-host 429 signal: these hosts get zero tokens next round
+            self._hosts_429 = set(
+                narrow.filter(pc.equal(outcomes, "requeue_429"))["host"]
+                .to_pylist())
         # per-host fetch counts (north rule: fetch/dedup metrics)
         fetched_hosts = narrow.filter(pc.is_in(
             outcomes,
@@ -604,6 +632,25 @@ def _allowed_hosts(cfg: CrawlConfig) -> list[str]:
         p = parse_url(r)
         if p is not None:
             out.append(netloc_host(p.netloc))
+    return out
+
+
+def _group_cumcount(codes: np.ndarray) -> np.ndarray:
+    """Per-group 0-based position in ORIGINAL row order (the numpy
+    equivalent of pandas groupby().cumcount()), O(n log n), no driver
+    row loop."""
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    is_new = np.ones(n, dtype=bool)
+    is_new[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    run_starts = np.nonzero(is_new)[0]
+    run_ids = np.cumsum(is_new) - 1
+    pos_sorted = np.arange(n) - run_starts[run_ids]
+    out = np.empty(n, dtype=np.int64)
+    out[order] = pos_sorted
     return out
 
 

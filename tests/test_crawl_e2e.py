@@ -207,3 +207,58 @@ def test_mirror_rejected_page_counted_fetched(tmp_path):
     # engine metrics count it as both fetched and rejected
     tot_fetched = sum(m["fetched"] for m in res.metrics)
     assert tot_fetched == len(oracle.crawl_order)
+
+
+def test_host_token_budget_429_backoff(tmp_path):
+    """Per-host politeness token bucket (SURVEY §4 rate-limiting row): a
+    host that returns 429 gets ZERO tokens the next round (its rows
+    defer) while other hosts keep fetching; the feature is off by
+    default so reference parity is unaffected (see the parity tests)."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.schemas import CORPUS_SCHEMA
+
+    def page(url, host, status=200, spans=None, transient=False):
+        spans = spans or [{"kind": "text", "text": "body", "media_ref": "",
+                           "offset": 0}]
+        return dict(url=url, host=host, status_code=status,
+                    content_type="text/html; charset=utf-8", spans=spans,
+                    body="<p>body</p>", redirect_location=None,
+                    transient=transient)
+
+    link = lambda u: {"kind": "link", "text": "l", "media_ref": u,  # noqa
+                      "offset": 0}
+    rows = [
+        page("https://www.gov.uk/", "www.gov.uk",
+             spans=[link("https://www.gov.uk/a"),
+                    link("https://www.gov.uk/b")]),
+        page("https://www.gov.uk/a", "www.gov.uk"),
+        page("https://www.gov.uk/b", "www.gov.uk"),
+        # slow host root 429s on the first attempt, succeeds on retry
+        page("https://slow.gov.uk/", "slow.gov.uk", status=429,
+             transient=True),
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    cfg = CrawlConfig(
+        root_urls=["https://www.gov.uk/", "https://slow.gov.uk/"],
+        host_token_budget=2, max_rounds=10)
+    res = run_crawl(corpus, ["https://www.gov.uk/",
+                             "https://slow.gov.uk/"],
+                    cfg, str(tmp_path / "tok"), use_ray=False)
+    order = _order(res)
+    # round 0: both roots attempted, slow 429s -> requeued
+    assert res.metrics[0]["requeued"] == 1
+    # round 1: slow host in back-off (its retry DEFERS) while www.gov.uk
+    # keeps fetching its round-1 links
+    assert res.metrics[1]["deferred"] >= 1
+    r1_hosts = {u.split("/")[2] for r, u in order if r == 1}
+    assert r1_hosts == {"www.gov.uk"}
+    assert "slow.gov.uk" not in {u.split("/")[2] for r, u in order
+                                 if r <= 1}
+    # the slow root is eventually fetched once the back-off clears
+    slow_rounds = [r for r, u in order if u == "https://slow.gov.uk/"]
+    assert slow_rounds and slow_rounds[0] >= 2
+    # every www.gov.uk page got through
+    assert {u for _, u in order if "www.gov.uk" in u} == {
+        "https://www.gov.uk/", "https://www.gov.uk/a",
+        "https://www.gov.uk/b"}
