@@ -52,12 +52,11 @@ from ..stages.fetch import CorpusIndex, FetchStage
 from ..stages.pool import NARROW_COLS, FetchWorkerPool
 from ..stages.publish import (
     EV_ATTEMPT,
-    EV_INCR,
-    EV_RESET,
+    derive_fetch_events,
     extract_candidates_batch,
     stage_events_to_shards,
 )
-from ..state.seen_set import SeenSet, keys_u64
+from ..state.seen_set import SeenSet
 
 
 @dataclass
@@ -329,15 +328,16 @@ class CrawlEngine:
             dup_fetched = self._run_dup_lane(dup_rows, now)
             pq.write_table(dup_fetched,
                            os.path.join(rdir, "fetched", "part-dup.parquet"))
-            narrow = pa.concat_tables([narrow,
-                                       dup_fetched.select(NARROW_COLS)])
+            dup_narrow = dup_fetched.select(NARROW_COLS)
+            narrow = pa.concat_tables([narrow, dup_narrow])
             html = dup_fetched.filter(pc.and_(
                 pc.equal(dup_fetched["outcome"], "fetched"),
                 pc.equal(dup_fetched["content_type"], "text/html")))
             extract_aborts += self._stage_candidates(
                 extract_candidates_batch(
                     html.select(["url", "discovered_seq", "spans"]),
-                    cfg, self.allowed_hosts))
+                    cfg, self.allowed_hosts),
+                extra_events=derive_fetch_events(dup_narrow))
         outcomes = narrow["outcome"]
         _OUTCOME_METRIC = {
             "fetched": "fetched", "blacklisted": "blacklisted",
@@ -371,28 +371,9 @@ class CrawlEngine:
 
         m["t_fetch_ms"] = int((_time.perf_counter() - _t0) * 1000)
         _t0 = _time.perf_counter()
-        # events: resets (non-accepted), INCRs (5xx) — narrow
-        ev_rows = narrow.filter(pc.is_in(
-            outcomes, value_set=pa.array(["acked_non_accepted",
-                                          "requeue_5xx"])))
-        ev_digest = ev_rows["url_digest"].to_pylist()
-        ev_url = ev_rows["url"].to_pylist()
-        ev_host = ev_rows["host"].to_pylist()
-        ev_pseq = ev_rows["discovered_seq"].to_numpy().tolist()
-        ev_idx = [-1] * ev_rows.num_rows
-        ev_kind = [EV_RESET if o == "acked_non_accepted" else EV_INCR
-                   for o in ev_rows["outcome"].to_pylist()]
-        fetch_events = pa.table({
-            "digest": pa.array(ev_digest, pa.string()),
-            "url": pa.array(ev_url, pa.string()),
-            "host": pa.array(ev_host, pa.string()),
-            "parent_seq": pa.array(ev_pseq, pa.int64()),
-            "link_idx": pa.array(ev_idx, pa.int32()),
-            "kind": pa.array(ev_kind, pa.int8()),
-            "key_u64": pa.array(keys_u64(ev_digest), pa.uint64()),
-        })
-        stage_events_to_shards(fetch_events, self.seen.shards,
-                               self.seen.remote)
+        # RESET/INCR fetch events are staged by whoever fetched the rows
+        # (pool workers, the local path, or the dup lane) — the driver no
+        # longer touches the seen-set event exchange at all
         m["extract_aborts"] = extract_aborts
         m["rejected"] += extract_aborts
 
@@ -484,18 +465,24 @@ class CrawlEngine:
         html = fetched.filter(pc.and_(
             pc.equal(fetched["outcome"], "fetched"),
             pc.equal(fetched["content_type"], "text/html")))
+        narrow = fetched.select(NARROW_COLS)
         cands = extract_candidates_batch(
             html.select(["url", "discovered_seq", "spans"]),
             self.cfg, self.allowed_hosts)
-        aborts = self._stage_candidates(cands)
-        return fetched.select(NARROW_COLS), aborts
+        aborts = self._stage_candidates(
+            cands, extra_events=derive_fetch_events(narrow))
+        return narrow, aborts
 
-    def _stage_candidates(self, cands: pa.Table) -> int:
-        """Stage attempt rows to their shards; returns the abort count."""
+    def _stage_candidates(self, cands: pa.Table,
+                          extra_events: pa.Table | None = None) -> int:
+        """Stage attempt rows (+ any RESET/INCR fetch events) to their
+        shards; returns the abort count."""
         aborts = int(pc.sum(pc.cast(pc.equal(cands["kind"], -1),
                                     pa.int32())).as_py() or 0)
-        attempts = cands.filter(pc.equal(cands["kind"], EV_ATTEMPT))
-        stage_events_to_shards(attempts, self.seen.shards, self.seen.remote)
+        events = cands.filter(pc.equal(cands["kind"], EV_ATTEMPT))
+        if extra_events is not None and extra_events.num_rows:
+            events = pa.concat_tables([events, extra_events])
+        stage_events_to_shards(events, self.seen.shards, self.seen.remote)
         return aborts
 
     def _high_counters(self, now: float) -> dict:

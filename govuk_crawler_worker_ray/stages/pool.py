@@ -30,7 +30,11 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from .fetch import FetchStage
-from .publish import extract_candidates_batch, stage_events_to_shards
+from .publish import (
+    derive_fetch_events,
+    extract_candidates_batch,
+    stage_events_to_shards,
+)
 
 NARROW_COLS = ["url", "host", "url_digest", "discovered_seq", "attempt",
                "priority", "outcome"]
@@ -63,22 +67,26 @@ class FetchWorker:
                      out_paths: list[str]) -> tuple[pa.Table, int, list]:
         """Process this worker's WHOLE round allocation in one RPC:
         per-chunk fetch+write+extract, then ONE staging message per shard
-        for all the worker's candidates (per-chunk RPCs dominated the
-        fetch phase at 100+ chunks/round).  The staging refs travel back
-        so the driver can barrier before the round commit."""
+        for all the worker's events — publish attempts AND the rows' own
+        RESET/INCR fetch events (per-chunk RPCs dominated the fetch phase
+        at 100+ chunks/round; worker-side event derivation keeps the
+        driver out of the seen-set exchange entirely).  The staging refs
+        travel back so the driver can barrier before the round commit."""
         narrows: list[pa.Table] = []
-        cand_parts: list[pa.Table] = []
+        ev_parts: list[pa.Table] = []
+        aborts = 0
         for chunk, path in zip(chunks, out_paths):
             n, c = self._one_chunk(chunk, now, path)
             narrows.append(n)
-            cand_parts.append(c)
-        cands = pa.concat_tables(cand_parts) if cand_parts else None
-        if cands is None or cands.num_rows == 0:
-            return (pa.concat_tables(narrows) if narrows else None, 0, [])
-        aborts = int(pc.sum(pc.cast(pc.equal(cands["kind"], -1),
-                                    pa.int32())).as_py() or 0)
-        attempts = cands.filter(pc.equal(cands["kind"], 0))
-        stage_refs = stage_events_to_shards(attempts,
+            aborts += int(pc.sum(pc.cast(pc.equal(c["kind"], -1),
+                                         pa.int32())).as_py() or 0)
+            ev_parts.append(c.filter(pc.equal(c["kind"], 0)))
+            ev_parts.append(derive_fetch_events(n))
+        events = pa.concat_tables(ev_parts) if ev_parts else None
+        if events is None or events.num_rows == 0:
+            return (pa.concat_tables(narrows) if narrows else None,
+                    aborts, [])
+        stage_refs = stage_events_to_shards(events,
                                             self.stage.seen.shards,
                                             remote=self.stage.seen.remote,
                                             block=False)

@@ -94,6 +94,32 @@ def extract_candidates_batch(batch: pa.Table, cfg: CrawlConfig,
     })
 
 
+def derive_fetch_events(narrow: pa.Table) -> pa.Table:
+    """Fetch-outcome seen-set events from a narrow outcome table:
+    acked_non_accepted -> RESET (workflow.go:129-140), requeue_5xx ->
+    INCR (workflow.go:107).  link_idx=-1 makes a row's own event sort
+    before any publish attempts sharing its parent_seq at replay."""
+    import pyarrow.compute as pc
+
+    from ..state.seen_set import keys_u64
+
+    ev = narrow.filter(pc.is_in(
+        narrow["outcome"],
+        value_set=pa.array(["acked_non_accepted", "requeue_5xx"])))
+    digests = ev["url_digest"].to_pylist()
+    kinds = [EV_RESET if o == "acked_non_accepted" else EV_INCR
+             for o in ev["outcome"].to_pylist()]
+    return pa.table({
+        "digest": pa.array(digests, pa.string()),
+        "url": ev["url"],
+        "host": ev["host"],
+        "parent_seq": ev["discovered_seq"],
+        "link_idx": pa.array([-1] * ev.num_rows, pa.int32()),
+        "kind": pa.array(kinds, pa.int8()),
+        "key_u64": pa.array(keys_u64(digests), pa.uint64()),
+    })
+
+
 def stage_events_to_shards(events: pa.Table, shards, remote: bool,
                            block: bool = True):
     """Route event rows (digest, url, host, parent_seq, link_idx, kind,

@@ -212,19 +212,34 @@ class SeenShard:
 
     def stage_events(self, digests, urls, hosts, parent_seqs, link_idxs,
                      kinds) -> int:
+        """Decode and PRESORT the chunk on arrival: staging RPCs land
+        while the fetch phase is still running, so the Arrow->Python
+        decode and the per-chunk (parent_seq, link_idx) sort happen off
+        the round-commit critical path (ROADMAP #2 commit-barrier
+        pipelining); the commit then only merges sorted runs."""
         if not hasattr(self, "_staged"):
             self._staged = []
-        self._staged.append((digests, urls, hosts, parent_seqs, link_idxs,
-                             kinds))
+        dg = digests if isinstance(digests, list) else digests.to_pylist()
+        us = urls if isinstance(urls, list) else urls.to_pylist()
+        hs = hosts if isinstance(hosts, list) else hosts.to_pylist()
+        ps = np.asarray(parent_seqs, dtype=np.int64)
+        li = np.asarray(link_idxs, dtype=np.int32)
+        kd = np.asarray(kinds)
+        order = np.lexsort((li, ps))
+        self._staged.append((
+            [dg[i] for i in order], [us[i] for i in order],
+            [hs[i] for i in order], ps[order], li[order], kd[order]))
         return len(self._staged)
 
     def clear_staged(self) -> None:
         self._staged = []
 
     def commit_staged(self, now: float):
-        """Sort all staged events by (parent_seq, link_idx), replay, and
-        return the winner rows as an Arrow table (url, host, digest,
-        parent_seq, link_idx)."""
+        """Merge the presorted staged runs by (parent_seq, link_idx),
+        replay, and return the winner rows as an Arrow table (url, host,
+        digest, parent_seq, link_idx).  Chunks were decoded+sorted on
+        arrival, so the commit-path sort is a merge of sorted runs
+        (numpy stable sort = timsort, which exploits the runs)."""
         import pyarrow as _pa
 
         staged = getattr(self, "_staged", [])
@@ -240,20 +255,20 @@ class SeenShard:
         digests: list[str] = []
         urls: list[str] = []
         hosts: list[str] = []
-        pseqs: list = []
-        idxs: list = []
-        kinds: list = []
-        for dg, u, h, ps, li, kd in staged:
-            digests.extend(dg if isinstance(dg, list) else dg.to_pylist())
-            urls.extend(u if isinstance(u, list) else u.to_pylist())
-            hosts.extend(h if isinstance(h, list) else h.to_pylist())
-            pseqs.append(np.asarray(ps))
-            idxs.append(np.asarray(li))
-            kinds.append(np.asarray(kd))
-        pseq = np.concatenate(pseqs)
-        lidx = np.concatenate(idxs)
-        kind = np.concatenate(kinds)
-        order = np.lexsort((lidx, pseq))
+        for dg, u, h, _, _, _ in staged:
+            digests.extend(dg)
+            urls.extend(u)
+            hosts.extend(h)
+        pseq = np.concatenate([c[3] for c in staged])
+        lidx = np.concatenate([c[4] for c in staged])
+        kind = np.concatenate([c[5] for c in staged])
+        if len(pseq) and int(pseq.max()) < (1 << 42):
+            # composite int key (seq < 2^42, link_idx+1 < 2^21): single
+            # stable argsort over mostly-sorted runs
+            comp = pseq * np.int64(1 << 21) + (lidx.astype(np.int64) + 1)
+            order = np.argsort(comp, kind="stable")
+        else:
+            order = np.lexsort((lidx, pseq))
         sorted_digests = [digests[i] for i in order]
         won = self.replay_events_batch(sorted_digests,
                                        kind[order].tolist(), now)
