@@ -306,6 +306,7 @@ def extract_links_spans_batch(
     n = batch.num_rows
     empty = pa.table({"src_url": pa.array([], pa.string()),
                       "link_url": pa.array([], pa.string()),
+                      "link_host": pa.array([], pa.string()),
                       "link_seq": pa.array([], pa.int32())})
     if n == 0:
         return empty
@@ -324,9 +325,10 @@ def extract_links_spans_batch(
         return empty
     take = pa.array(idx)
     parent = parents_all[idx]
-    kind_rank = np.array(
-        [_KIND_RANK[k] for k in kinds_all.take(take).to_pylist()],
-        dtype=np.int8)
+    kind_rank = pc.index_in(
+        kinds_all.take(take),
+        value_set=pa.array(sorted(_KIND_RANK, key=_KIND_RANK.get))
+    ).to_numpy(zero_copy_only=False).astype(np.int8)
     offset = flat.field("offset").take(take).to_numpy(
         zero_copy_only=False).astype(np.int64)
     refs = pc.utf8_trim_whitespace(
@@ -354,7 +356,9 @@ def extract_links_spans_batch(
     # pages with an unparseable base URL emit nothing (scalar-path parity)
     page_dead = np.array([bp is None for bp in base_prefix], dtype=bool)
 
-    # resolution: absolute | root-relative | scalar fallback
+    # resolution: absolute | root-relative (both pure Arrow kernels) |
+    # scalar urljoin only for the rare other shapes (relative paths,
+    # protocol-relative, mailto:, ...)
     is_abs = pc.or_(pc.starts_with(refs, pattern="http://"),
                     pc.starts_with(refs, pattern="https://")
                     ).to_numpy(zero_copy_only=False)
@@ -363,19 +367,26 @@ def extract_links_spans_batch(
     proto_rel = pc.starts_with(refs, pattern="//").to_numpy(
         zero_copy_only=False)
     is_root = starts_slash & ~proto_rel
-    resolved: list[str] = [""] * len(idx)
-    for i in range(len(idx)):
+    bp_per_link = pa.array(base_prefix, pa.string()).take(
+        pa.array(parent, pa.int64()))
+    joined_root = pc.binary_join_element_wise(
+        pc.fill_null(bp_per_link, ""), refs, "")
+    other = ~(is_abs | is_root)
+    fallback: list[str] = [""] * len(idx)
+    for i in np.nonzero(other)[0]:
         bp = base_prefix[parent[i]]
-        if bp is None:
-            continue
-        r = refs_py[i]
-        if is_abs[i]:
-            resolved[i] = r
-        elif is_root[i]:
-            resolved[i] = bp + r
-        else:
-            resolved[i] = urljoin(bp, r)
-    resolved_arr = pa.array(resolved, pa.string())
+        if bp is not None:
+            fallback[i] = urljoin(bp, refs_py[i])
+    resolved_arr = pc.if_else(
+        pa.array(is_abs), refs,
+        pc.if_else(pa.array(is_root), joined_root,
+                   pa.array(fallback, pa.string())))
+    # dead-base pages resolve to junk here; the keep mask below drops
+    # every link of those pages (page_dead) before anything reads them
+    resolved_arr = pc.if_else(pa.array(page_dead[parent]),
+                              pa.nulls(len(idx), pa.string()),
+                              resolved_arr)
+    resolved_arr = pc.fill_null(resolved_arr, "")
 
     host, path = _vector_link_fields(resolved_arr)
     host_rank = pc.index_in(host, value_set=pa.array(allowed_hosts,
@@ -383,14 +394,23 @@ def extract_links_spans_batch(
     rank_np = host_rank.to_numpy(zero_copy_only=False).astype(float)
     in_host = ~np.isnan(rank_np)
 
-    # blacklist on the DECODED path (scalar unquote only for %-paths)
-    path_py = path.to_pylist()
-    has_pct = pc.match_substring(path, "%").to_numpy(zero_copy_only=False)
-    for i in np.nonzero(has_pct)[0]:
-        path_py[i] = unquote(path_py[i])
+    # blacklist on the DECODED path: vectorized starts_with per prefix,
+    # scalar unquote only for the rare %-escaped paths
     if blacklist:
-        blk = np.array([is_blacklisted_path(p, blacklist)
-                        for p in path_py], dtype=bool)
+        has_pct = pc.match_substring(path, "%").to_numpy(
+            zero_copy_only=False)
+        if has_pct.any():
+            path_py = path.to_pylist()
+            for i in np.nonzero(has_pct)[0]:
+                path_py[i] = unquote(path_py[i])
+            path_dec = pa.array(path_py, pa.string())
+        else:
+            path_dec = path
+        blk_mask = None
+        for b in blacklist:
+            m = pc.starts_with(path_dec, pattern=b)
+            blk_mask = m if blk_mask is None else pc.or_(blk_mask, m)
+        blk = blk_mask.to_numpy(zero_copy_only=False)
     else:
         blk = np.zeros(len(idx), dtype=bool)
 
@@ -401,11 +421,14 @@ def extract_links_spans_batch(
     # allowed-host groups in root order, within group document order
     order = kidx[np.lexsort((offset[kidx], rank_np[kidx].astype(np.int64),
                              kind_rank[kidx], parent[kidx]))]
+    order_arr = pa.array(order)
     nofrag = pc.replace_substring_regex(
-        resolved_arr.take(pa.array(order)), r"(?s)#.*$", "").to_pylist()
+        resolved_arr.take(order_arr), r"(?s)#.*$", "").to_pylist()
+    host_ord = host.take(order_arr).to_pylist()
 
     src_out: list[str] = []
     link_out: list[str | None] = []
+    host_out: list[str | None] = []
     seq_out: list[int] = []
     cur_page = -1
     seen_page: set[str] = set()
@@ -422,15 +445,20 @@ def extract_links_spans_batch(
         seen_page.add(u)
         src_out.append(urls[pg])
         link_out.append(u)
+        host_out.append(host_ord[pos])
         seq_out.append(seq)
         seq += 1
     # abort markers (one per aborted page with a parseable base)
     for pg in np.nonzero(page_abort & ~page_dead)[0]:
         src_out.append(urls[pg])
         link_out.append(None)
+        host_out.append(None)
         seq_out.append(-1)
     return pa.table({
         "src_url": pa.array(src_out, pa.string()),
         "link_url": pa.array(link_out, pa.string()),
+        # host of each kept link (already computed for the allow-gate) —
+        # carried out so downstream stages skip a per-link re-parse
+        "link_host": pa.array(host_out, pa.string()),
         "link_seq": pa.array(seq_out, pa.int32()),
     })

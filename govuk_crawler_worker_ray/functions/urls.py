@@ -10,40 +10,42 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from urllib.parse import parse_qs, unquote, unquote_plus, urlencode, urlsplit
 
 import numpy as np
-
-_HEX = set("0123456789abcdefABCDEF")
 
 # Matches Go's regexp `.(html|htm)$` (crawler_message_item.go:64) — note the
 # unescaped '.' matches ANY character, so "/foohtml" also matches; reproduced
 # faithfully.
 _HTML_SUFFIX_RE = re.compile(r".(html|htm)$")
 
+# Compiled scans for the hot gates (a per-character Python genexpr here was
+# ~30% of the whole fetch stage): control chars Go url.Parse rejects, and
+# '%' not followed by two hex digits (invalid escape).
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+_BAD_ESCAPE_RE = re.compile(r"%(?![0-9a-fA-F]{2})")
+
 
 def valid_percent_escapes(s: str) -> bool:
     """Go url.Parse errors on invalid %-escapes ("invalid URL escape");
     Python's urlsplit does not — so we check explicitly for parity."""
-    i = 0
-    n = len(s)
-    while True:
-        i = s.find("%", i)
-        if i == -1:
-            return True
-        if i + 3 > n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
-            return False
-        i += 3
+    return _BAD_ESCAPE_RE.search(s) is None
 
 
+@lru_cache(maxsize=1 << 16)
 def parse_url(u: str):
     """Parse with Go-url.Parse-shaped failure semantics: returns the
     urlsplit result, or None when Go would error (control chars, invalid
     escapes) — used for the whole-page-abort parity
-    (crawler_message_item.go:144-147, workflow.go:230-234)."""
-    if any(c in u for c in "\x00\x7f") or any(ord(c) < 0x20 for c in u):
+    (crawler_message_item.go:144-147, workflow.go:230-234).
+
+    Memoized: the fetch stage's gates parse the same URL up to four
+    times per row (blacklist, host gate, has_params, mirror path);
+    SplitResult is an immutable namedtuple, safe to share."""
+    if _CTRL_RE.search(u) is not None:
         return None
-    if not valid_percent_escapes(u):
+    if _BAD_ESCAPE_RE.search(u) is not None:
         return None
     try:
         return urlsplit(u)

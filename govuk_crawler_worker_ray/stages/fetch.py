@@ -24,6 +24,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import CrawlConfig
 from ..functions.content_types import ACCEPTED_CONTENT_TYPES, HTML, \
@@ -68,6 +69,10 @@ class CorpusIndex:
         self.status = self.table["status_code"].to_numpy().astype(np.int16)
         self.transient = self.table["transient"].to_numpy(
             zero_copy_only=False)
+        # single-chunk column handles for zero-copy row gathers
+        self.spans_col = self.table["spans"].combine_chunks()
+        self.body_col = self.table["body"].combine_chunks()
+        self.ct_col = self.table["content_type"].combine_chunks()
 
     def lookup(self, urls: list[str]) -> np.ndarray:
         """-> row index per url, -1 when absent (connection error)."""
@@ -133,8 +138,6 @@ class FetchStage:
 
         outcome = np.full(n, "", dtype=object)
         content_type = [None] * n
-        body = [None] * n
-        spans: list = [None] * n
         mirror_path = [None] * n
 
         # P1 blacklist + parse gate + host gate (scalar but cheap; compiled
@@ -177,6 +180,10 @@ class FetchStage:
 
         # corpus lookup + status dispatch (vectorized over pending rows)
         pending = [i for i in range(n) if outcome[i] == ""]
+        ok_batch: list[int] = []   # batch row index, plain 200 content
+        ok_corpus: list[int] = []  # matching corpus row
+        rd_batch: list[int] = []   # redirects
+        rd_locs: list[str] = []
         if pending:
             rows = self.idx.lookup([urls[i] for i in pending])
             status = np.where(rows >= 0, self.idx.status[np.clip(rows, 0, None)],
@@ -186,9 +193,6 @@ class FetchStage:
                                  False)
             att = attempts[pending] + 1  # 1-based fetch ordinal
             eff = np.where(transient & (att >= 2), np.int16(200), status)
-            ok_batch: list[int] = []   # batch row index, plain 200 content
-            ok_corpus: list[int] = []  # matching corpus row
-            rd_batch: list[int] = []   # redirects
             rd_corpus: list[int] = []
             for j, i in enumerate(pending):
                 s = int(eff[j])
@@ -211,28 +215,28 @@ class FetchStage:
                     outcome[i] = "fetched"
                     ok_batch.append(i)
                     ok_corpus.append(int(rows[j]))
-            # content gathering via BULK takes (chunked per-row .as_py()
-            # costs ~100us/row and dominated the fetch phase)
-            if ok_corpus:
-                sub = self.idx.table.take(pa.array(ok_corpus, pa.int64()))
-                ct_l = sub["content_type"].to_pylist()
-                body_l = sub["body"].to_pylist()
-                spans_l = sub["spans"].to_pylist()
+            if ok_corpus:  # mimes only; bodies/spans gathered post-gate
+                ct_l = self.idx.ct_col.take(
+                    pa.array(ok_corpus, pa.int64())).to_pylist()
                 for t, i in enumerate(ok_batch):
                     content_type[i] = ct_l[t]
-                    body[i] = body_l[t] or ""
-                    spans[i] = spans_l[t]
             if rd_corpus:
                 locs = self.idx.table["redirect_location"].take(
                     pa.array(rd_corpus, pa.int64())).to_pylist()
                 for t, i in enumerate(rd_batch):
-                    loc = locs[t] or ""
+                    rd_locs.append(locs[t] or "")
                     content_type[i] = "text/html"
-                    body[i] = synthesize_redirect_body(loc)
-                    spans[i] = [{"kind": "link", "text": loc,
-                                 "media_ref": loc, "offset": 0}]
 
-        # content gate + mirror path (P3)
+        # content gate + mirror path (P3) — per-row DECISIONS only; the
+        # wide columns (body, spans) are gathered afterwards with Arrow
+        # takes grouped by class (the previous to_pylist/rebuild of spans
+        # was ~60% of the stage)
+        src_row = np.full(n, -1, dtype=np.int64)
+        for t, i in enumerate(ok_batch):
+            src_row[i] = ok_corpus[t]
+        html_take: list[int] = []   # corpus body + spans
+        other_take: list[int] = []  # corpus body, no spans forwarded
+        redirect_keep: set[int] = set()
         for i in range(n):
             if outcome[i] != "fetched":
                 continue
@@ -240,8 +244,6 @@ class FetchStage:
             if mime not in ACCEPTED_CONTENT_TYPES:
                 outcome[i] = "acked_non_accepted"
                 content_type[i] = mime
-                body[i] = None
-                spans[i] = None
                 continue
             content_type[i] = mime
             if not has_params(urls[i]):
@@ -253,13 +255,66 @@ class FetchStage:
                     # outcome so ordering + metrics match the oracle while
                     # extraction is still skipped
                     outcome[i] = "mirror_rejected"
-                    spans[i] = None
+                    if src_row[i] >= 0:
+                        other_take.append(i)  # body kept, spans dropped
                     continue
                 mirror_path[i] = mp
-            if mime != HTML:
-                spans[i] = None  # only HTML forwarded to extraction
+            if src_row[i] < 0:      # synthesized redirect content
+                redirect_keep.add(i)
+            elif mime == HTML:
+                html_take.append(i)
+            else:
+                other_take.append(i)  # only HTML forwarded to extraction
 
         from ..schemas import SPAN_STRUCT
+
+        span_type = pa.list_(SPAN_STRUCT)
+        spans_parts: list[pa.Array] = []
+        body_parts: list[pa.Array] = []
+        pos_parts: list[np.ndarray] = []
+        placed = np.zeros(n, dtype=bool)
+        if html_take:
+            idxs = pa.array(src_row[html_take], pa.int64())
+            spans_parts.append(self.idx.spans_col.take(idxs))
+            body_parts.append(pc.fill_null(
+                self.idx.body_col.take(idxs), ""))
+            pos_parts.append(np.asarray(html_take, dtype=np.int64))
+            placed[html_take] = True
+        if other_take:
+            idxs = pa.array(src_row[other_take], pa.int64())
+            spans_parts.append(pa.nulls(len(other_take), span_type))
+            body_parts.append(pc.fill_null(
+                self.idx.body_col.take(idxs), ""))
+            pos_parts.append(np.asarray(other_take, dtype=np.int64))
+            placed[other_take] = True
+        rd_keep = [i for i in rd_batch if i in redirect_keep]
+        if rd_keep:
+            loc_of = dict(zip(rd_batch, rd_locs))
+            spans_parts.append(pa.array(
+                [[{"kind": "link", "text": loc_of[i],
+                   "media_ref": loc_of[i], "offset": 0}] for i in rd_keep],
+                span_type))
+            body_parts.append(pa.array(
+                [synthesize_redirect_body(loc_of[i]) for i in rd_keep],
+                pa.string()))
+            pos_parts.append(np.asarray(rd_keep, dtype=np.int64))
+            placed[rd_keep] = True
+        rest = np.nonzero(~placed)[0]
+        if len(rest):
+            spans_parts.append(pa.nulls(len(rest), span_type))
+            body_parts.append(pa.array([None] * len(rest), pa.string()))
+            pos_parts.append(rest)
+        concat_pos = np.concatenate(pos_parts)
+        inv = np.empty(n, dtype=np.int64)
+        inv[concat_pos] = np.arange(n)
+        perm = pa.array(inv, pa.int64())
+        spans_arr = pa.concat_arrays(
+            [p if isinstance(p, pa.Array) else p.combine_chunks()
+             for p in spans_parts]).take(perm)
+        body_arr = pa.concat_arrays(
+            [p if isinstance(p, pa.Array) else p.combine_chunks()
+             for p in body_parts]).take(perm)
+
         prio = (batch["priority"] if "priority" in batch.column_names
                 else pa.array(np.zeros(n, np.int32), pa.int32()))
         return pa.table({
@@ -272,8 +327,8 @@ class FetchStage:
             "status_code": pa.array(
                 [None] * n, pa.int16()),
             "content_type": pa.array(content_type, pa.string()),
-            "spans": pa.array(spans, pa.list_(SPAN_STRUCT)),
-            "body": pa.array(body, pa.string()),
+            "spans": spans_arr,
+            "body": body_arr,
             "mirror_path": pa.array(mirror_path, pa.string()),
             "outcome": pa.array(list(outcome), pa.string()),
         })

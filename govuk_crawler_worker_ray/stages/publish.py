@@ -37,61 +37,60 @@ def extract_candidates_batch(batch: pa.Table, cfg: CrawlConfig,
     (digest, url, host, parent_seq, link_idx, kind) where kind EV_ATTEMPT;
     page aborts (unparseable href) emit kind=-1 markers for metrics.
     """
-    links = extract_links_spans_batch(batch, allowed_hosts,
-                                      cfg.blacklist_paths)
-    src = links["src_url"].to_pylist()
-    urls = links["link_url"].to_pylist()
-    seqs = links["link_seq"].to_numpy()
-    # map src url -> parent seq
-    parent_seq = {u: s for u, s in zip(batch["url"].to_pylist(),
-                                       batch["discovered_seq"].to_numpy())}
-    out_digest: list[str] = []
-    out_url: list[str] = []
-    out_host: list[str] = []
-    out_pseq: list[int] = []
-    out_idx: list[int] = []
-    out_kind: list[int] = []
-    for s, u, li in zip(src, urls, seqs):
-        ps = int(parent_seq[s])
-        if u is None:  # whole-page abort marker
-            out_digest.append("")
-            out_url.append(s)
-            out_host.append("")
-            out_pseq.append(ps)
-            out_idx.append(-1)
-            out_kind.append(-1)
-            continue
-        if not publish_gate_params(u):
-            continue  # pagination-param gate (workflow.go:259-270)
-        p = parse_url(u)
-        out_digest.append("")  # filled vectorized below
-        out_url.append(u)
-        out_host.append(netloc_host(p.netloc) if p else "")
-        out_pseq.append(ps)
-        out_idx.append(int(li))
-        out_kind.append(EV_ATTEMPT)
-    # digests in one vectorized pass; the 64-bit routing key is computed
-    # HERE (in the worker) so the driver's commit never loops over rows
+    import pyarrow.compute as pc
+
     from ..state.seen_set import keys_u64
 
-    dig = digest_hex_batch([u for u, k in zip(out_url, out_kind)
-                            if k == EV_ATTEMPT], cfg.digest)
-    it = iter(dig)
-    out_digest = [next(it) if k == EV_ATTEMPT else ""
-                  for k in out_kind]
-    keys = np.zeros(len(out_digest), dtype=np.uint64)
-    attempt_mask = np.array([k == EV_ATTEMPT for k in out_kind], dtype=bool)
-    if attempt_mask.any():
-        keys[attempt_mask] = keys_u64(dig)
-    return pa.table({
-        "digest": pa.array(out_digest, pa.string()),
-        "url": pa.array(out_url, pa.string()),
-        "host": pa.array(out_host, pa.string()),
-        "parent_seq": pa.array(out_pseq, pa.int64()),
-        "link_idx": pa.array(out_idx, pa.int32()),
-        "kind": pa.array(out_kind, pa.int8()),
-        "key_u64": pa.array(keys, pa.uint64()),
+    links = extract_links_spans_batch(batch, allowed_hosts,
+                                      cfg.blacklist_paths)
+    # parent seq per link: positional lookup of src_url in the batch
+    page_pos = pc.index_in(links["src_url"], value_set=batch["url"]
+                           .combine_chunks())
+    pseq_all = (batch["discovered_seq"].combine_chunks()
+                .take(page_pos).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+    seqs = links["link_seq"].to_numpy()
+    is_abort = seqs < 0
+
+    # pagination-param gate (workflow.go:259-270), vectorized: links
+    # without a raw query always survive; only '?'-links run the scalar
+    # Go-ParseQuery-parity check
+    lurl = pc.fill_null(links["link_url"].combine_chunks(), "")
+    has_q = pc.match_substring(lurl, "?").to_numpy(zero_copy_only=False)
+    keep = ~is_abort
+    if has_q.any():
+        urls_py = lurl.to_pylist()
+        for i in np.nonzero(has_q & keep)[0]:
+            if not publish_gate_params(urls_py[i]):
+                keep[i] = False
+
+    kept = links.filter(pa.array(keep))
+    kept_urls = kept["link_url"].to_pylist()
+    dig = digest_hex_batch(kept_urls, cfg.digest)
+    n_k = len(kept_urls)
+    attempts = pa.table({
+        "digest": pa.array(dig, pa.string()),
+        "url": kept["link_url"],
+        "host": pc.fill_null(kept["link_host"].combine_chunks(), ""),
+        "parent_seq": pa.array(pseq_all[keep], pa.int64()),
+        "link_idx": kept["link_seq"],
+        "kind": pa.array(np.full(n_k, EV_ATTEMPT, np.int8), pa.int8()),
+        "key_u64": pa.array(keys_u64(dig), pa.uint64()),
     })
+    n_a = int(is_abort.sum())
+    if n_a == 0:
+        return attempts
+    ab = links.filter(pa.array(is_abort))
+    aborts = pa.table({
+        "digest": pa.array([""] * n_a, pa.string()),
+        "url": ab["src_url"],
+        "host": pa.array([""] * n_a, pa.string()),
+        "parent_seq": pa.array(pseq_all[is_abort], pa.int64()),
+        "link_idx": pa.array(np.full(n_a, -1, np.int32), pa.int32()),
+        "kind": pa.array(np.full(n_a, -1, np.int8), pa.int8()),
+        "key_u64": pa.array(np.zeros(n_a, np.uint64), pa.uint64()),
+    })
+    return pa.concat_tables([attempts, aborts])
 
 
 def derive_fetch_events(narrow: pa.Table) -> pa.Table:
