@@ -83,6 +83,15 @@ class CrawlConfig:
     # Write frontier/seen checkpoints every K rounds (1 = every round).
     # Crash recovery resumes from the last checkpointed round.
     checkpoint_every: int = 1
+    # Frontier-on-storage rounds (the 10^10 scale path): publish winners
+    # are written per SHARD to round=k/frontier/*.parquet with globally
+    # dense seqs assigned by a shard-to-shard ordering-key exchange, and
+    # fetch work is dispatched as file refs — the driver never holds a
+    # round's frontier or winner set (only requeue/dup rows and file
+    # paths).  Requires per_host_budget/host_token_budget off and
+    # all-zero priorities; crawl ordering and the seen set are
+    # bit-identical to the default path (tested).
+    frontier_on_storage: bool = False
     # Logical seconds the clock advances per crawl round (0 = frozen
     # time).  The reference's wall clock moves during a crawl, so TTL'd
     # seen entries can expire MID-crawl and re-open URLs; rounds are the

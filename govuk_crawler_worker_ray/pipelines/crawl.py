@@ -171,6 +171,9 @@ class CrawlEngine:
     def run(self, seeds: list[str], now: float = 0.0,
             resume: bool = False,
             seed_priorities: list[int] | None = None) -> CrawlResult:
+        if self.cfg.frontier_on_storage:
+            return self._run_storage(seeds, now=now, resume=resume,
+                                     seed_priorities=seed_priorities)
         cfg = self.cfg
         metrics: list[dict] = []
         order_parts: list[pa.Table] = []
@@ -181,7 +184,7 @@ class CrawlEngine:
         if resume:
             st = self._find_checkpoint()
             if st is not None:
-                start_round, frontier, next_seq, metrics = st
+                start_round, frontier, _, next_seq, metrics = st
                 for k in range(start_round):
                     p = os.path.join(self.out_dir, f"round={k}",
                                      "order.parquet")
@@ -446,6 +449,255 @@ class CrawlEngine:
         m["t_ckpt_ms"] = int((_time.perf_counter() - _t0) * 1000)
         return next_frontier, next_seq, m, order_t
 
+    # ------------------------------------------------------------------
+    # frontier-on-storage rounds (ROADMAP #1 / the 10^10 scale path)
+    # ------------------------------------------------------------------
+    def _run_storage(self, seeds: list[str], now: float, resume: bool,
+                     seed_priorities: list[int] | None) -> CrawlResult:
+        """Round loop where the frontier lives on storage: the driver
+        holds only requeue/dup rows and FILE PATHS; winners flow
+        shard->parquet with seqs from the ordering-key exchange and are
+        fetched as file refs.  Ordering/seen parity with the default
+        path is exact (same replay, same global (parent_seq, link_idx)
+        seq assignment) — pinned by tests."""
+        cfg = self.cfg
+        if not self.use_ray:
+            raise ValueError("frontier_on_storage requires use_ray=True")
+        if cfg.per_host_budget is not None or \
+                cfg.host_token_budget is not None:
+            raise ValueError("politeness budgets need the in-memory "
+                             "frontier path (distributed budget split is "
+                             "the documented follow-up)")
+        if seed_priorities and any(seed_priorities):
+            raise ValueError("storage rounds assume uniform priorities")
+        if cfg.max_crawl_retries < 1:
+            raise ValueError("storage rounds use the high-counter "
+                             "prefetch (max_crawl_retries >= 1)")
+        metrics: list[dict] = []
+        driver_rows = seeds_to_frontier(seeds, cfg)
+        parts: list[str] = []
+        next_seq = driver_rows.num_rows
+        start_round = 0
+        if resume:
+            st = self._find_checkpoint()
+            if st is not None:
+                start_round, driver_rows, parts, next_seq, metrics = st
+        rnd = start_round
+        while (driver_rows.num_rows > 0 or parts) and rnd < cfg.max_rounds:
+            driver_rows, parts, next_seq, m = self._run_round_storage(
+                rnd, driver_rows, parts, next_seq,
+                now + rnd * cfg.seconds_per_round)
+            metrics.append(m)
+            rnd += 1
+        # order assembly is OUT of the crawl loop: a narrow column read
+        # of the per-round fetched parquet (test/golden convenience — at
+        # scale consumers read it as a Dataset instead)
+        order = self._order_from_storage(range(rnd))
+        self._write_metrics(metrics)
+        return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
+                           out_dir=self.out_dir, seen=self.seen)
+
+    def _run_round_storage(self, rnd: int, driver_rows: pa.Table,
+                           parts: list[str], next_seq: int, now: float):
+        import time as _time
+
+        import ray
+
+        cfg = self.cfg
+        rdir = os.path.join(self.out_dir, f"round={rnd}")
+        if os.path.exists(rdir):
+            import shutil
+
+            shutil.rmtree(rdir)
+        fetched_dir = os.path.join(rdir, "fetched")
+        os.makedirs(fetched_dir, exist_ok=True)
+        _t0 = _time.perf_counter()
+        part_rows = sum(pq.read_metadata(p).num_rows for p in parts)
+        m = {"round": rnd, "frontier": driver_rows.num_rows + part_rows,
+             "fetched": 0, "published": 0, "blacklisted": 0, "rejected": 0,
+             "requeued": 0, "non_accepted": 0, "deferred": 0,
+             "aborted_retries": 0, "extract_aborts": 0,
+             "robots_excluded": 0}
+        driver_rows = driver_rows.sort_by([("discovered_seq",
+                                            "ascending")])
+        # dup-digest lane: only driver rows can repeat a digest (winner
+        # parts are replay-unique and commit-time clash extraction pulls
+        # winners matching requeued digests back into the driver rows)
+        digs = driver_rows["url_digest"].to_pylist()
+        dup_digests = _find_dups(digs)
+        if dup_digests:
+            dup_mask = pa.array([d in dup_digests for d in digs])
+            dup_rows = driver_rows.filter(dup_mask)
+            driver_rows = driver_rows.filter(pc.invert(dup_mask))
+        else:
+            dup_rows = None
+        high = self._high_counters(now)
+        if high:
+            cc = np.fromiter((high.get(d, 0)
+                              for d in driver_rows["url_digest"]
+                              .to_pylist()),
+                             dtype=np.int64, count=driver_rows.num_rows)
+        else:
+            cc = np.zeros(driver_rows.num_rows, dtype=np.int64)
+        driver_rows = driver_rows.append_column(
+            "crawl_count", pa.array(cc, pa.int64()))
+        self._ensure_pool()
+        self._clear_staged()
+        counts, host_counts, requeues_n, extract_aborts, stage_refs = \
+            self.pool.run_round_storage(driver_rows, parts, now,
+                                        fetched_dir, high)
+        req_parts = [requeues_n] if requeues_n is not None else []
+        if dup_rows is not None:
+            dup_fetched = self._run_dup_lane(dup_rows, now)
+            pq.write_table(dup_fetched,
+                           os.path.join(fetched_dir, "part-dup.parquet"))
+            dup_narrow = dup_fetched.select(NARROW_COLS)
+            html = dup_fetched.filter(pc.and_(
+                pc.equal(dup_fetched["outcome"], "fetched"),
+                pc.equal(dup_fetched["content_type"], "text/html")))
+            extract_aborts += self._stage_candidates(
+                extract_candidates_batch(
+                    html.select(["url", "discovered_seq", "spans"]),
+                    cfg, self.allowed_hosts),
+                extra_events=derive_fetch_events(dup_narrow))
+            for vc in pc.value_counts(dup_narrow["outcome"]).to_pylist():
+                counts[vc["values"]] = counts.get(vc["values"], 0) + \
+                    vc["counts"]
+            fh = dup_narrow.filter(pc.is_in(
+                dup_narrow["outcome"],
+                value_set=pa.array(["fetched", "mirror_rejected"])))
+            for vc in pc.value_counts(fh["host"]).to_pylist():
+                host_counts[vc["values"]] = \
+                    host_counts.get(vc["values"], 0) + vc["counts"]
+            req_d = dup_narrow.filter(pc.is_in(
+                dup_narrow["outcome"],
+                value_set=pa.array(["requeue_429", "requeue_5xx"])))
+            if req_d.num_rows:
+                req_parts.append(req_d)
+        _OUTCOME_METRIC = {
+            "fetched": "fetched", "blacklisted": "blacklisted",
+            "rejected": "rejected", "requeue_429": "requeued",
+            "requeue_5xx": "requeued",
+            "acked_non_accepted": "non_accepted",
+            "aborted_retries": "aborted_retries",
+            "robots_excluded": "robots_excluded"}
+        for k, v in counts.items():
+            if k == "mirror_rejected":
+                m["fetched"] += v
+                m["rejected"] += v
+            else:
+                m[_OUTCOME_METRIC[k]] += v
+        m["_per_host"] = host_counts
+        m["extract_aborts"] = extract_aborts
+        m["rejected"] += extract_aborts
+        m["t_fetch_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        _t0 = _time.perf_counter()
+
+        # next round's driver rows (requeues) define the clash set
+        requeues = (pa.concat_tables(req_parts) if req_parts
+                    else None)
+        if requeues is not None and requeues.num_rows:
+            req_frontier = pa.table({
+                "discovered_seq": requeues["discovered_seq"],
+                "url": requeues["url"],
+                "host": requeues["host"],
+                "url_digest": requeues["url_digest"],
+                "attempt": pc.add(requeues["attempt"],
+                                  pa.scalar(1, pa.int32())),
+                "priority": requeues["priority"],
+            })
+        else:
+            req_frontier = _frontier_table([])
+        clash = set(req_frontier["url_digest"].to_pylist())
+
+        # barrier: staging must land, then the two-phase exchange commit
+        _tb = _time.perf_counter()
+        if stage_refs:
+            ray.get(stage_refs)
+        m["t_barrier_ms"] = int((_time.perf_counter() - _tb) * 1000)
+        _tb = _time.perf_counter()
+        shards = self.seen.shards
+        S = len(shards)
+        P = S
+        boundaries = np.linspace(0, max(next_seq, 1),
+                                 P + 1)[1:-1].astype(np.int64)
+        ph1 = ray.get([s.commit_phase1.remote(now, boundaries, True)
+                       for s in shards])
+        m["t_ph1_ms"] = int((_time.perf_counter() - _tb) * 1000)
+        _tb = _time.perf_counter()
+        hist = np.stack([c for c, _ in ph1])          # (S, P) counts
+        key_refs = [refs for _, refs in ph1]          # [S][P] refs
+        part_totals = hist.sum(axis=0)
+        part_starts = np.concatenate(
+            ([0], np.cumsum(part_totals)[:-1]))
+        rank_refs = [
+            shards[p % S].rank_partition
+            .options(num_returns=S)
+            .remote([key_refs[s][p] for s in range(S)])
+            for p in range(P)
+        ]
+        # rank_refs[p] is a tuple of S refs (one per shard)
+        frontier_dir = os.path.join(rdir, "frontier")
+        ph2 = ray.get([
+            shards[s].commit_phase2.remote(
+                next_seq, part_starts.tolist(),
+                [rank_refs[p][s] for p in range(P)],
+                clash, frontier_dir, cfg.fetch_batch_size,
+                f"part-s{s:03d}")
+            for s in range(S)])
+        m["t_ph2_ms"] = int((_time.perf_counter() - _tb) * 1000)
+        new_parts: list[str] = []
+        clash_tables: list[pa.Table] = []
+        total_winners = 0
+        for paths, clash_t, n_w in ph2:
+            new_parts.extend(paths)
+            if clash_t.num_rows:
+                clash_tables.append(clash_t)
+            total_winners += n_w
+        m["published"] = total_winners
+        next_driver = pa.concat_tables(
+            [req_frontier] + clash_tables) if (
+                req_frontier.num_rows or clash_tables) \
+            else _frontier_table([])
+        next_seq += total_winners
+        m["t_commit_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        _t0 = _time.perf_counter()
+        final = (next_driver.num_rows == 0 and not new_parts) or \
+            rnd + 1 >= cfg.max_rounds
+        if final or rnd % cfg.checkpoint_every == 0:
+            pq.write_table(next_driver,
+                           os.path.join(rdir, "frontier_next.parquet"))
+            self.seen.snapshot(os.path.join(rdir, "seen_snapshot"))
+            with open(os.path.join(rdir, "manifest.json"), "w") as f:
+                json.dump({"round": rnd, "next_seq": next_seq,
+                           "metrics": m,
+                           "frontier_parts": new_parts}, f)
+        m["t_ckpt_ms"] = int((_time.perf_counter() - _t0) * 1000)
+        return next_driver, new_parts, next_seq, m
+
+    def _order_from_storage(self, rounds) -> pa.Table:
+        parts = []
+        for k in rounds:
+            fdir = os.path.join(self.out_dir, f"round={k}", "fetched")
+            if not os.path.isdir(fdir):
+                continue
+            ds = pads.dataset(fdir, format="parquet")
+            t = ds.to_table(
+                columns=["url", "discovered_seq", "outcome"],
+                filter=pc.field("outcome").isin(["fetched",
+                                                 "mirror_rejected"]))
+            t = t.sort_by([("discovered_seq", "ascending")])
+            parts.append(pa.table({
+                "round": pa.array([k] * t.num_rows, pa.int32()),
+                "seq": t["discovered_seq"],
+                "url": t["url"],
+            }))
+        if not parts:
+            return pa.table({"round": pa.array([], pa.int32()),
+                             "seq": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
     def _ensure_pool(self) -> None:
         if self.pool is None:
             # persistent across rounds: spawn cost paid once per crawl
@@ -605,7 +857,8 @@ class CrawlEngine:
             if os.path.exists(mp):
                 with open(mp) as f:
                     metrics.append(json.load(f)["metrics"])
-        return k + 1, frontier, man["next_seq"], metrics
+        return (k + 1, frontier, man.get("frontier_parts", []),
+                man["next_seq"], metrics)
 
     def shutdown(self) -> None:
         if self.pool is not None:

@@ -60,12 +60,15 @@ class CorpusIndex:
 
     def __init__(self, corpus: pa.Table) -> None:
         self.table = corpus.combine_chunks()
-        urls = self.table["url"].to_pylist()
+        urls = self.table["url"].to_pylist()  # transient (driver build)
         keys = _url_keys(urls)
         order = np.argsort(keys, kind="stable")
         self.sorted_keys = keys[order]
         self.sorted_rows = order.astype(np.int64)
-        self.urls = urls
+        # Arrow column, NOT a Python list: a list of 10^6 str objects
+        # deserializes per actor (~150MB heap each + GC scan pressure);
+        # the Arrow buffer stays zero-copy in the object store
+        self.url_col = self.table["url"].combine_chunks()
         self.status = self.table["status_code"].to_numpy().astype(np.int16)
         self.transient = self.table["transient"].to_numpy(
             zero_copy_only=False)
@@ -84,9 +87,13 @@ class CorpusIndex:
         hit = self.sorted_keys[pos_c] == keys
         rows = np.where(hit, self.sorted_rows[pos_c], -1)
         # guard against 64-bit key collisions with an exact check
-        for i in np.nonzero(rows >= 0)[0]:
-            if self.urls[rows[i]] != urls[i]:
-                rows[i] = -1
+        idx = np.nonzero(rows >= 0)[0]
+        if len(idx):
+            got = self.url_col.take(
+                pa.array(rows[idx], pa.int64())).to_pylist()
+            for j, i in enumerate(idx):
+                if got[j] != urls[i]:
+                    rows[i] = -1
         return rows
 
 

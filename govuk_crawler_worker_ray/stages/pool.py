@@ -92,6 +92,81 @@ class FetchWorker:
                                             block=False)
         return pa.concat_tables(narrows), aborts, stage_refs
 
+    def process_round_storage(self, tables: list[pa.Table],
+                              table_paths: list[str], files: list[str],
+                              fetched_dir: str, now: float,
+                              high: dict) -> tuple:
+        """Frontier-on-storage round work (ROADMAP #1): chunks arrive as
+        in-memory tables (driver rows) or as FRONTIER PARQUET PART PATHS
+        (shard-written winners; the rows never touched the driver).  The
+        narrow per-row outcome table also stays here — only outcome
+        COUNTS, per-host fetched counts, and the (small) requeue rows
+        travel back."""
+        import numpy as np
+
+        counts: dict[str, int] = {}
+        host_counts: dict[str, int] = {}
+        req_parts: list[pa.Table] = []
+        ev_parts: list[pa.Table] = []
+        aborts = 0
+
+        def handle(chunk: pa.Table, path: str) -> None:
+            nonlocal aborts
+            fetched = self.stage(chunk, now=now)
+            pq.write_table(fetched, path)
+            narrow = fetched.select(NARROW_COLS)
+            html = fetched.filter(pc.and_(
+                pc.equal(fetched["outcome"], "fetched"),
+                pc.equal(fetched["content_type"], "text/html")))
+            c = extract_candidates_batch(
+                html.select(["url", "discovered_seq", "spans"]),
+                self.cfg, self.allowed_hosts)
+            aborts += int(pc.sum(pc.cast(pc.equal(c["kind"], -1),
+                                         pa.int32())).as_py() or 0)
+            ev_parts.append(c.filter(pc.equal(c["kind"], 0)))
+            ev_parts.append(derive_fetch_events(narrow))
+            for vc in pc.value_counts(narrow["outcome"]).to_pylist():
+                counts[vc["values"]] = counts.get(vc["values"], 0) + \
+                    vc["counts"]
+            fh = narrow.filter(pc.is_in(
+                narrow["outcome"],
+                value_set=pa.array(["fetched", "mirror_rejected"])))
+            for vc in pc.value_counts(fh["host"]).to_pylist():
+                host_counts[vc["values"]] = \
+                    host_counts.get(vc["values"], 0) + vc["counts"]
+            req = narrow.filter(pc.is_in(
+                narrow["outcome"],
+                value_set=pa.array(["requeue_429", "requeue_5xx"])))
+            if req.num_rows:
+                req_parts.append(req)
+
+        for chunk, path in zip(tables, table_paths):
+            handle(chunk, path)
+        for fp in files:
+            # use_threads=False: every pool actor reading with the
+            # default full-size Arrow thread pool oversubscribes the
+            # node (16 actors x 32 threads); the files are single
+            # row-group narrow parts — one thread is optimal
+            t = pq.read_table(fp, use_threads=False, memory_map=True)
+            digs = t["url_digest"].to_pylist()
+            if high:
+                cc = np.fromiter((high.get(d, 0) for d in digs),
+                                 dtype=np.int64, count=len(digs))
+            else:
+                cc = np.zeros(t.num_rows, dtype=np.int64)
+            t = t.append_column("crawl_count", pa.array(cc, pa.int64()))
+            handle(t, os.path.join(
+                fetched_dir, "part-" + os.path.basename(fp)))
+
+        events = pa.concat_tables(ev_parts) if ev_parts else None
+        stage_refs = []
+        if events is not None and events.num_rows:
+            stage_refs = stage_events_to_shards(
+                events, self.stage.seen.shards,
+                remote=self.stage.seen.remote, block=False)
+        requeues = (pa.concat_tables(req_parts) if req_parts else None)
+        return counts, host_counts, requeues, aborts, stage_refs
+
     def ping(self) -> bool:
         return True
 
@@ -150,6 +225,67 @@ class FetchWorkerPool:
         aborts = sum(r[1] for r in results)
         stage_refs = [ref for r in results for ref in r[2]]
         return (pa.concat_tables(narrows), aborts, stage_refs)
+
+    def run_round_storage(self, driver_rows: pa.Table, files: list[str],
+                          now: float, fetched_dir: str,
+                          high: dict) -> tuple:
+        """Storage-mode dispatch: driver rows go out as table chunks,
+        shard-written frontier parts as file refs; results are merged
+        outcome/host counts + requeue rows + staging refs."""
+        import ray
+
+        n = driver_rows.num_rows
+        bs = self.cfg.fetch_batch_size
+        chunks = [driver_rows.slice(o, bs) for o in range(0, n, bs)]
+        # work items: (table, out_path) or file path
+        items: list = [
+            (chunks[ci],
+             os.path.join(fetched_dir, f"part-d{ci:06d}.parquet"))
+            for ci in range(len(chunks))] + list(files)
+        # DYNAMIC dispatch in small groups via ray.wait (work stealing):
+        # one big RPC per worker makes the whole round wait on the
+        # slowest worker — on a steal-prone host one straggler was
+        # regularly 5-10x the median round time
+        group = max(1, len(items) // (self.size * 3))
+        groups = [items[i:i + group] for i in range(0, len(items), group)]
+        counts: dict[str, int] = {}
+        host_counts: dict[str, int] = {}
+        req_parts: list[pa.Table] = []
+        aborts = 0
+        stage_refs: list = []
+
+        def submit(w, g):
+            tabs = [it[0] for it in g if isinstance(it, tuple)]
+            paths = [it[1] for it in g if isinstance(it, tuple)]
+            fls = [it for it in g if not isinstance(it, tuple)]
+            return w.process_round_storage.remote(tabs, paths, fls,
+                                                  fetched_dir, now, high)
+
+        from collections import deque
+
+        gq = deque(groups)
+        idle = deque(self.workers)
+        inflight: dict = {}
+        while gq or inflight:
+            while gq and idle:
+                w = idle.popleft()
+                inflight[submit(w, gq.popleft())] = w
+            if not inflight:
+                break
+            done, _ = ray.wait(list(inflight), num_returns=1)
+            for r in done:
+                idle.append(inflight.pop(r))
+                c, hc, req, ab, sr = ray.get(r)
+                for k, v in c.items():
+                    counts[k] = counts.get(k, 0) + v
+                for k, v in hc.items():
+                    host_counts[k] = host_counts.get(k, 0) + v
+                if req is not None:
+                    req_parts.append(req)
+                aborts += ab
+                stage_refs.extend(sr)
+        requeues = pa.concat_tables(req_parts) if req_parts else None
+        return counts, host_counts, requeues, aborts, stage_refs
 
     def shutdown(self) -> None:
         import ray

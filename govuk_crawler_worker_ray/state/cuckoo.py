@@ -50,19 +50,55 @@ class CuckooFilter:
         """Insert; returns number that failed (filter full).  Duplicates
         are inserted again (multiset semantics, like the paper).
 
-        Hot path is scalar-int arithmetic over a Python list view of the
-        table — per-key numpy allocations cost ~80us/key, which made
-        large round commits take tens of seconds at 10^5 keys/round."""
+        Fully vectorized fast path: repeated WAVES where, per wave, the
+        first not-yet-placed key of each distinct bucket takes that
+        bucket's first empty slot (conflict-free fancy-index writes);
+        alternates between the two candidate buckets.  Only keys whose
+        both buckets are full fall to the scalar eviction loop (rare
+        below ~90% load).  The previous per-key scalar loop cost
+        ~3us/key and dominated large round commits (seen-set replay)."""
         if len(keys) == 0:
             return 0
         keys = keys.astype(np.uint64)
-        fps = self._fingerprint(keys).tolist()
-        i1s = self._index1(keys).tolist()
+        fps = self._fingerprint(keys)
+        i1 = self._index1(keys)
+        i2 = self._alt_index(i1, fps)
+        n = len(keys)
+        done = np.zeros(n, dtype=bool)
+        for _ in range(8):  # 2 buckets x 4 slots upper-bounds the waves
+            progress = False
+            for idx_arr in (i1, i2):
+                rem = np.nonzero(~done)[0]
+                if len(rem) == 0:
+                    break
+                b = idx_arr[rem]
+                order = np.argsort(b, kind="stable")
+                bs = b[order]
+                first = np.ones(len(bs), dtype=bool)
+                first[1:] = bs[1:] != bs[:-1]
+                cand = rem[order[first]]
+                cb = idx_arr[cand]
+                slots = self.table[cb]          # (m, 4) gather
+                empty = slots == 0
+                has = empty.any(axis=1)
+                if not has.any():
+                    continue
+                slot = empty.argmax(axis=1)
+                sel = cand[has]
+                self.table[cb[has], slot[has]] = fps[sel]
+                self.count += len(sel)
+                done[sel] = True
+                progress = True
+            if done.all() or not progress:
+                break
         failed = 0
-        flat = self.table.reshape(-1)  # scalar numpy indexing on 1-D
-        for fp, i1 in zip(fps, i1s):
-            if not self._insert_one_fast(flat, int(fp), int(i1)):
-                failed += 1
+        rest = np.nonzero(~done)[0]
+        if len(rest):
+            flat = self.table.reshape(-1)
+            for j in rest:
+                if not self._insert_one_fast(flat, int(fps[j]),
+                                             int(i1[j])):
+                    failed += 1
         return failed
 
     def _insert_one_fast(self, flat, fp: int, i1: int) -> bool:

@@ -37,6 +37,17 @@ from .cuckoo import CuckooFilter
 TTL_MISSING = -2  # Redis: TTL of a missing key
 
 
+def _empty_winner_frontier() -> pa.Table:
+    return pa.table({
+        "discovered_seq": pa.array([], pa.int64()),
+        "url": pa.array([], pa.string()),
+        "host": pa.array([], pa.string()),
+        "url_digest": pa.array([], pa.string()),
+        "attempt": pa.array([], pa.int32()),
+        "priority": pa.array([], pa.int32()),
+    })
+
+
 def keys_u64(digests: list[str]) -> np.ndarray:
     """hex digest -> uint64 (first 8 bytes, big-endian) — the same value
     ``functions.urls.shard_of_digest`` uses, so routing agrees."""
@@ -283,6 +294,129 @@ class SeenShard:
             "link_idx": _pa.array(lidx[win_idx].astype(np.int32),
                                   _pa.int32()),
         })
+
+    # -- frontier-on-storage commit (ROADMAP #1) -------------------------
+    # Winner rows never touch the driver: each shard replays its events,
+    # keeps its winners locally, exchanges only (parent_seq, link_idx)
+    # ORDERING KEYS with peer shards to assign globally dense seqs, then
+    # writes its winners straight to round=k/frontier parquet parts.
+    #
+    #   phase1: replay -> hold winners sorted by (pseq, lidx); partition
+    #           them by driver-chosen pseq range boundaries; return per-
+    #           partition counts + per-partition key arrays (numpy -> the
+    #           object store; the driver only ever holds the REFS).
+    #   rank_partition: the partition's owner shard merges the S key
+    #           arrays and returns, per shard, each row's dense rank
+    #           within the partition (exact global (pseq, lidx) order).
+    #   phase2: seq = base + partition_start + rank; rows whose digest
+    #           clashes with next round's driver rows (requeues) return
+    #           to the driver for the dup lane; the rest are written as
+    #           <= max_rows parquet parts and only the paths travel back.
+
+    def commit_phase1(self, now: float, boundaries, as_refs: bool = False):
+        """-> (per-partition counts, list of per-partition key arrays).
+        Keys are packed (pseq << 21 | link_idx+1) int64.  With
+        ``as_refs`` the key arrays go to the OBJECT STORE and only their
+        refs return — the driver never materializes ordering keys."""
+        t = self.commit_staged(now)  # replay; winners as Arrow (unsorted)
+        pseq = t["parent_seq"].to_numpy(zero_copy_only=False)
+        lidx = t["link_idx"].to_numpy(zero_copy_only=False)
+        comp = pseq.astype(np.int64) * np.int64(1 << 21) + (
+            lidx.astype(np.int64) + 1)
+        order = np.argsort(comp, kind="stable")
+        self._pending_winners = t.take(pa.array(order, pa.int64()))
+        comp = comp[order]
+        bnd = np.asarray(boundaries, dtype=np.int64) * np.int64(1 << 21)
+        cuts = np.searchsorted(comp, bnd)
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(comp)]))
+        self._partition_bounds = list(zip(starts, ends))
+        counts = (ends - starts).astype(np.int64)
+        keys = [comp[s:e] for s, e in self._partition_bounds]
+        if as_refs:
+            import ray
+
+            keys = [ray.put(k) for k in keys]
+        return counts, keys
+
+    def rank_partition(self, key_arrays):
+        """Merge S shards' sorted key arrays for ONE partition; return a
+        list of per-shard dense-rank arrays (exact global order; ties
+        broken by shard index, which cannot occur for distinct links).
+        Runs on the partition's OWNER shard — key data moves shard to
+        shard through the object store, never via the driver."""
+        try:
+            import ray
+
+            key_arrays = [ray.get(a) if isinstance(a, ray.ObjectRef)
+                          else a for a in key_arrays]
+        except ImportError:
+            pass
+        arrs = [np.asarray(a, dtype=np.int64) for a in key_arrays]
+        lens = [len(a) for a in arrs]
+        if sum(lens) == 0:
+            return [np.zeros(0, dtype=np.int64) for _ in arrs]
+        allk = np.concatenate(arrs)
+        src = np.concatenate([np.full(n, s, dtype=np.int32)
+                              for s, n in enumerate(lens)])
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        order = np.lexsort((src, allk))
+        ranks = np.empty(len(allk), dtype=np.int64)
+        ranks[order] = np.arange(len(allk), dtype=np.int64)
+        return [ranks[src == s][np.argsort(pos[src == s], kind="stable")]
+                if n else np.zeros(0, dtype=np.int64)
+                for s, n in enumerate(lens)]
+
+    def commit_phase2(self, base_seq: int, part_starts, rank_refs,
+                      clash_digests, out_dir: str, max_rows: int,
+                      file_prefix: str):
+        """Assign seqs, split clash rows, write parquet parts.
+        -> (file paths, clash winner table with seqs, n_winners)."""
+        import os
+
+        import ray
+
+        t = getattr(self, "_pending_winners", None)
+        bounds = getattr(self, "_partition_bounds", [])
+        self._pending_winners = None
+        self._partition_bounds = []
+        if t is None or t.num_rows == 0:
+            return [], _empty_winner_frontier(), 0
+        seqs = np.empty(t.num_rows, dtype=np.int64)
+        for p, (s, e) in enumerate(bounds):
+            if e <= s:
+                continue
+            ranks = rank_refs[p]
+            if isinstance(ranks, ray.ObjectRef):
+                ranks = ray.get(ranks)
+            seqs[s:e] = base_seq + int(part_starts[p]) + np.asarray(ranks)
+        frontier = pa.table({
+            "discovered_seq": pa.array(seqs, pa.int64()),
+            "url": t["url"],
+            "host": t["host"],
+            "url_digest": t["digest"],
+            "attempt": pa.array(np.zeros(t.num_rows, np.int32),
+                                pa.int32()),
+            "priority": pa.array(np.zeros(t.num_rows, np.int32),
+                                 pa.int32()),
+        })
+        if clash_digests:
+            import pyarrow.compute as pc
+
+            clash_mask = pc.is_in(frontier["url_digest"],
+                                  value_set=pa.array(sorted(clash_digests),
+                                                     pa.string()))
+            clash = frontier.filter(clash_mask)
+            frontier = frontier.filter(pc.invert(clash_mask))
+        else:
+            clash = _empty_winner_frontier()
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for j, off in enumerate(range(0, frontier.num_rows, max_rows)):
+            path = os.path.join(out_dir, f"{file_prefix}-{j:04d}.parquet")
+            pq.write_table(frontier.slice(off, max_rows), path)
+            paths.append(path)
+        return paths, clash, t.num_rows
 
     def replay_events_arrow(self, digests, kinds, now: float):
         """Arrow-argument variant of replay: the driver ships pa.Arrays

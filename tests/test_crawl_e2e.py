@@ -262,3 +262,56 @@ def test_host_token_budget_429_backoff(tmp_path):
     assert {u for _, u in order if "www.gov.uk" in u} == {
         "https://www.gov.uk/", "https://www.gov.uk/a",
         "https://www.gov.uk/b"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_frontier_matches_oracle(fixture, tmp_path):
+    """frontier_on_storage: winners go shard->parquet with seqs from the
+    ordering-key exchange and fetch runs from file refs — goldens (crawl
+    order incl. seqs, seen set, mirror) must be BIT-identical to the
+    oracle and to the in-memory path."""
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "sto"), use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+        mt = res.mirror_table()
+        eng_m = {p: (u, b) for p, u, b in zip(
+            mt["mirror_path"].to_pylist(), mt["url"].to_pylist(),
+            mt["body"].to_pylist())}
+        assert eng_m == oracle.mirror
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_frontier_resume(fixture, tmp_path):
+    """Storage-mode checkpoint/resume: manifest carries the frontier
+    part paths; a fresh engine resumes and completes with identical
+    goldens."""
+    fx, cfg0, oracle = fixture
+    out = str(tmp_path / "sto_resume")
+    cfg_short = CrawlConfig(root_urls=list(ROOT_URLS), max_rounds=3,
+                            frontier_on_storage=True)
+    eng = CrawlEngine(fx.corpus, cfg_short, out, use_ray=True)
+    eng.run(fx.seeds)
+    eng.shutdown()
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True)
+    eng2 = CrawlEngine(fx.corpus, cfg, out, use_ray=True)
+    try:
+        res = eng2.run(fx.seeds, resume=True)
+        assert [(r, u) for r, _, u in oracle.crawl_order] == \
+            list(zip(res.crawl_order["round"].to_pylist(),
+                     res.crawl_order["url"].to_pylist()))
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+    finally:
+        eng2.shutdown()
