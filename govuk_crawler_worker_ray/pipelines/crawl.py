@@ -543,9 +543,11 @@ class CrawlEngine:
             "crawl_count", pa.array(cc, pa.int64()))
         self._ensure_pool()
         self._clear_staged()
-        counts, host_counts, requeues_n, extract_aborts, stage_refs = \
+        (counts, host_counts, requeues_n, extract_aborts, stage_refs,
+         worker_busy_ms) = \
             self.pool.run_round_storage(driver_rows, parts, now,
                                         fetched_dir, high)
+        m["t_worker_busy_ms"] = worker_busy_ms
         req_parts = [requeues_n] if requeues_n is not None else []
         if dup_rows is not None:
             dup_fetched = self._run_dup_lane(dup_rows, now)

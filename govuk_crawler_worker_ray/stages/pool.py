@@ -102,8 +102,11 @@ class FetchWorker:
         narrow per-row outcome table also stays here — only outcome
         COUNTS, per-host fetched counts, and the (small) requeue rows
         travel back."""
+        import time as _time
+
         import numpy as np
 
+        _t0 = _time.perf_counter()
         counts: dict[str, int] = {}
         host_counts: dict[str, int] = {}
         req_parts: list[pa.Table] = []
@@ -165,7 +168,8 @@ class FetchWorker:
                 events, self.stage.seen.shards,
                 remote=self.stage.seen.remote, block=False)
         requeues = (pa.concat_tables(req_parts) if req_parts else None)
-        return counts, host_counts, requeues, aborts, stage_refs
+        busy_ms = int((_time.perf_counter() - _t0) * 1000)
+        return counts, host_counts, requeues, aborts, stage_refs, busy_ms
 
     def ping(self) -> bool:
         return True
@@ -266,6 +270,7 @@ class FetchWorkerPool:
         gq = deque(groups)
         idle = deque(self.workers)
         inflight: dict = {}
+        busy_ms = 0
         while gq or inflight:
             while gq and idle:
                 w = idle.popleft()
@@ -275,7 +280,7 @@ class FetchWorkerPool:
             done, _ = ray.wait(list(inflight), num_returns=1)
             for r in done:
                 idle.append(inflight.pop(r))
-                c, hc, req, ab, sr = ray.get(r)
+                c, hc, req, ab, sr, bm = ray.get(r)
                 for k, v in c.items():
                     counts[k] = counts.get(k, 0) + v
                 for k, v in hc.items():
@@ -284,8 +289,9 @@ class FetchWorkerPool:
                     req_parts.append(req)
                 aborts += ab
                 stage_refs.extend(sr)
+                busy_ms += bm
         requeues = pa.concat_tables(req_parts) if req_parts else None
-        return counts, host_counts, requeues, aborts, stage_refs
+        return counts, host_counts, requeues, aborts, stage_refs, busy_ms
 
     def shutdown(self) -> None:
         import ray
