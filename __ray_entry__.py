@@ -183,6 +183,21 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(orders, cust, nat)
 
 
+def _q_revenue_by_nation_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        revenue_by_nation_hashjoin,
+    )
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return revenue_by_nation_hashjoin(orders, cust, nat)
+
+
 def _q_top_docs(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         top_docs_by_length,
@@ -414,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_nation_join": _q_revenue_by_nation_join,
         "top_docs_by_length": _q_top_docs,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
@@ -525,6 +541,12 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM g GROUP BY user_id"),
         "revenue_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS revenue_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+        "revenue_by_nation_join": (
             "SELECT n_name, count(*) AS n_orders, "
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
             " AS revenue_cents FROM orders "

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="seeds parquet (default: ROOT_URLS)")
     ap.add_argument("--out", required=True, help="checkpoint/output dir")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--frontier-on-storage", action="store_true",
+                    help="storage-resident frontier rounds (the 10^10 "
+                         "scale path; see config.frontier_on_storage)")
+    ap.add_argument("--host-token-budget", type=int, default=None,
+                    help="per-host politeness fetch tokens per round "
+                         "with 429 back-off (engine addition)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--max-rounds", type=int, default=None)
@@ -72,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg = config_from_env()
         if args.max_rounds:
             cfg.max_rounds = args.max_rounds
+        if args.frontier_on_storage:
+            cfg.frontier_on_storage = True
+        if args.host_token_budget is not None:
+            cfg.host_token_budget = args.host_token_budget
         corpus = pq.read_table(args.corpus)
         if args.seeds:
             seeds = pq.read_table(args.seeds)["url"].to_pylist()

@@ -101,6 +101,45 @@ def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
                        Sum("partial_c", alias_name="revenue_cents")))
 
 
+def revenue_by_nation_hashjoin(orders_ds, customer_ds, nation_tbl,
+                               num_partitions: int = 8):
+    """Distributed HASH JOIN variant of ``revenue_by_nation``: orders
+    (fact) joins customer (dim) via ``Dataset.join`` — Ray Data's
+    hash-shuffle join operator — the shape for when the dim side is too
+    large to broadcast (the broadcast variant stays the right choice
+    for small dims).  nation (25 rows) remains a broadcast lookup.
+    Output schema matches revenue_by_nation exactly so both verify
+    against the same DuckDB oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = nation_tbl.select(["n_nationkey", "n_name"])
+    lut = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_name"].to_pylist()))
+    ref = ray.put(lut)
+
+    joined = orders_ds.join(customer_ds, "inner",
+                            num_partitions=num_partitions,
+                            on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        nk = batch["c_nationkey"].to_pylist()
+        micros = np.rint(batch["o_totalprice"].to_numpy() * 100
+                         ).astype(np.int64)  # cents
+        names = [lut_.get(k) for k in nk]
+        df = pd.DataFrame({"n_name": names, "cents": micros})
+        df = df[df["n_name"].notna()]
+        g = df.groupby("n_name", as_index=False).agg(
+            partial_n=("cents", "size"), partial_c=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("partial_n", alias_name="n_orders"),
+                       Sum("partial_c", alias_name="revenue_cents")))
+
+
 def count_by_host_salted(ds, num_salts: int = 8):
     """Per-host row counts over a HOST-SKEWED table (www.gov.uk holds
     ~80% of the corpus) with salted-key two-phase aggregation: phase 1

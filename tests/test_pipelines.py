@@ -273,3 +273,38 @@ def test_scalar_goldens_match_vectorized(docs_ds):
             f"{simhash_scalar(text):016x}"
         assert fingerprint_batch(t2)["fingerprint"].to_pylist()[0] == \
             f"{fingerprint_scalar(text):016x}"
+
+
+def test_hashjoin_matches_broadcast(ray_session):
+    """The native Dataset.join (hash-shuffle) variant must produce the
+    same aggregate as the broadcast-join variant."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        revenue_by_nation,
+        revenue_by_nation_hashjoin,
+    )
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "o_totalprice": pa.array([10.5, 20.25, 5.0, 7.75, 1.0],
+                                 pa.float64()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 0], pa.int64()),
+    })
+    nat = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+    })
+    a = (revenue_by_nation(rd.from_arrow(orders), cust, nat)
+         .to_pandas().sort_values("n_name").reset_index(drop=True))
+    b = (revenue_by_nation_hashjoin(rd.from_arrow(orders),
+                                    rd.from_arrow(cust), nat,
+                                    num_partitions=2)
+         .to_pandas().sort_values("n_name").reset_index(drop=True))
+    cols = ["n_name", "n_orders", "revenue_cents"]
+    assert a[cols].values.tolist() == b[cols].values.tolist()
+    # customer 9 has no dim row: inner join drops it in both variants
+    assert a["n_orders"].sum() == 4
