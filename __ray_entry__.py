@@ -253,6 +253,26 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def _q_neardup_components(sf_dir: str):
+    """End-to-end near-dup clustering: minhash-LSH verified pairs ->
+    distributed min-label-propagation connected components (rows-only:
+    hash-family dependent)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        connected_components_distributed,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
+    if pairs.num_rows == 0:
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    return connected_components_distributed(rd.from_arrow(pairs))
+
+
 def _q_simhash(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
 
@@ -435,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_neardup": _q_minhash_neardup,
+        "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,

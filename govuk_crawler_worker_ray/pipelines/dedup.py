@@ -313,10 +313,76 @@ def _collect_texts(ds, ids: set) -> dict:
     return out
 
 
+def connected_components_distributed(pairs_ds, max_iters: int = 50):
+    """Connected components over an EDGE DATASET by iterative min-label
+    propagation — the scale path for near-dup clusters too large for a
+    driver union-find (each iteration is narrow groupby work; converges
+    in O(diameter) rounds, and near-dup clusters are shallow).
+
+    Input: Dataset of (doc_a, doc_b) int64 edges.  Output: pa.Table
+    (doc_id, component) with component = min doc_id in the component —
+    identical to ``connected_components`` (equivalence tested).
+
+    Per iteration: every node's label candidates = its own label plus
+    its neighbors' labels (edges exploded both directions, joined to
+    the current label table by a broadcast map since labels are narrow;
+    at 10^9+ nodes this becomes a Dataset.join on doc_id) -> one
+    groupby(node).min.  Terminates when no label changed.
+    """
+    from ray.data.aggregate import Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].combine_chunks()
+        bb = b["doc_b"].combine_chunks()
+        # both directions + self loops so min() covers the node itself
+        return pa.table({
+            "src": pa.concat_arrays([a, bb, a, bb]),
+            "dst": pa.concat_arrays([bb, a, a, bb]),
+        })
+
+    both = pairs_ds.map_batches(explode,
+                                batch_format="pyarrow").materialize()
+    labels = (both.groupby("src").aggregate(Min("dst",
+                                                alias_name="label"))
+              .map_batches(lambda b: pa.table({"node": b["src"],
+                                               "label": b["label"]}),
+                           batch_format="pyarrow")
+              .materialize())
+    # convergence: sum(labels) is nonnegative and strictly decreases
+    # while any label improves — a one-scalar driver check per round
+    prev_sum = None
+    for _ in range(max_iters):
+        cand = both.join(labels, "inner", num_partitions=4,
+                         on=("dst",), right_on=("node",))
+        cand_min = (cand.groupby("src")
+                    .aggregate(Min("label", alias_name="label"))
+                    .map_batches(lambda b: pa.table({
+                        "node": b["src"], "label": b["label"]}),
+                        batch_format="pyarrow"))
+        labels = (labels.union(cand_min)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .map_batches(lambda b: pa.table({
+                      "node": b["node"], "label": b["label"]}),
+                      batch_format="pyarrow")
+                  .materialize())
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = pa.concat_tables(list(labels.iter_batches(
+        batch_format="pyarrow")))
+    order = np.argsort(out["node"].to_numpy())
+    return pa.table({
+        "doc_id": pa.array(out["node"].to_numpy()[order], pa.int64()),
+        "component": pa.array(out["label"].to_numpy()[order], pa.int64()),
+    })
+
+
 def connected_components(pairs: pa.Table) -> pa.Table:
     """Union-find over verified pairs (candidate set is small by
-    construction; at larger scale switch to iterative min-label
-    propagation rounds — documented scale path)."""
+    construction; ``connected_components_distributed`` is the built
+    min-label-propagation scale path for huge pair sets)."""
     parent: dict = {}
 
     def find(x):

@@ -308,3 +308,28 @@ def test_hashjoin_matches_broadcast(ray_session):
     assert a[cols].values.tolist() == b[cols].values.tolist()
     # customer 9 has no dim row: inner join drops it in both variants
     assert a["n_orders"].sum() == 4
+
+
+def test_connected_components_distributed(ray_session):
+    """Min-label propagation over an edge Dataset must equal the
+    driver union-find on a multi-component graph with a chain (tests
+    multi-round convergence)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    # chain 9-7-5-3-1 (diameter forces >1 round), pair (2,4), singleton
+    # edge (10,12), plus a triangle 20-21-22
+    pairs = pa.table({
+        "doc_a": pa.array([7, 5, 3, 1, 2, 10, 20, 21, 20], pa.int64()),
+        "doc_b": pa.array([9, 7, 5, 3, 4, 12, 21, 22, 22], pa.int64()),
+    })
+    want = connected_components(pairs)
+    got = connected_components_distributed(rd.from_arrow(pairs))
+    assert got.to_pydict() == want.to_pydict()
+    comp = dict(zip(got["doc_id"].to_pylist(),
+                    got["component"].to_pylist()))
+    assert comp[9] == 1 and comp[4] == 2 and comp[22] == 20
