@@ -283,10 +283,8 @@ class CrawlEngine:
             m["deferred"] = deferred.num_rows
 
         # duplicate-digest lane (sequential semantics for repeated rows)
-        digs = frontier["url_digest"].to_pylist()
-        dup_digests = _find_dups(digs)
-        if dup_digests:
-            dup_mask = pa.array([d in dup_digests for d in digs])
+        dup_mask = _dup_mask(frontier["url_digest"])
+        if dup_mask is not None:
             dup_rows = frontier.filter(dup_mask)
             frontier = frontier.filter(pc.invert(dup_mask))
         else:
@@ -523,10 +521,8 @@ class CrawlEngine:
         # dup-digest lane: only driver rows can repeat a digest (winner
         # parts are replay-unique and commit-time clash extraction pulls
         # winners matching requeued digests back into the driver rows)
-        digs = driver_rows["url_digest"].to_pylist()
-        dup_digests = _find_dups(digs)
-        if dup_digests:
-            dup_mask = pa.array([d in dup_digests for d in digs])
+        dup_mask = _dup_mask(driver_rows["url_digest"])
+        if dup_mask is not None:
             dup_rows = driver_rows.filter(dup_mask)
             driver_rows = driver_rows.filter(pc.invert(dup_mask))
         else:
@@ -896,15 +892,29 @@ def _group_cumcount(codes: np.ndarray) -> np.ndarray:
     return out
 
 
-def _find_dups(digests: list[str]) -> set[str]:
-    seen: set[str] = set()
-    dups: set[str] = set()
-    for d in digests:
-        if d in seen:
-            dups.add(d)
-        else:
-            seen.add(d)
-    return dups
+def _dup_mask(digests: pa.ChunkedArray):
+    """Boolean mask of rows whose digest repeats in the frontier, or
+    None when there are none.  Vectorized on the 64-bit digest prefix
+    (a prefix collision only routes extra rows into the sequential
+    dup lane, which is semantics-preserving) — the previous per-row
+    Python set scan was an O(frontier) driver loop per round."""
+    from ..state.seen_set import keys_u64
+
+    n = len(digests)
+    if n == 0:
+        return None
+    keys = keys_u64(digests.to_pylist())
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    same = np.zeros(n, dtype=bool)
+    same[1:] = ks[1:] == ks[:-1]
+    dup_sorted = same.copy()
+    dup_sorted[:-1] |= same[1:]
+    if not dup_sorted.any():
+        return None
+    mask = np.empty(n, dtype=bool)
+    mask[order] = dup_sorted
+    return pa.array(mask)
 
 
 def _empty_events() -> pa.Table:

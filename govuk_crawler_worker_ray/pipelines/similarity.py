@@ -123,6 +123,86 @@ def lsh_knn(ds, query_vec: np.ndarray, k: int = 10) -> pa.Table:
     })
 
 
+class LshIndex:
+    """Persisted hyperplane-LSH bucket index over an embedding dataset —
+    the scale path ``lsh_knn`` documents: build ONCE (a vectorized
+    signature pass; bucket-sorted arrays), then probe per query without
+    rescanning the dataset.  The built index is broadcast via ray.put
+    and shared zero-copy by query tasks; at 10^10 rows the same layout
+    becomes a signature-sorted parquet/Lance table and probes read only
+    the matching row ranges.
+
+    Ranking semantics (score desc, vec_id asc, same multi-probe set)
+    are identical to ``lsh_knn`` — pinned by
+    tests/test_pipelines.py::test_lsh_index_matches_scan.
+    """
+
+    def __init__(self, sigs: np.ndarray, ids: np.ndarray,
+                 matrix: np.ndarray) -> None:
+        order = np.lexsort((ids, sigs))
+        self.sigs = sigs[order]
+        self.ids = ids[order]
+        self.matrix = matrix[order]
+
+    @classmethod
+    def build(cls, ds) -> "LshIndex":
+        def part(batch: pa.Table) -> pa.Table:
+            ids, m = _to_matrix(batch)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "sig": pa.array([], pa.uint64()),
+                                 "nvec": pa.array(
+                                     [], pa.list_(pa.float64()))})
+            mn = _normalize(m)
+            sigs = _signatures(mn, m.shape[1])
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.uint64()),
+                "nvec": pa.array(list(mn), pa.list_(pa.float64())),
+            })
+
+        ids_l, sigs_l, vecs_l = [], [], []
+        for b in (ds.map_batches(part, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            ids_l.append(b["vec_id"].to_numpy())
+            sigs_l.append(b["sig"].to_numpy())
+            vecs_l.append(np.stack(
+                b["nvec"].to_numpy(zero_copy_only=False))
+                if b.num_rows else np.zeros((0, 1)))
+        ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+        sigs = (np.concatenate(sigs_l) if sigs_l
+                else np.zeros(0, np.uint64))
+        mat = (np.vstack([v for v in vecs_l if v.size])
+               if any(v.size for v in vecs_l) else np.zeros((0, 1)))
+        return cls(sigs, ids, mat)
+
+    def query(self, query_vec: np.ndarray, k: int = 10) -> pa.Table:
+        q = query_vec.astype(np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        qsig = int(_signatures(qn[None, :], len(q))[0])
+        probe = sorted({qsig} | {qsig ^ (1 << b)
+                                 for b in range(_NUM_BITS)})
+        cand = []
+        for p in probe:
+            lo = np.searchsorted(self.sigs, np.uint64(p), side="left")
+            hi = np.searchsorted(self.sigs, np.uint64(p), side="right")
+            if hi > lo:
+                cand.append(np.arange(lo, hi))
+        if not cand:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
+        idx = np.concatenate(cand)
+        scores = self.matrix[idx] @ qn
+        ids = self.ids[idx]
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(np.round(scores[order], 6), pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+
 # near-dup LSH banding: 32 bands x 16 hyperplane bits.  Bits per band
 # must scale with dataset size (~log2 N + margin) or buckets saturate
 # and within-bucket pairing degenerates toward all-pairs: at 8 bits

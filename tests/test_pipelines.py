@@ -333,3 +333,33 @@ def test_connected_components_distributed(ray_session):
     comp = dict(zip(got["doc_id"].to_pylist(),
                     got["component"].to_pylist()))
     assert comp[9] == 1 and comp[4] == 2 and comp[22] == 20
+
+
+def test_lsh_index_matches_scan(ray_session):
+    """The persisted LSH bucket index must return exactly what the
+    per-query scan (lsh_knn) returns — same probe set, scoring, and
+    tiebreaks."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        LshIndex,
+        lsh_knn,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 24)).astype(np.float32)
+    base[11] = base[2] * 0.9  # planted near-dup
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    idx = LshIndex.build(ds)
+    for qi in (2, 50, 123):
+        q = base[qi].astype(np.float64)
+        a = lsh_knn(ds, q, k=7)
+        b = idx.query(q, k=7)
+        assert a.to_pydict() == b.to_pydict()
+    assert idx.query(base[2].astype(np.float64), k=3)[
+        "vec_id"].to_pylist()[0] == 2
