@@ -492,6 +492,60 @@ _ACCEPTED_SQL = ("'text/css','text/csv',"
                  "spreadsheetml.sheet'")
 
 
+def _curate_oracle_sql() -> str:
+    """DuckDB oracle for the WHOLE curation pipeline over the fixture
+    crawl's own parquet output: span unnest -> text_agg in (offset,
+    text) order -> quality/lang/md5 -> min-rowkey winner per content
+    hash.  Mirrors pipelines/curate.py exactly (verified equal)."""
+    _run_fixture_crawl()  # the SQL reads the crawl's fetched parquet
+    out = "/tmp/gcw_entry_out/t1000"
+    c_en = "len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b'))"
+    c_de = ("len(regexp_extract_all(text, "
+            "'(?i)\\b(der|die|und|das|ist)\\b'))")
+    c_es = "len(regexp_extract_all(text, '(?i)\\b(el|la|que|los|es)\\b'))"
+    c_fr = "len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est)\\b'))"
+    return f"""
+WITH f AS (
+  SELECT url, discovered_seq, spans
+  FROM read_parquet('{out}/round=*/fetched/*.parquet')
+  WHERE outcome = 'fetched' AND content_type = 'text/html'
+), sp AS (
+  SELECT url, discovered_seq, unnest(spans) AS s FROM f
+), txt AS (
+  SELECT url AS doc_id, discovered_seq,
+         string_agg(s.text, ' ' ORDER BY s.offset, s.text) AS text
+  FROM sp WHERE s.kind IN ('text','link') AND s.text IS NOT NULL
+        AND s.text != ''
+  GROUP BY url, discovered_seq
+), scored AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+      + CASE WHEN CAST(len(regexp_extract_all(text, '{_STOP}'))
+          AS DOUBLE) / GREATEST(len(regexp_extract_all(text, '{_TOK}')),
+          1) >= 0.01 THEN 4 ELSE 0 END
+      + CASE WHEN CAST(len(regexp_extract_all(text, '{_PUNCT}'))
+          AS DOUBLE) / GREATEST(length(text), 1) <= 0.2 THEN 2 ELSE 0
+          END AS BIGINT) AS quality_points,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN {c_en} >= {c_de} AND {c_en} >= {c_es} AND {c_en} >= {c_fr}
+           THEN 'en'
+         WHEN {c_de} >= {c_es} AND {c_de} >= {c_fr} THEN 'de'
+         WHEN {c_es} >= {c_fr} THEN 'es' ELSE 'fr' END AS pred_lang,
+    md5(text) AS content_hash,
+    doc_id || '|' || lpad(CAST(discovered_seq AS VARCHAR), 12, '0')
+      AS rowkey
+  FROM txt WHERE text != ''
+), winners AS (
+  SELECT content_hash, min(rowkey) AS win FROM scored
+  GROUP BY content_hash
+)
+SELECT s.doc_id, s.text, s.quality_points, s.pred_lang, s.content_hash
+FROM scored s JOIN winners w
+  ON s.content_hash = w.content_hash AND s.rowkey = w.win
+ORDER BY s.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _fixture()  # goldens must exist for the read_parquet oracles
     # scalar-twin goldens for the deterministic per-row hash operators
@@ -619,7 +673,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, fingerprint FROM "
             f"read_parquet('{sg['fingerprint']}')"),
-        # ann_lsh / minhash_neardup: non-SQL-expressible (LSH probing,
-        # banding) — rows-only checks; minhash is pinned by the
-        # planted-fixture pair tests instead.
+        # the whole curation handoff is SQL-expressible over the crawl's
+        # own parquet output (span unnest + string_agg + winner join)
+        "curate_crawl": _curate_oracle_sql(),
+        # ann_lsh / minhash_neardup / neardup_components:
+        # non-SQL-expressible (LSH probing, banding, iterative label
+        # propagation) — rows-only checks; pinned by the planted-fixture
+        # pair/component tests instead.
     }
