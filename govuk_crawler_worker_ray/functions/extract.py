@@ -283,6 +283,13 @@ def extract_links_spans_batch_scalar(
     })
 
 
+def _as_arr(x):
+    """ChunkedArray/Array -> Array (concat_arrays wants plain arrays)."""
+    if isinstance(x, pa.ChunkedArray):
+        return x.combine_chunks()
+    return x
+
+
 def extract_links_spans_batch(
     batch: pa.Table,
     allowed_hosts: list[str],
@@ -422,43 +429,62 @@ def extract_links_spans_batch(
     order = kidx[np.lexsort((offset[kidx], rank_np[kidx].astype(np.int64),
                              kind_rank[kidx], parent[kidx]))]
     order_arr = pa.array(order)
-    nofrag = pc.replace_substring_regex(
-        resolved_arr.take(order_arr), r"(?s)#.*$", "").to_pylist()
-    host_ord = host.take(order_arr).to_pylist()
+    nofrag_arr = pc.replace_substring_regex(
+        resolved_arr.take(order_arr), r"(?s)#.*$", "")
+    if isinstance(nofrag_arr, pa.ChunkedArray):
+        nofrag_arr = nofrag_arr.combine_chunks()
+    host_ord = host.take(order_arr)
 
-    src_out: list[str] = []
-    link_out: list[str | None] = []
-    host_out: list[str | None] = []
-    seq_out: list[int] = []
-    cur_page = -1
-    seen_page: set[str] = set()
-    seq = 0
-    for pos, i in enumerate(order):
-        pg = parent[i]
-        if pg != cur_page:
-            cur_page = pg
-            seen_page = set()
-            seq = 0
-        u = nofrag[pos]
-        if u in seen_page:
-            continue
-        seen_page.add(u)
-        src_out.append(urls[pg])
-        link_out.append(u)
-        host_out.append(host_ord[pos])
-        seq_out.append(seq)
-        seq += 1
+    # keep-first dedup per page + within-page seq, fully vectorized and
+    # EXACT: dictionary-encode the link strings (C-side string
+    # equality), then first-occurrence per (page, code) in sequence
+    # order via one lexsort (the previous per-link Python loop was the
+    # single largest worker cost — 37M list appends per 1M-page crawl)
+    pg_ord = parent[order]
+    codes = nofrag_arr.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    comp = pg_ord.astype(np.int64) * (codes.max() + 1 if len(codes)
+                                      else 1) + codes
+    pos = np.arange(len(comp))
+    perm = np.lexsort((pos, comp))
+    cs = comp[perm]
+    first = np.ones(len(cs), dtype=bool)
+    first[1:] = cs[1:] != cs[:-1]
+    keep_pos = np.sort(pos[perm[first]])
+    kept_pg = pg_ord[keep_pos]
+    is_new = np.ones(len(kept_pg), dtype=bool)
+    is_new[1:] = kept_pg[1:] != kept_pg[:-1]
+    run_starts = np.nonzero(is_new)[0]
+    run_ids = np.cumsum(is_new) - 1
+    seqs = (np.arange(len(kept_pg)) - run_starts[run_ids]).astype(
+        np.int32) if len(kept_pg) else np.zeros(0, np.int32)
+
+    keep_arr = pa.array(keep_pos, pa.int64())
+    src_col = batch[url_col].combine_chunks()
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    out_src = src_col.take(pa.array(kept_pg, pa.int64()))
+    out_link = nofrag_arr.take(keep_arr)
+    out_host = host_ord.take(keep_arr)
+    out_seq = pa.array(seqs, pa.int32())
     # abort markers (one per aborted page with a parseable base)
-    for pg in np.nonzero(page_abort & ~page_dead)[0]:
-        src_out.append(urls[pg])
-        link_out.append(None)
-        host_out.append(None)
-        seq_out.append(-1)
+    ab = np.nonzero(page_abort & ~page_dead)[0]
+    if len(ab):
+        out_src = pa.concat_arrays(
+            [_as_arr(out_src),
+             _as_arr(src_col.take(pa.array(ab, pa.int64())))])
+        out_link = pa.concat_arrays(
+            [_as_arr(out_link), pa.nulls(len(ab), pa.string())])
+        out_host = pa.concat_arrays(
+            [_as_arr(out_host), pa.nulls(len(ab), pa.string())])
+        out_seq = pa.concat_arrays(
+            [out_seq, pa.array(np.full(len(ab), -1, np.int32),
+                               pa.int32())])
     return pa.table({
-        "src_url": pa.array(src_out, pa.string()),
-        "link_url": pa.array(link_out, pa.string()),
+        "src_url": out_src,
+        "link_url": out_link,
         # host of each kept link (already computed for the allow-gate) —
         # carried out so downstream stages skip a per-link re-parse
-        "link_host": pa.array(host_out, pa.string()),
-        "link_seq": pa.array(seq_out, pa.int32()),
+        "link_host": out_host,
+        "link_seq": out_seq,
     })

@@ -106,6 +106,12 @@ class FetchWorker:
 
         import numpy as np
 
+        prof = None
+        if os.environ.get("GCW_PROFILE_WORKER") == "1":
+            import cProfile
+
+            prof = cProfile.Profile()
+            prof.enable()
         _t0 = _time.perf_counter()
         counts: dict[str, int] = {}
         host_counts: dict[str, int] = {}
@@ -169,6 +175,10 @@ class FetchWorker:
                 remote=self.stage.seen.remote, block=False)
         requeues = (pa.concat_tables(req_parts) if req_parts else None)
         busy_ms = int((_time.perf_counter() - _t0) * 1000)
+        if prof is not None:
+            prof.disable()
+            prof.dump_stats(
+                f"/tmp/gcw_prof/worker_{os.getpid()}_{busy_ms}.prof")
         return counts, host_counts, requeues, aborts, stage_refs, busy_ms
 
     def ping(self) -> bool:
