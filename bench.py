@@ -96,7 +96,7 @@ def bench_queries() -> dict:
 
     picks = ["dedup_exact", "text_stats", "lang_id", "events_hourly",
              "revenue_by_nation", "ann_bruteforce", "minhash_neardup",
-             "simhash"]
+             "simhash", "embedding_neardup", "top_docs_by_length"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -315,3 +315,28 @@ def test_storage_frontier_resume(fixture, tmp_path):
                         st["status"].to_pylist())) == oracle.seen
     finally:
         eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_frontier_parity_medium(tmp_path):
+    """Storage rounds at multi-part scale: enough winners per round that
+    every shard writes parts and the rank exchange crosses partition
+    boundaries; order/seen goldens must still match the oracle."""
+    fx = generate_corpus(1500, 11)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), crawler_threads=4,
+                      fetch_batch_size=128,  # force many parts/chunks
+                      frontier_on_storage=True)
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "sto_med"),
+                      use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+    finally:
+        eng.shutdown()
