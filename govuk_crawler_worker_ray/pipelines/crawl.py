@@ -157,6 +157,13 @@ class CrawlEngine:
             self.pool = None  # created lazily on the first big round
             if warm_pool:
                 self._ensure_pool()
+                # warm the shard commit path too: the first commit
+                # otherwise pays actor spawn + imports + first-RPC
+                # latency inside round 0 (~0.5-1s measured)
+                import ray
+
+                ray.get([s.commit_staged.remote(0.0)
+                         for s in self.seen.shards])
         else:
             self.corpus_ref = self.index
             self.seen = SeenSet.local(cfg.num_seen_shards,

@@ -139,3 +139,29 @@ def test_seen_shard_matches_dict_model(ops):
     # final states agree for every key
     for k in _KEYS:
         assert shard.get_batch([k], now)[0] == m_get(k)
+
+
+def test_rank_partition_property():
+    """Property: for random per-shard SORTED key arrays, the rank
+    exchange assigns exactly the dense global sort order."""
+    import numpy as np
+
+    from govuk_crawler_worker_ray.state.seen_set import SeenShard
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        S = int(rng.integers(1, 9))
+        arrs = [np.sort(rng.integers(0, 10**6, int(rng.integers(0, 50))))
+                .astype(np.int64) for _ in range(S)]
+        ranks = SeenShard(0, 1.0).rank_partition(arrs)
+        # reassemble: key at global rank r
+        allk = np.concatenate(arrs) if any(len(a) for a in arrs) else \
+            np.zeros(0, np.int64)
+        out = np.empty(len(allk), dtype=np.int64)
+        for a, r in zip(arrs, ranks):
+            out[r] = a
+        assert (out == np.sort(allk)).all()
+        # ranks are a permutation
+        flat = np.concatenate([r for r in ranks]) if len(allk) else \
+            np.zeros(0, np.int64)
+        assert sorted(flat.tolist()) == list(range(len(allk)))
