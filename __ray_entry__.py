@@ -532,7 +532,7 @@ WITH f AS (
          WHEN {c_de} >= {c_es} AND {c_de} >= {c_fr} THEN 'de'
          WHEN {c_es} >= {c_fr} THEN 'es' ELSE 'fr' END AS pred_lang,
     md5(text) AS content_hash,
-    doc_id || '|' || lpad(CAST(discovered_seq AS VARCHAR), 12, '0')
+    doc_id || chr(9) || lpad(CAST(discovered_seq AS VARCHAR), 12, '0')
       AS rowkey
   FROM txt WHERE text != ''
 ), winners AS (

@@ -635,13 +635,14 @@ class CrawlEngine:
         part_totals = hist.sum(axis=0)
         part_starts = np.concatenate(
             ([0], np.cumsum(part_totals)[:-1]))
-        rank_refs = [
-            shards[p % S].rank_partition
-            .options(num_returns=S)
-            .remote([key_refs[s][p] for s in range(S)])
-            for p in range(P)
-        ]
-        # rank_refs[p] is a tuple of S refs (one per shard)
+        # rank_refs[p] is a list of S refs (one per shard); Ray returns a
+        # BARE ref (not a tuple) when num_returns == 1, so wrap for S == 1
+        rank_refs = []
+        for p in range(P):
+            r = (shards[p % S].rank_partition
+                 .options(num_returns=S)
+                 .remote([key_refs[s][p] for s in range(S)]))
+            rank_refs.append([r] if S == 1 else r)
         frontier_dir = os.path.join(rdir, "frontier")
         ph2 = ray.get([
             shards[s].commit_phase2.remote(

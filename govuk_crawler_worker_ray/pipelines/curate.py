@@ -77,14 +77,17 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
         q = quality_score_batch(batch)
         lang = lang_id_batch(batch)
         hashed = content_hash_batch(batch)
-        # rowkey (doc_id | zero-padded seq) is UNIQUE per fetched row
+        # rowkey (doc_id <TAB> zero-padded seq) is UNIQUE per fetched row
         # (a seq is fetched at most once across rounds), so the winner
         # semi-join below keeps exactly one physical row per hash with
-        # no second dedup pass
+        # no second dedup pass.  The separator is '\t' (0x09), below
+        # every character legal in a URL, so min(rowkey) is exactly the
+        # lexicographically-least (doc_id, seq) pair even when one
+        # doc_id is a prefix of another.
         rowkey = pc.binary_join_element_wise(
             batch["doc_id"],
             pc.utf8_lpad(pc.cast(batch["discovered_seq"], pa.string()),
-                         12, "0"), "|")
+                         12, "0"), "\t")
         return pa.table({
             "doc_id": batch["doc_id"],
             "text": batch["text"],
@@ -97,8 +100,9 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
     scored = docs.map_batches(score, batch_format="pyarrow")
     kept = scored.filter(
         expr=f"quality_points >= {min_quality_points}")
-    # exact dedup, ONE narrow shuffle: min rowkey per content hash (min
-    # doc_id, earliest-crawled copy on ties) — text never shuffles
+    # exact dedup, ONE narrow shuffle: min rowkey per content hash
+    # (least (doc_id, seq) pair: min doc_id, earliest-crawled copy on
+    # ties) — text never shuffles
     winners = (kept.select_columns(["content_hash", "rowkey"])
                .groupby("content_hash")
                .aggregate(Min("rowkey", alias_name="win_key"),
@@ -106,7 +110,7 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
     win_parts = []
     for b in winners.iter_batches(batch_format="pyarrow"):
         win_parts.append(pc.binary_join_element_wise(
-            b["content_hash"], b["win_key"], "|"))
+            b["content_hash"], b["win_key"], "\t"))
     import ray
 
     win_set = (pa.concat_arrays([p.combine_chunks() if isinstance(
@@ -116,7 +120,7 @@ def curate_crawl_output(crawl_out_dir: str, dest_dir: str,
 
     def only_winners(batch: pa.Table) -> pa.Table:
         full = pc.binary_join_element_wise(batch["content_hash"],
-                                           batch["rowkey"], "|")
+                                           batch["rowkey"], "\t")
         mask = pc.is_in(full, value_set=ray.get(win_ref))
         return batch.filter(mask).drop_columns(["rowkey"])
 

@@ -177,6 +177,7 @@ class FetchWorker:
         busy_ms = int((_time.perf_counter() - _t0) * 1000)
         if prof is not None:
             prof.disable()
+            os.makedirs("/tmp/gcw_prof", exist_ok=True)
             prof.dump_stats(
                 f"/tmp/gcw_prof/worker_{os.getpid()}_{busy_ms}.prof")
         return counts, host_counts, requeues, aborts, stage_refs, busy_ms

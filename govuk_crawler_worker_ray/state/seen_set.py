@@ -321,6 +321,13 @@ class SeenShard:
         t = self.commit_staged(now)  # replay; winners as Arrow (unsorted)
         pseq = t["parent_seq"].to_numpy(zero_copy_only=False)
         lidx = t["link_idx"].to_numpy(zero_copy_only=False)
+        # packed key is pseq*2^21 + lidx+1 in int64: past pseq >= 2^42 it
+        # silently overflows and mis-orders the storage path (unlike
+        # commit_staged, which has a lexsort fallback) — fail loudly
+        if len(pseq) and int(pseq.max()) >= (1 << 42):
+            raise OverflowError(
+                "commit_phase1 packed ordering key overflows int64: "
+                f"parent_seq max {int(pseq.max())} >= 2^42")
         comp = pseq.astype(np.int64) * np.int64(1 << 21) + (
             lidx.astype(np.int64) + 1)
         order = np.argsort(comp, kind="stable")

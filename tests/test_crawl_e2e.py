@@ -292,6 +292,24 @@ def test_storage_frontier_matches_oracle(fixture, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_storage_frontier_single_shard(fixture, tmp_path):
+    """S == 1 regression: Ray returns a BARE ref (not a tuple) from
+    .options(num_returns=1), which used to crash the rank exchange."""
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True,
+                      num_seen_shards=1)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "sto1"), use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_storage_frontier_resume(fixture, tmp_path):
     """Storage-mode checkpoint/resume: manifest carries the frontier
     part paths; a fresh engine resumes and completes with identical
