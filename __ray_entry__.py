@@ -232,7 +232,11 @@ def _q_ann_lsh(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.similarity import lsh_knn
 
     ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
-    return lsh_knn(ds, _query_vec(sf_dir), k=10)
+    # (vec_id, rank) only: the float cosine column would make the
+    # driver's value-hash sensitive to last-ulp summation-order noise
+    # between the engine and the scalar-twin golden
+    return lsh_knn(ds, _query_vec(sf_dir), k=10).select(
+        ["vec_id", "rank"])
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -550,11 +554,17 @@ def oracle_sql() -> dict[str, str]:
     d = _fixture()  # goldens must exist for the read_parquet oracles
     # scalar-twin goldens for the deterministic per-row hash operators
     # (driver runs the side-by-side compare at sf0.01 per its contract)
-    from govuk_crawler_worker_ray.goldens import write_scalar_goldens
+    from govuk_crawler_worker_ray.goldens import (
+        write_ann_lsh_golden,
+        write_scalar_goldens,
+    )
 
     oracle_sf = os.environ.get("GCW_ORACLE_SF", "/root/testdata/sf0.01")
     sg = write_scalar_goldens(
         os.path.join(oracle_sf, "documents.parquet"),
+        "/tmp/gcw_goldens")
+    ga = write_ann_lsh_golden(
+        os.path.join(oracle_sf, "embeddings.parquet"),
         "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
@@ -673,11 +683,15 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, fingerprint FROM "
             f"read_parquet('{sg['fingerprint']}')"),
+        # deterministic given the fixed hyperplane family: scalar-twin
+        # golden (same two-implementations pattern as simhash)
+        "ann_lsh": (
+            f"SELECT vec_id, rank FROM read_parquet('{ga}')"),
         # the whole curation handoff is SQL-expressible over the crawl's
         # own parquet output (span unnest + string_agg + winner join)
         "curate_crawl": _curate_oracle_sql(),
-        # ann_lsh / minhash_neardup / neardup_components:
-        # non-SQL-expressible (LSH probing, banding, iterative label
-        # propagation) — rows-only checks; pinned by the planted-fixture
-        # pair/component tests instead.
+        # minhash_neardup / neardup_components: non-SQL-expressible
+        # (banding + iterative label propagation over a hash family) —
+        # rows-only checks; pinned by the planted-fixture pair/component
+        # tests instead.
     }

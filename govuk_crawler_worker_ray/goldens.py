@@ -14,6 +14,11 @@ Simhash: Charikar (STOC 2002) 64-bit, whitespace tokens, per-token
 64-bit blake2b, majority vote per bit with ties -> 0.
 Fingerprint: degree-n polynomial rolling hash over utf-8 bytes in
 uint64 wraparound arithmetic (Horner form), xor-folded with an offset.
+ANN-LSH: hyperplane-LSH top-k (the ``ann_lsh`` query) — the probe set
+and ranking are fully deterministic given the fixed hyperplane family
+(seed + shape are contract constants), so the twin recomputes the
+signatures, the 1-bit-flip probe set, and the candidate cosines with
+plain Python float loops and persists (vec_id, rank).
 """
 
 from __future__ import annotations
@@ -60,6 +65,67 @@ def fingerprint_scalar(text: str) -> int:
     return h ^ _FP_OFF
 
 
+# contract constants of the ann_lsh operator (similarity.py cites them
+# as part of the query's deterministic spec): hyperplanes are
+# standard_normal((dim, _LSH_BITS)) from default_rng(_LSH_SEED)
+_LSH_SEED = 20240817
+_LSH_BITS = 12
+
+
+def _lsh_normalize(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(v * v for v in vec))
+    if n == 0:
+        return list(vec)
+    return [v / n for v in vec]
+
+
+def _lsh_sig(vec: list[float], planes) -> int:
+    """Signature bits packed LSB-first; plain Python accumulation."""
+    sig = 0
+    for b in range(_LSH_BITS):
+        s = 0.0
+        for i, v in enumerate(vec):
+            s += v * float(planes[i][b])
+        if s > 0:
+            sig |= 1 << b
+    return sig
+
+
+def ann_lsh_scalar(embeddings_path: str, k: int = 10) -> pa.Table:
+    """Scalar-twin ann_lsh: query = min-vec_id row; probe its bucket +
+    all 1-bit flips; exact cosine over candidates; rank by (score desc,
+    vec_id asc)."""
+    import numpy as np
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [list(map(float, v)) for v in t["embedding"].to_pylist()]
+    dim = len(vecs[0]) if vecs else 1
+    planes = np.random.default_rng(_LSH_SEED).standard_normal(
+        (dim, _LSH_BITS))
+    qpos = min(range(len(ids)), key=lambda i: ids[i])
+    qn = _lsh_normalize(vecs[qpos])
+    qsig = _lsh_sig(qn, planes)
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(_LSH_BITS)}
+    scored = []
+    for vid, v in zip(ids, vecs):
+        vn = _lsh_normalize(v)
+        if _lsh_sig(vn, planes) not in probe:
+            continue
+        s = 0.0
+        for a, b in zip(vn, qn):
+            s += a * b
+        scored.append((-s, vid))
+    scored.sort()
+    top = scored[:k]
+    return pa.table({
+        "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
 def write_scalar_goldens(documents_path: str, out_dir: str) -> dict:
     """Compute both goldens over a documents parquet; idempotent via a
     source-mtime marker.  Returns {query_name: golden_parquet_path}."""
@@ -90,3 +156,19 @@ def write_scalar_goldens(documents_path: str, out_dir: str) -> dict:
     with open(marker, "w") as f:
         f.write(mtime)
     return paths
+
+
+def write_ann_lsh_golden(embeddings_path: str, out_dir: str) -> str:
+    """Persist the ann_lsh scalar-twin golden; idempotent via mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_ann_lsh.parquet")
+    marker = os.path.join(out_dir, "golden_ann_lsh_mtime")
+    mtime = str(os.path.getmtime(embeddings_path))
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read() == mtime:
+                return path
+    pq.write_table(ann_lsh_scalar(embeddings_path), path)
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return path

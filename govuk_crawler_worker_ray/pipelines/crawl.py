@@ -67,9 +67,88 @@ class CrawlResult:
     out_dir: str
     seen: SeenSet
 
+    def _mirror_files(self) -> list[str]:
+        """All fetched parquet parts in write order (round asc, part name
+        asc) — the order that defines last-write-wins."""
+        rounds = sorted(
+            (int(d.split("=")[1]) for d in os.listdir(self.out_dir)
+             if d.startswith("round=") and os.path.isdir(
+                 os.path.join(self.out_dir, d, "fetched"))))
+        files: list[str] = []
+        for k in rounds:
+            fdir = os.path.join(self.out_dir, f"round={k}", "fetched")
+            files.extend(os.path.join(fdir, f)
+                         for f in sorted(os.listdir(fdir))
+                         if f.endswith(".parquet"))
+        return files
+
+    def mirror_dataset(self):
+        """Final mirror state as a LAZY ``ray.data.Dataset`` — the scale
+        path (``mirror_table`` is the driver-side golden/test
+        convenience).  Last-write-wins per mirror_path, computed
+        distributed: a narrow column-pruned pass aggregates the max
+        write-order key per path, then an inner ``Dataset.join`` keeps
+        only the winning rows — bodies shuffle exactly once (hash by
+        mirror_path) and never touch the driver."""
+        import ray.data as rd
+        from ray.data.aggregate import Max
+
+        files = self._mirror_files()
+        items = [{"path": p, "fidx": i} for i, p in enumerate(files)]
+        if not items:
+            return rd.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "mirror_path": pa.array([], pa.string()),
+                "body": pa.array([], pa.string())}))
+
+        def _read(batch: pa.Table, cols: list[str]) -> pa.Table:
+            outs = []
+            for path, fidx in zip(batch["path"].to_pylist(),
+                                  batch["fidx"].to_pylist()):
+                t = pq.read_table(path, columns=cols, use_threads=False)
+                t = t.filter(pc.invert(pc.is_null(t["mirror_path"])))
+                okey = (np.int64(fidx) << np.int64(32)) + np.arange(
+                    t.num_rows, dtype=np.int64)
+                outs.append(t.append_column(
+                    "okey", pa.array(okey, pa.int64())))
+            if not outs:
+                return pa.table(
+                    {c: pa.array([], pa.string()) for c in cols}
+                    | {"okey": pa.array([], pa.int64())})
+            return pa.concat_tables(outs)
+
+        def read_full(b: pa.Table) -> pa.Table:
+            return _read(b, ["url", "mirror_path", "body"])
+
+        def read_narrow(b: pa.Table) -> pa.Table:
+            return _read(b, ["mirror_path"])
+
+        rows = rd.from_items(items).map_batches(
+            read_full, batch_format="pyarrow", batch_size=1)
+        winners = (rd.from_items(items)
+                   .map_batches(read_narrow, batch_format="pyarrow",
+                                batch_size=4)
+                   .groupby("mirror_path")
+                   .aggregate(Max("okey", alias_name="okey")))
+        # few, large partitions: a partition per file turns the join's
+        # hash exchange into a tiny-task matrix (measured pathological
+        # on this Ray build — BASELINE.md); scale with CPUs instead
+        try:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            ncpu = 4
+        n_parts = max(2, min(ncpu, len(files)))
+        return (rows.join(winners, "inner", num_partitions=n_parts,
+                          on=("mirror_path", "okey"))
+                .select_columns(["url", "mirror_path", "body"]))
+
     def mirror_table(self) -> pa.Table:
         """Final mirror state: last write per mirror_path across rounds
-        (filesystem overwrite semantics, workflow.go:183)."""
+        (filesystem overwrite semantics, workflow.go:183).  Test/golden
+        convenience — materializes bodies driver-side; use
+        ``mirror_dataset`` at scale."""
         rounds = sorted(
             (int(d.split("=")[1]) for d in os.listdir(self.out_dir)
              if d.startswith("round=") and os.path.isdir(

@@ -110,11 +110,14 @@ def _shingle_hashes(text: str, k: int = 5,
     th = _token_hashes(toks, cache if cache is not None else {})
     if len(toks) < k:
         k = len(toks)
-    powers = _P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     n = len(th) - k + 1
-    # strided windows x powers, summed — all numpy
-    windows = np.lib.stride_tricks.sliding_window_view(th, k)
-    return (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)[:n]
+    # k-term polynomial as contiguous slice*scalar adds: the broadcast
+    # sliding-window form hits numpy's uint64 broadcast pathology
+    # (~500x, see state/bloom.py _BIT note)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += th[j:j + n] * (_P ** np.uint64(k - 1 - j))
+    return acc
 
 
 def minhash_signature(text: str, k: int = 5,
@@ -122,35 +125,73 @@ def minhash_signature(text: str, k: int = 5,
     h = _shingle_hashes(text, k, cache)
     if len(h) == 0:
         return np.zeros(NUM_PERM, dtype=np.uint64)
-    # (a*x + b) mod M over all shingles, min per permutation
-    vals = (h[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    # (a*x + b) mod M over all shingles, min per permutation — a loop of
+    # contiguous 1D ops per permutation (broadcast uint64 is ~500x
+    # slower on this numpy build, see state/bloom.py _BIT note)
+    out = np.empty(NUM_PERM, dtype=np.uint64)
+    tmp = np.empty_like(h)
+    for p in range(NUM_PERM):
+        np.multiply(h, _A[p], out=tmp)
+        tmp += _B[p]
+        tmp %= _MERSENNE
+        out[p] = tmp.min()
+    return out
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public constant mix), vectorized uint64."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def minhash_bands_batch(batch: pa.Table, k: int = 5) -> pa.Table:
     """docs -> exploded (doc_id, band_key) narrow rows.  ``band_key`` is
-    one 63-bit blake2b over (band_id || band row values): a single
-    fixed-width int column so the bucket groupby shuffles/sorts one int64
-    key instead of an (int32, string) composite (measured ~2x on the
+    one 63-bit mix of (band_id, band row values): a single fixed-width
+    int column so the bucket groupby shuffles/sorts one int64 key
+    instead of an (int32, string) composite (measured ~2x on the
     aggregate).  A cross-band key collision only adds a candidate pair,
-    which the exact Jaccard verify then rejects — correctness unaffected."""
-    doc_ids = batch["doc_id"].to_pylist()
+    which the exact Jaccard verify then rejects — correctness unaffected.
+
+    Batch-level vectorization: shingle hashes for ALL docs concatenate
+    into one flat stream; each of the 64 permutations is one contiguous
+    mul+add+mod pass with per-doc minima via ``np.minimum.reduceat``;
+    band keys fold signature rows through a splitmix64 mix — no
+    per-document numpy calls, no per-(doc, band) hashing."""
     texts = batch["text"].to_pylist()
+    n = len(texts)
+    ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     cache: dict = {}  # token-hash memo shared across the batch
-    out_doc: list = []
-    out_key: list[int] = []
-    for d, t in zip(doc_ids, texts):
-        sig = minhash_signature(t, k, cache)
-        bands = sig.reshape(NUM_BANDS, ROWS_PER_BAND)
-        for b in range(NUM_BANDS):
-            bh = int.from_bytes(
-                hashlib.blake2b(bytes([b]) + bands[b].tobytes(),
-                                digest_size=8).digest(), "big") >> 1
-            out_doc.append(d)
-            out_key.append(bh)
+    parts = []
+    counts = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = _shingle_hashes(t, k, cache)
+        counts[i] = len(h)
+        parts.append(h)
+    # (NUM_PERM, n) row-contiguous so the band fold reads contiguous rows
+    sigs = np.zeros((NUM_PERM, n), dtype=np.uint64)
+    if n and counts.sum():
+        flat = np.concatenate(parts)
+        nonempty = np.nonzero(counts)[0]
+        starts = (np.cumsum(counts) - counts)[nonempty]
+        tmp = np.empty_like(flat)
+        for p in range(NUM_PERM):
+            np.multiply(flat, _A[p], out=tmp)
+            tmp += _B[p]
+            tmp %= _MERSENNE
+            sigs[p, nonempty] = np.minimum.reduceat(tmp, starts)
+    keys = np.empty((NUM_BANDS, n), dtype=np.uint64)
+    for b in range(NUM_BANDS):
+        acc = np.full(n, np.uint64(0x9E3779B97F4A7C15 + 2654435761 * b),
+                      dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):
+            acc = _mix64(acc ^ sigs[b * ROWS_PER_BAND + r])
+        keys[b] = acc
+    # column-major ravel => per-doc band runs, matching the repeat below
+    band_key = (keys >> np.uint64(1)).astype(np.int64).T.ravel()
     return pa.table({
-        "doc_id": pa.array(out_doc),
-        "band_key": pa.array(out_key, pa.int64()),
+        "doc_id": pa.array(np.repeat(ids, NUM_BANDS)),
+        "band_key": pa.array(band_key, pa.int64()),
     })
 
 
@@ -407,26 +448,51 @@ def connected_components(pairs: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
-    out = []
-    for t in batch["text"].to_pylist():
-        toks = t.split()
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.array([int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-            "big") for w in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sig = int((v > 0).astype(np.uint64)
-                  .dot(np.left_shift(np.uint64(1),
-                                     np.arange(64, dtype=np.uint64))))
-        out.append(sig)
+    """64-bit SimHash over whitespace tokens (Charikar 2002), vectorized
+    across the WHOLE batch: one Arrow whitespace split, one
+    dictionary_encode so each distinct token is blake2b-hashed exactly
+    once, then per-doc bit votes via a single ``np.add.reduceat`` over
+    the flattened token stream (empty docs handled out-of-band since
+    reduceat can't express empty segments)."""
+    n_docs = batch.num_rows
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs:
+        text = batch["text"].combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        # Arrow emits empty boundary tokens Python str.split() drops
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+        if len(flat):
+            enc = flat.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            uh = np.empty(len(uniq), dtype=np.uint64)
+            for i, t in enumerate(uniq):  # per UNIQUE token only
+                uh[i] = int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"),
+                                    digest_size=8).digest(), "big")
+            hs = uh[codes]
+            # bit j of h == unpackbits(le-bytes, bitorder=little)[:, j];
+            # the shift-broadcast form hits numpy's uint64 pathology
+            # (~2500x slower — see state/bloom.py _BIT note)
+            bits = np.unpackbits(
+                hs.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little").astype(np.int32)
+            cnt = np.bincount(doc_idx, minlength=n_docs)
+            nonempty = np.nonzero(cnt)[0]
+            starts = (np.cumsum(cnt) - cnt)[nonempty]
+            ones = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * ones - cnt[nonempty][:, None]
+            packed = np.packbits(votes > 0, axis=1, bitorder="little")
+            sigs[nonempty] = packed.view("<u8").ravel()
     return pa.table({
         "doc_id": batch["doc_id"],
-        "simhash": pa.array([f"{v:016x}" for v in out], pa.string()),
+        "simhash": pa.array([f"{int(v):016x}" for v in sigs], pa.string()),
     })
 
 

@@ -76,8 +76,12 @@ def _signatures(m: np.ndarray, dim: int) -> np.ndarray:
     rng = np.random.default_rng(_HYPERPLANE_SEED)
     planes = rng.standard_normal((dim, _NUM_BITS))
     bits = (m @ planes) > 0
-    return (bits.astype(np.uint64)
-            << np.arange(_NUM_BITS, dtype=np.uint64)).sum(axis=1)
+    # pack in int64 (uint64 broadcast ops are ~500x slower on this
+    # numpy build — state/bloom.py _BIT note); values < 2^12 so the
+    # cast back to uint64 is lossless
+    w = np.left_shift(np.int64(1), np.arange(_NUM_BITS, dtype=np.int64))
+    return (bits.astype(np.int64) * w[None, :]).sum(axis=1).astype(
+        np.uint64)
 
 
 def lsh_knn(ds, query_vec: np.ndarray, k: int = 10) -> pa.Table:

@@ -102,25 +102,52 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 _FP_MUL = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
+_FP_POW = np.array([1], dtype=np.uint64)  # MUL^i table, grown on demand
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """MUL^0..MUL^(n-1) in uint64 wraparound, cached across batches."""
+    global _FP_POW
+    if len(_FP_POW) < n:
+        tbl = np.full(max(n, 2 * len(_FP_POW)), _FP_MUL, dtype=np.uint64)
+        tbl[0] = 1
+        _FP_POW = np.cumprod(tbl)  # uint64 multiply wraps mod 2^64
+    return _FP_POW
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: degree-n polynomial rolling hash over the
     utf-8 bytes (uint64 wraparound) — cheap content identity for
     incremental recrawl diffing (the engine analog of mirror-file
-    comparison).  Fully vectorized per document; hex for portability."""
-    out = []
-    for t in batch["text"].to_pylist():
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) == 0:
-            out.append(0)
-            continue
-        powers = _FP_MUL ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
-        h = (b.astype(np.uint64) * powers).sum(dtype=np.uint64)
-        out.append(int(h ^ _FP_OFF))
+    comparison).  Vectorized across the WHOLE batch: the Arrow string
+    buffer is flattened once, each byte multiplied by its cached power
+    of MUL, and per-doc sums come from one ``np.add.reduceat``."""
+    n_docs = batch.num_rows
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs:
+        arr = batch["text"].combine_chunks().cast(pa.large_utf8())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        starts, ends = offsets[:-1], offsets[1:]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total:
+            cum = np.cumsum(lens) - lens  # output start per doc
+            pos = np.arange(total, dtype=np.int64)
+            rep_cum = np.repeat(cum, lens)
+            src = np.repeat(starts, lens) + (pos - rep_cum)
+            flat = data[src].astype(np.uint64)
+            # exponent = doc_len - 1 - pos_in_doc
+            exp = np.repeat(lens - 1, lens) - (pos - rep_cum)
+            prod = flat * _fp_powers(int(lens.max()))[exp]
+            nonempty = np.nonzero(lens)[0]
+            sums = np.add.reduceat(prod, cum[nonempty])
+            out[nonempty] = sums ^ _FP_OFF
     return pa.table({
         "doc_id": batch["doc_id"],
-        "fingerprint": pa.array([f"{v:016x}" for v in out], pa.string()),
+        "fingerprint": pa.array([f"{int(v):016x}" for v in out],
+                                pa.string()),
     })
 
 

@@ -16,6 +16,12 @@ import math
 
 import numpy as np
 
+# 1 << j lookup: np.uint64 ops with BROADCAST operands (scalar-first
+# shifts, differing-shape arithmetic) hit a ~500x-slow non-SIMD numpy
+# loop on this numpy build (measured: 5.7s vs 7ms for 200k x 8 keys,
+# BASELINE.md round 3) — gather from a precomputed table instead
+_BIT = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
 
 class BloomFilter:
     def __init__(self, expected_keys: int, fpp: float = 0.01) -> None:
@@ -27,9 +33,17 @@ class BloomFilter:
         self._mask = np.uint64(self.num_bits - 1)
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(n, k) bit positions via double hashing."""
-        ks = np.arange(self.num_hashes, dtype=np.uint64)
-        return (h1[:, None] + ks[None, :] * h2[:, None]) & self._mask
+        """(k, n) bit positions via double hashing.  k-term loop of
+        contiguous 1D ops: the one-liner broadcast form
+        ``h1[:,None] + ks[None,:]*h2[:,None]`` costs ~500x more on this
+        numpy build (uint64 broadcast pathology, see _BIT note)."""
+        k = self.num_hashes
+        out = np.empty((k, len(h1)), dtype=np.uint64)
+        for j in range(k):
+            np.multiply(h2, np.uint64(j), out=out[j])
+            out[j] += h1
+            out[j] &= self._mask
+        return out
 
     @staticmethod
     def split_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -45,7 +59,7 @@ class BloomFilter:
             return
         pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
         word = (pos >> np.uint64(6)).ravel()
-        bit = np.uint64(1) << (pos & np.uint64(63)).ravel()
+        bit = _BIT[(pos & np.uint64(63)).ravel()]
         # sort + segment-OR (reduceat): np.bitwise_or.at is an unbuffered
         # ufunc scatter at ~2us/element — it alone dominated large
         # seen-set replays (~2s per 128k keys); this path is ~30x faster
@@ -64,8 +78,8 @@ class BloomFilter:
             return np.zeros(0, dtype=bool)
         pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
         word = pos >> np.uint64(6)
-        bit = np.uint64(1) << (pos & np.uint64(63))
-        return ((self.bits[word] & bit) != 0).all(axis=1)
+        bit = _BIT[pos & np.uint64(63)]
+        return ((self.bits[word] & bit) != 0).all(axis=0)
 
     @property
     def nbytes(self) -> int:

@@ -67,6 +67,20 @@ def test_ray_engine_matches_oracle(fixture, tmp_path):
     try:
         res = eng.run(fx.seeds)
         _check_parity(res, oracle)
+        # the lazy Dataset mirror path (scale path: narrow max-okey
+        # aggregate + one body join) must equal the oracle too.
+        # Shut the engine down FIRST (idempotent): the persistent fetch
+        # pool reserves the tiny test session's CPUs and would starve
+        # the Ray Data tasks the mirror join schedules.
+        eng.shutdown()
+        md = res.mirror_dataset()
+        eng_m = {}
+        for b in md.iter_batches(batch_format="pyarrow"):
+            for p, u, bd in zip(b["mirror_path"].to_pylist(),
+                                b["url"].to_pylist(),
+                                b["body"].to_pylist()):
+                eng_m[p] = (u, bd)
+        assert eng_m == oracle.mirror
     finally:
         eng.shutdown()
 
