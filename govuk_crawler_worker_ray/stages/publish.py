@@ -147,7 +147,8 @@ def stage_events_to_shards(events: pa.Table, shards, remote: bool,
                 sub["host"].combine_chunks(),
                 sub["parent_seq"].to_numpy(),
                 sub["link_idx"].to_numpy(),
-                sub["kind"].to_numpy())
+                sub["kind"].to_numpy(),
+                sub["key_u64"].to_numpy())
         if remote:
             refs.append(shards[s].stage_events.remote(*args))
         else:

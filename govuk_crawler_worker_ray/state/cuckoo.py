@@ -95,7 +95,16 @@ class CuckooFilter:
         rest = np.nonzero(~done)[0]
         if len(rest):
             flat = self.table.reshape(-1)
+            # saturation bail: once one insert exhausts MAX_KICKS with the
+            # table ~full, further kick loops are futile (measured: 147s
+            # for 42k inserts at 99% load without this) — count the rest
+            # failed immediately; the caller treats overflow>0 as "filter
+            # lossy" either way
+            give_up = int(0.98 * self.nbuckets * 4)
             for j in rest:
+                if failed and self.count >= give_up:
+                    failed += 1
+                    continue
                 if not self._insert_one_fast(flat, int(fps[j]),
                                              int(i1[j])):
                     failed += 1

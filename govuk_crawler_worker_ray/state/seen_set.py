@@ -86,6 +86,32 @@ class SeenShard:
         self._staged = []
 
     # -- internals --------------------------------------------------------
+    def _grow_filters(self, need: int) -> None:
+        """Rebuild bloom+cuckoo at >=2x the live key count (amortized
+        doubling) from the exact store.  Keeps ``cuckoo_overflow == 0``
+        so the definite-miss fast paths stay authoritative; without this
+        a saturated cuckoo degenerates to the 500-kick eviction loop per
+        insert (measured 147s for 42k keys at 99% load)."""
+        cap = max(self.expected_keys, 1 << 16)
+        target = len(self.store) + need
+        while cap < 2 * target:
+            cap *= 2
+        self.expected_keys = cap
+        self.bloom = BloomFilter(cap)
+        self.cuckoo = CuckooFilter(cap)
+        self.cuckoo_overflow = 0
+        if self.store:
+            k = keys_u64(list(self.store))
+            self.bloom.add_many(k)
+            self.cuckoo_overflow += self.cuckoo.insert_many(k)
+
+    def _ensure_capacity(self, n_new: int) -> None:
+        # grow at 2/3 occupancy, not the cuckoo's theoretical 95%: the
+        # vectorized insert waves degrade to scalar eviction loops well
+        # before that (measured ~6x slower bulk puts at 80% load)
+        if (self.cuckoo.count + n_new) > (self.cuckoo.nbuckets * 4) * (2 / 3):
+            self._grow_filters(n_new)
+
     def _live(self, digest: str, now: float) -> tuple[int, float] | None:
         ent = self.store.get(digest)
         if ent is None:
@@ -98,22 +124,37 @@ class SeenShard:
 
     def _put(self, digest: str, status: int, now: float) -> None:
         if digest not in self.store:
+            self._ensure_capacity(1)
             k = keys_u64([digest])
             self.bloom.add_many(k)
             self.cuckoo_overflow += self.cuckoo.insert_many(k)
         self.store[digest] = (status, now + self.ttl)
 
-    def _put_many(self, digests: list[str], statuses, now: float) -> None:
+    def _put_many(self, digests: list[str], statuses, now: float,
+                  keys: np.ndarray | None = None) -> None:
         """Bulk insert: ONE vectorized bloom/cuckoo add for all new keys
-        (per-key numpy calls cost ~100us each — the replay hot path)."""
-        new = [d for d in digests if d not in self.store]
+        (per-key numpy calls cost ~100us each — the replay hot path).
+        ``keys`` = precomputed ``keys_u64(digests)`` to skip the
+        per-digest hex parse when the caller already has them."""
+        store = self.store
+        if keys is None:
+            new = [d for d in digests if d not in store]
+            nk = keys_u64(new) if new else None
+        else:
+            new_pos = [i for i, d in enumerate(digests)
+                       if d not in store]
+            nk = (np.asarray(keys, dtype=np.uint64)[new_pos]
+                  if new_pos else None)
+        if nk is not None and len(nk):
+            # BEFORE the store update: _grow_filters rebuilds from the
+            # store, so growing after it would re-insert these keys twice
+            self._ensure_capacity(len(nk))
         exp = now + self.ttl
         for d, s in zip(digests, statuses):
-            self.store[d] = (int(s), exp)
-        if new:
-            k = keys_u64(new)
-            self.bloom.add_many(k)
-            self.cuckoo_overflow += self.cuckoo.insert_many(k)
+            store[d] = (int(s), exp)
+        if nk is not None and len(nk):
+            self.bloom.add_many(nk)
+            self.cuckoo_overflow += self.cuckoo.insert_many(nk)
 
     # -- batch API (all take/return input order) --------------------------
     def get_batch(self, digests: list[str], now: float) -> np.ndarray:
@@ -222,77 +263,148 @@ class SeenShard:
     # sorts ITS events by discovery order and replays locally.
 
     def stage_events(self, digests, urls, hosts, parent_seqs, link_idxs,
-                     kinds) -> int:
-        """Decode and PRESORT the chunk on arrival: staging RPCs land
-        while the fetch phase is still running, so the Arrow->Python
-        decode and the per-chunk (parent_seq, link_idx) sort happen off
-        the round-commit critical path (ROADMAP #2 commit-barrier
-        pipelining); the commit then only merges sorted runs."""
+                     kinds, keys=None) -> int:
+        """Buffer the chunk AS-IS (Arrow string columns + numpy
+        numerics).  No per-chunk decode or sort happens here: the
+        commit path is vectorized (dictionary-encode + per-digest
+        argmin, see ``commit_staged``) and needs neither Python lists
+        nor presorted runs — staging RPCs stay near-free while the
+        fetch phase runs.  ``keys`` = the events' ``key_u64`` column
+        (computed once by the extractor) so the commit's filter probes
+        skip the per-digest hex parse."""
         if not hasattr(self, "_staged"):
             self._staged = []
-        dg = digests if isinstance(digests, list) else digests.to_pylist()
-        us = urls if isinstance(urls, list) else urls.to_pylist()
-        hs = hosts if isinstance(hosts, list) else hosts.to_pylist()
+        dg = (pa.array(digests, pa.string()) if isinstance(digests, list)
+              else digests)
+        us = pa.array(urls, pa.string()) if isinstance(urls, list) else urls
+        hs = pa.array(hosts, pa.string()) if isinstance(hosts, list) else hosts
+        if isinstance(dg, pa.ChunkedArray):
+            dg = dg.combine_chunks()
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
         ps = np.asarray(parent_seqs, dtype=np.int64)
         li = np.asarray(link_idxs, dtype=np.int32)
-        kd = np.asarray(kinds)
-        order = np.lexsort((li, ps))
-        self._staged.append((
-            [dg[i] for i in order], [us[i] for i in order],
-            [hs[i] for i in order], ps[order], li[order], kd[order]))
+        kd = np.asarray(kinds, dtype=np.int8)
+        ky = (keys_u64(dg.to_pylist()) if keys is None
+              else np.asarray(keys, dtype=np.uint64))
+        self._staged.append((dg, us, hs, ps, li, kd, ky))
         return len(self._staged)
 
     def clear_staged(self) -> None:
         self._staged = []
 
     def commit_staged(self, now: float):
-        """Merge the presorted staged runs by (parent_seq, link_idx),
-        replay, and return the winner rows as an Arrow table (url, host,
-        digest, parent_seq, link_idx).  Chunks were decoded+sorted on
-        arrival, so the commit-path sort is a merge of sorted runs
-        (numpy stable sort = timsort, which exploits the runs)."""
-        import pyarrow as _pa
+        """Replay the staged events; return the winner rows as an Arrow
+        table (url, host, digest, parent_seq, link_idx), order
+        unspecified (callers sort by (parent_seq, link_idx)).
 
+        Vectorized replay (the attempt-only fast path): digests whose
+        events are ALL publish attempts — the overwhelming majority —
+        need no ordered replay at all: the winner is the digest's
+        min-(parent_seq, link_idx) event iff its current status is
+        < Enqueued, which is decided per UNIQUE digest with the cuckoo
+        filter pre-answering "definitely unseen" (no dict probe, no
+        Python per-event loop).  Only digests that also carry RESET /
+        INCR events (5XX/non-accepted history — rare) take the exact
+        sequential replay.  Final store state and winner set are
+        event-for-event identical to the full ordered replay (pinned by
+        the model-based seen-set suite + e2e parity goldens)."""
         staged = getattr(self, "_staged", [])
         self._staged = []
+        empty = pa.table({
+            "url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "digest": pa.array([], pa.string()),
+            "parent_seq": pa.array([], pa.int64()),
+            "link_idx": pa.array([], pa.int32()),
+        })
         if not staged:
-            return _pa.table({
-                "url": _pa.array([], _pa.string()),
-                "host": _pa.array([], _pa.string()),
-                "digest": _pa.array([], _pa.string()),
-                "parent_seq": _pa.array([], _pa.int64()),
-                "link_idx": _pa.array([], _pa.int32()),
-            })
-        digests: list[str] = []
-        urls: list[str] = []
-        hosts: list[str] = []
-        for dg, u, h, _, _, _ in staged:
-            digests.extend(dg)
-            urls.extend(u)
-            hosts.extend(h)
+            return empty
+        dg = pa.concat_arrays([c[0] for c in staged])
+        ur = pa.concat_arrays([c[1] for c in staged])
+        ho = pa.concat_arrays([c[2] for c in staged])
         pseq = np.concatenate([c[3] for c in staged])
         lidx = np.concatenate([c[4] for c in staged])
         kind = np.concatenate([c[5] for c in staged])
-        if len(pseq) and int(pseq.max()) < (1 << 42):
-            # composite int key (seq < 2^42, link_idx+1 < 2^21): single
-            # stable argsort over mostly-sorted runs
-            comp = pseq * np.int64(1 << 21) + (lidx.astype(np.int64) + 1)
-            order = np.argsort(comp, kind="stable")
-        else:
+        keys = np.concatenate([c[6] for c in staged])
+        n = len(pseq)
+        if n == 0:
+            return empty
+        self.ops += n
+        if int(pseq.max()) >= (1 << 42):
+            # packed-key overflow: exact lexsort replay fallback
             order = np.lexsort((lidx, pseq))
-        sorted_digests = [digests[i] for i in order]
-        won = self.replay_events_batch(sorted_digests,
-                                       kind[order].tolist(), now)
-        win_idx = [order[i] for i, w in enumerate(won) if w]
-        return _pa.table({
-            "url": _pa.array([urls[i] for i in win_idx], _pa.string()),
-            "host": _pa.array([hosts[i] for i in win_idx], _pa.string()),
-            "digest": _pa.array([digests[i] for i in win_idx],
-                                _pa.string()),
-            "parent_seq": _pa.array(pseq[win_idx].astype(np.int64),
-                                    _pa.int64()),
-            "link_idx": _pa.array(lidx[win_idx].astype(np.int32),
-                                  _pa.int32()),
+            won = self.replay_events_batch(
+                dg.take(pa.array(order, pa.int64())).to_pylist(),
+                kind[order].tolist(), now)
+            win = order[np.nonzero(won)[0]]
+            take = pa.array(win, pa.int64())
+            return pa.table({
+                "url": ur.take(take), "host": ho.take(take),
+                "digest": dg.take(take),
+                "parent_seq": pa.array(pseq[win], pa.int64()),
+                "link_idx": pa.array(lidx[win], pa.int32()),
+            })
+        comp = pseq * np.int64(1 << 21) + (lidx.astype(np.int64) + 1)
+        enc = dg.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        num_u = len(enc.dictionary)
+        ukeys = np.empty(num_u, dtype=np.uint64)
+        ukeys[codes] = keys
+        # first (min-comp) event index per unique digest
+        order = np.lexsort((comp, codes))
+        oc = codes[order]
+        firstpos = np.ones(len(oc), dtype=bool)
+        firstpos[1:] = oc[1:] != oc[:-1]
+        first_evt = np.empty(num_u, dtype=np.int64)
+        first_evt[oc[firstpos]] = order[firstpos]
+        # digests with any RESET/INCR take the exact sequential replay
+        att = np.ones(num_u, dtype=bool)
+        nz = np.nonzero(kind != 0)[0]
+        if len(nz):
+            att[np.unique(codes[nz])] = False
+        win = np.zeros(num_u, dtype=bool)
+        att_idx = np.nonzero(att)[0]
+        if len(att_idx):
+            if self.cuckoo_overflow == 0:
+                maybe = self.cuckoo.contains_many(ukeys[att_idx])
+            else:
+                maybe = np.ones(len(att_idx), dtype=bool)
+            win[att_idx[~maybe]] = True  # definitely not in the store
+            probe = att_idx[maybe]
+            if len(probe):
+                pd_str = enc.dictionary.take(
+                    pa.array(probe, pa.int64())).to_pylist()
+                store_get = self.store.get
+                wp = np.zeros(len(probe), dtype=bool)
+                for i, d in enumerate(pd_str):
+                    ent = store_get(d)
+                    wp[i] = (ent is None or ent[1] <= now
+                             or ent[0] < 1)
+                win[probe[wp]] = True
+        win_codes = np.nonzero(win)[0]
+        if len(win_codes):
+            wd = enc.dictionary.take(
+                pa.array(win_codes, pa.int64())).to_pylist()
+            self._put_many(wd, [1] * len(wd), now, keys=ukeys[win_codes])
+        winner_evt = first_evt[win_codes]
+        if len(nz):
+            ev_mask = ~att[codes]
+            idx = np.nonzero(ev_mask)[0]
+            sub = idx[np.argsort(comp[idx], kind="stable")]
+            md = dg.take(pa.array(sub, pa.int64())).to_pylist()
+            won = self.replay_events_batch(md, kind[sub].tolist(), now)
+            mixed_evt = sub[np.fromiter(
+                (bool(w) for w in won), dtype=bool, count=len(won))]
+            winner_evt = np.concatenate([winner_evt, mixed_evt])
+        take = pa.array(winner_evt, pa.int64())
+        return pa.table({
+            "url": ur.take(take), "host": ho.take(take),
+            "digest": dg.take(take),
+            "parent_seq": pa.array(pseq[winner_evt], pa.int64()),
+            "link_idx": pa.array(lidx[winner_evt], pa.int32()),
         })
 
     # -- frontier-on-storage commit (ROADMAP #1) -------------------------
@@ -535,9 +647,9 @@ class SeenShard:
         for d, s, e in zip(digests, statuses, expires):
             self.store[d] = (s, e)
         if digests:
-            k = keys_u64(digests)
-            self.bloom.add_many(k)
-            self.cuckoo_overflow += self.cuckoo.insert_many(k)
+            # rebuild filters from the (now-populated) store at whatever
+            # capacity the snapshot needs — one insert pass, no duplicates
+            self._grow_filters(0)
         return len(digests)
 
     def load_from(self, path: str) -> int:

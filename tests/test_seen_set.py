@@ -185,10 +185,27 @@ def test_cuckoo_prefilter_consistent_after_expiry():
 def test_cuckoo_overflow_falls_back_exact():
     """When the cuckoo overflows (insert failures) it stops being a
     definite-miss filter; reads must fall back to bloom+dict and stay
-    exact."""
+    exact.  Auto-grow normally prevents saturation entirely, so disable
+    it here to force the lossy-filter regime."""
     sh = SeenShard(0, TTL, expected_keys=64)  # tiny filter
+    sh._ensure_capacity = lambda n: None  # force saturation (no growth)
     ds = dig(*[f"https://www.gov.uk/o{i}" for i in range(2000)])
     sh.set_batch(ds, 1, 0.0)
     assert sh.cuckoo_overflow > 0  # filter actually overflowed
     assert (sh.get_batch(ds, 0.0) == 1).all()
     assert sh.exists_batch(ds, 0.0).all()
+
+
+def test_filters_autogrow_past_expected_keys():
+    """Inserting far beyond expected_keys must keep the cuckoo exact
+    (overflow == 0, auto-grown) and reads correct — saturation once cost
+    ~4ms/key in the 500-kick eviction loop."""
+    sh = SeenShard(0, TTL, expected_keys=64)
+    ds = dig(*[f"https://www.gov.uk/g{i}" for i in range(5000)])
+    sh.set_batch(ds, 1, 0.0)
+    assert sh.cuckoo_overflow == 0
+    assert sh.cuckoo.count == 5000  # no duplicate fingerprints from growth
+    assert sh.cuckoo.load_factor <= 2 / 3 + 1e-9
+    assert (sh.get_batch(ds, 0.0) == 1).all()
+    miss = dig(*[f"https://www.gov.uk/m{i}" for i in range(50)])
+    assert not sh.exists_batch(miss, 0.0).any()
