@@ -186,6 +186,37 @@ def _frontier_table(
     })
 
 
+def _part_budget_stats(path: str, cap: int) -> dict:
+    """Politeness phase 1 for ONE frontier part: a column-pruned read of
+    (discovered_seq, host) only, reduced to, per host, (row count, the
+    host's ``cap`` smallest seqs).  ``cap`` is an upper bound on any
+    host's take budget, so the capped lists are guaranteed to contain
+    every row that can fall under the global per-host threshold — the
+    driver can compute exact thresholds from these tiny summaries
+    without ever materializing part rows.  (Same-round parts from
+    different shards have INTERLEAVED seq ranges, so any part-at-a-time
+    budget walk would mis-order; per-host thresholds are order-free.)"""
+    t = pq.read_table(path, columns=["discovered_seq", "host"],
+                      use_threads=False, memory_map=True)
+    if t.num_rows == 0:
+        return {}
+    seqs = t["discovered_seq"].to_numpy()
+    henc = t["host"].combine_chunks().dictionary_encode()
+    hc = henc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hnames = henc.dictionary.to_pylist()
+    order = np.lexsort((seqs, hc))
+    sh = hc[order]
+    first = np.ones(len(sh), dtype=bool)
+    first[1:] = sh[1:] != sh[:-1]
+    starts = np.nonzero(first)[0]
+    ends = np.concatenate((starts[1:], [len(sh)]))
+    out = {}
+    for s, e in zip(starts, ends):
+        out[hnames[int(sh[s])]] = (
+            int(e - s), seqs[order[s:min(e, s + cap)]].tolist())
+    return out
+
+
 def seeds_to_frontier(seeds: list[str], cfg: CrawlConfig,
                       priorities: list[int] | None = None) -> pa.Table:
     """Seed rows; ``priorities`` mirrors the queue message priority field
@@ -252,6 +283,7 @@ class CrawlEngine:
         # politeness token-bucket state (host_token_budget feature)
         self._host_tokens: dict[str, int] = {}
         self._hosts_429: set[str] = set()
+        self._budget_stats_task = None  # lazy ray.remote(_part_budget_stats)
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[str], now: float = 0.0,
@@ -547,11 +579,6 @@ class CrawlEngine:
         cfg = self.cfg
         if not self.use_ray:
             raise ValueError("frontier_on_storage requires use_ray=True")
-        if cfg.per_host_budget is not None or \
-                cfg.host_token_budget is not None:
-            raise ValueError("politeness budgets need the in-memory "
-                             "frontier path (distributed budget split is "
-                             "the documented follow-up)")
         if seed_priorities and any(seed_priorities):
             raise ValueError("storage rounds assume uniform priorities")
         if cfg.max_crawl_retries < 1:
@@ -581,6 +608,111 @@ class CrawlEngine:
         return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
                            out_dir=self.out_dir, seen=self.seen)
 
+    def _storage_budget_gate(self, driver_rows: pa.Table,
+                             parts: list[str]):
+        """Politeness budgets without materializing the frontier: the
+        distributed twin of the in-memory gate (same first-``avail[h]``-
+        occurrences-in-seq-order rule, ROADMAP #2).
+
+        Phase 1 fans out ``_part_budget_stats`` tasks — each part
+        returns, per host, its row count and its ``cap`` smallest seqs
+        (cap bounds any host's budget, so these capped lists contain
+        every candidate for the global take set).  Seqs are globally
+        unique, so "first avail[h] occurrences in seq order" reduces to
+        "seq <= T_h", T_h = the avail[h]-th smallest seq of host h
+        across parts AND driver rows — computed driver-side from the
+        tiny summaries, immune to the seq interleaving of same-round
+        parts from different shards.  Fetch workers apply the
+        thresholds as a filter when they read each part (phase 2),
+        writing the deferred tail as next-round parts.  Token-bucket
+        carry and 429 back-off reuse the exact in-memory accounting.
+
+        -> (taken driver rows, deferred driver rows,
+            budget_ctx | None for the worker filter, n_deferred)."""
+        import ray
+
+        cfg = self.cfg
+        tok = cfg.host_token_budget
+        # cap >= any host's possible avail: per_host_budget, or 2x the
+        # token rate (the bucket's carry-over ceiling)
+        cap = int(cfg.per_host_budget if tok is None else 2 * tok)
+        dhosts = driver_rows["host"].to_pylist()
+        dseqs_np = (driver_rows["discovered_seq"].to_numpy()
+                    .astype(np.int64))
+        if parts:
+            if self._budget_stats_task is None:
+                self._budget_stats_task = \
+                    ray.remote(num_cpus=0.25)(_part_budget_stats)
+            stats = ray.get([self._budget_stats_task.remote(p, cap)
+                             for p in parts])
+        else:
+            stats = []
+        # per-host totals + candidate (capped) seq lists across parts
+        # and driver rows — seqs are globally unique, so "first avail[h]
+        # occurrences in seq order" == "seq <= the avail[h]-th smallest"
+        totals: dict[str, int] = {}
+        cands: dict[str, list] = {}
+        for st in stats:
+            for h, (c, sq) in st.items():
+                totals[h] = totals.get(h, 0) + c
+                cands.setdefault(h, []).extend(sq)
+        for h, s in zip(dhosts, dseqs_np):
+            totals[h] = totals.get(h, 0) + 1
+            cands.setdefault(h, []).append(int(s))
+
+        def avail(h: str) -> int:
+            if tok is not None:
+                return 0 if h in self._hosts_429 else \
+                    min(self._host_tokens.get(h, 0) + tok, 2 * tok)
+            return int(cfg.per_host_budget)
+
+        thresholds: dict[str, int] = {}  # only for hosts over budget
+        taken: dict[str, int] = {}
+        deferred_n = 0
+        for h, total in totals.items():
+            a = avail(h)
+            if total <= a:
+                taken[h] = total
+                continue
+            taken[h] = a
+            deferred_n += total - a
+            thresholds[h] = (np.partition(
+                np.asarray(cands[h], dtype=np.int64), a - 1)[a - 1]
+                if a > 0 else -1)
+        if tok is not None:
+            # carry-over accounting + re-arm, exactly as the in-memory
+            # gate: only hosts present in this round's frontier update
+            for h in totals:
+                self._host_tokens[h] = int(avail(h) - taken[h])
+            self._hosts_429 = set()
+        # per-part spec: host -> threshold, only where the part actually
+        # has rows past the threshold (capped lists are exhaustive below
+        # the threshold, so count > #capped-below means deferral)
+        spec_map: dict[str, dict] = {}
+        for pi, st in enumerate(stats):
+            spec: dict[str, int] = {}
+            for h, (c, sq) in st.items():
+                t_h = thresholds.get(h)
+                if t_h is None:
+                    continue
+                n_take = int(np.searchsorted(
+                    np.asarray(sq, dtype=np.int64), t_h, side="right"))
+                if n_take < c:
+                    spec[h] = int(t_h)
+            if spec:
+                spec_map[parts[pi]] = spec
+        budget_ctx = spec_map if spec_map else None
+        if thresholds:
+            thr = np.array([thresholds.get(h, np.iinfo(np.int64).max)
+                            for h in dhosts], dtype=np.int64)
+            take_driver = dseqs_np <= thr
+        else:
+            take_driver = np.ones(len(dhosts), dtype=bool)
+        tmask = pa.array(take_driver)
+        return (driver_rows.filter(tmask),
+                driver_rows.filter(pc.invert(tmask)),
+                budget_ctx, deferred_n)
+
     def _run_round_storage(self, rnd: int, driver_rows: pa.Table,
                            parts: list[str], next_seq: int, now: float):
         import time as _time
@@ -604,6 +736,18 @@ class CrawlEngine:
              "robots_excluded": 0}
         driver_rows = driver_rows.sort_by([("discovered_seq",
                                             "ascending")])
+        # politeness gate (before the dup split, matching the in-memory
+        # order): driver rows gate here; part rows gate worker-side via
+        # the per-(subsegment, host) take spec
+        deferred_driver = _frontier_table([])
+        budget_ctx = None
+        defer_dir = None
+        if (cfg.per_host_budget is not None
+                or cfg.host_token_budget is not None):
+            defer_dir = os.path.join(rdir, "deferred")
+            os.makedirs(defer_dir, exist_ok=True)
+            (driver_rows, deferred_driver, budget_ctx,
+             m["deferred"]) = self._storage_budget_gate(driver_rows, parts)
         # dup-digest lane: only driver rows can repeat a digest (winner
         # parts are replay-unique and commit-time clash extraction pulls
         # winners matching requeued digests back into the driver rows)
@@ -626,9 +770,10 @@ class CrawlEngine:
         self._ensure_pool()
         self._clear_staged()
         (counts, host_counts, requeues_n, extract_aborts, stage_refs,
-         worker_busy_ms) = \
+         worker_busy_ms, defer_paths) = \
             self.pool.run_round_storage(driver_rows, parts, now,
-                                        fetched_dir, high)
+                                        fetched_dir, high,
+                                        budget_ctx, defer_dir)
         m["t_worker_busy_ms"] = worker_busy_ms
         req_parts = [requeues_n] if requeues_n is not None else []
         if dup_rows is not None:
@@ -680,6 +825,14 @@ class CrawlEngine:
         # next round's driver rows (requeues) define the clash set
         requeues = (pa.concat_tables(req_parts) if req_parts
                     else None)
+        if cfg.host_token_budget is not None:
+            # per-host 429 back-off signal (in-memory parity: the 429'd
+            # hosts are exactly the requeue_429 rows' hosts)
+            self._hosts_429 = (
+                set(requeues.filter(
+                    pc.equal(requeues["outcome"], "requeue_429"))
+                    ["host"].to_pylist())
+                if requeues is not None and requeues.num_rows else set())
         if requeues is not None and requeues.num_rows:
             req_frontier = pa.table({
                 "discovered_seq": requeues["discovered_seq"],
@@ -693,6 +846,10 @@ class CrawlEngine:
         else:
             req_frontier = _frontier_table([])
         clash = set(req_frontier["url_digest"].to_pylist())
+        # deferred driver rows are next-round driver rows too: winners
+        # sharing their digest (TTL-expiry republish edge) must come back
+        # driver-side so the dup lane sees every copy
+        clash.update(deferred_driver["url_digest"].to_pylist())
 
         # barrier: staging must land, then the two-phase exchange commit
         _tb = _time.perf_counter()
@@ -740,9 +897,13 @@ class CrawlEngine:
                 clash_tables.append(clash_t)
             total_winners += n_w
         m["published"] = total_winners
+        new_parts.extend(defer_paths)
+        dd_parts = ([deferred_driver.select(
+            ["discovered_seq", "url", "host", "url_digest", "attempt",
+             "priority"])] if deferred_driver.num_rows else [])
         next_driver = pa.concat_tables(
-            [req_frontier] + clash_tables) if (
-                req_frontier.num_rows or clash_tables) \
+            [req_frontier] + clash_tables + dd_parts) if (
+                req_frontier.num_rows or clash_tables or dd_parts) \
             else _frontier_table([])
         next_seq += total_winners
         m["t_commit_ms"] = int((_time.perf_counter() - _t0) * 1000)

@@ -40,6 +40,26 @@ NARROW_COLS = ["url", "host", "url_digest", "discovered_seq", "attempt",
                "priority", "outcome"]
 
 
+def _apply_budget_filter(t: pa.Table, spec: dict):
+    """Politeness phase 2 for ONE frontier part: split into (take,
+    defer) by the driver-computed per-host threshold seqs — a row is
+    taken iff ``seq <= spec[host]`` (hosts absent from the spec are
+    taken whole).  Seqs are globally unique, so the threshold rule is
+    exactly the in-memory gate's first-``avail[h]``-occurrences-in-seq-
+    order rule, and is immune to the seq interleaving of same-round
+    parts written by different shards."""
+    import numpy as np
+
+    seqs = t["discovered_seq"].to_numpy()
+    henc = t["host"].combine_chunks().dictionary_encode()
+    hc = henc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hnames = henc.dictionary.to_pylist()
+    hi = np.iinfo(np.int64).max
+    thr = np.array([spec.get(h, hi) for h in hnames], dtype=np.int64)
+    mask = pa.array(seqs <= thr[hc])
+    return t.filter(mask), t.filter(pc.invert(mask))
+
+
 class FetchWorker:
     """One pool member (plain class; wrapped by ray.remote in the pool)."""
 
@@ -95,7 +115,8 @@ class FetchWorker:
     def process_round_storage(self, tables: list[pa.Table],
                               table_paths: list[str], files: list[str],
                               fetched_dir: str, now: float,
-                              high: dict) -> tuple:
+                              high: dict, budget=None,
+                              defer_dir: str | None = None) -> tuple:
         """Frontier-on-storage round work (ROADMAP #1): chunks arrive as
         in-memory tables (driver rows) or as FRONTIER PARQUET PART PATHS
         (shard-written winners; the rows never touched the driver).  The
@@ -149,6 +170,7 @@ class FetchWorker:
             if req.num_rows:
                 req_parts.append(req)
 
+        defer_paths: list[str] = []
         for chunk, path in zip(tables, table_paths):
             handle(chunk, path)
         for fp in files:
@@ -157,6 +179,15 @@ class FetchWorker:
             # node (16 actors x 32 threads); the files are single
             # row-group narrow parts — one thread is optimal
             t = pq.read_table(fp, use_threads=False, memory_map=True)
+            if budget is not None:
+                spec = budget.get(fp)
+                if spec is not None:
+                    t, deferred = _apply_budget_filter(t, spec)
+                    if deferred.num_rows:
+                        dpath = os.path.join(
+                            defer_dir, "defer-" + os.path.basename(fp))
+                        pq.write_table(deferred, dpath)
+                        defer_paths.append(dpath)
             digs = t["url_digest"].to_pylist()
             if high:
                 cc = np.fromiter((high.get(d, 0) for d in digs),
@@ -180,7 +211,8 @@ class FetchWorker:
             os.makedirs("/tmp/gcw_prof", exist_ok=True)
             prof.dump_stats(
                 f"/tmp/gcw_prof/worker_{os.getpid()}_{busy_ms}.prof")
-        return counts, host_counts, requeues, aborts, stage_refs, busy_ms
+        return (counts, host_counts, requeues, aborts, stage_refs,
+                busy_ms, defer_paths)
 
     def ping(self) -> bool:
         return True
@@ -243,10 +275,13 @@ class FetchWorkerPool:
 
     def run_round_storage(self, driver_rows: pa.Table, files: list[str],
                           now: float, fetched_dir: str,
-                          high: dict) -> tuple:
+                          high: dict, budget_ctx=None,
+                          defer_dir: str | None = None) -> tuple:
         """Storage-mode dispatch: driver rows go out as table chunks,
         shard-written frontier parts as file refs; results are merged
-        outcome/host counts + requeue rows + staging refs."""
+        outcome/host counts + requeue rows + staging refs + deferred-
+        part paths (politeness; ``budget_ctx`` = (driver seqs, per-part
+        take specs) from the driver's budget walk)."""
         import ray
 
         n = driver_rows.num_rows
@@ -268,13 +303,20 @@ class FetchWorkerPool:
         req_parts: list[pa.Table] = []
         aborts = 0
         stage_refs: list = []
+        defer_paths: list[str] = []
 
         def submit(w, g):
             tabs = [it[0] for it in g if isinstance(it, tuple)]
             paths = [it[1] for it in g if isinstance(it, tuple)]
             fls = [it for it in g if not isinstance(it, tuple)]
+            bud = None
+            if budget_ctx is not None and fls:
+                sub = {f: budget_ctx[f] for f in fls if f in budget_ctx}
+                if sub:
+                    bud = sub
             return w.process_round_storage.remote(tabs, paths, fls,
-                                                  fetched_dir, now, high)
+                                                  fetched_dir, now, high,
+                                                  bud, defer_dir)
 
         from collections import deque
 
@@ -291,7 +333,7 @@ class FetchWorkerPool:
             done, _ = ray.wait(list(inflight), num_returns=1)
             for r in done:
                 idle.append(inflight.pop(r))
-                c, hc, req, ab, sr, bm = ray.get(r)
+                c, hc, req, ab, sr, bm, dp = ray.get(r)
                 for k, v in c.items():
                     counts[k] = counts.get(k, 0) + v
                 for k, v in hc.items():
@@ -301,8 +343,10 @@ class FetchWorkerPool:
                 aborts += ab
                 stage_refs.extend(sr)
                 busy_ms += bm
+                defer_paths.extend(dp)
         requeues = pa.concat_tables(req_parts) if req_parts else None
-        return counts, host_counts, requeues, aborts, stage_refs, busy_ms
+        return (counts, host_counts, requeues, aborts, stage_refs,
+                busy_ms, defer_paths)
 
     def shutdown(self) -> None:
         import ray

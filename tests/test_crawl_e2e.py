@@ -350,6 +350,95 @@ def test_storage_frontier_resume(fixture, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_storage_budget_matches_oracle(fixture, tmp_path):
+    """Politeness budgets in storage mode (ROADMAP #2): the distributed
+    per-(subsegment, host) cumcount exchange must reproduce the
+    in-memory gate exactly — order incl. seqs, seen set, and per-round
+    deferral counts all match the sequential oracle."""
+    fx, _, _ = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), per_host_budget=7,
+                      max_rounds=80, frontier_on_storage=True)
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg)
+    cfg_mem = CrawlConfig(root_urls=list(ROOT_URLS), per_host_budget=7,
+                          max_rounds=80)
+    mem = run_crawl(fx.corpus, fx.seeds, cfg_mem,
+                    str(tmp_path / "bud_mem"), use_ray=False)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "bud_sto"),
+                      use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+        assert any(m["deferred"] > 0 for m in res.metrics)
+        assert ([m["deferred"] for m in res.metrics]
+                == [m["deferred"] for m in mem.metrics])
+        assert ([m["fetched"] for m in res.metrics]
+                == [m["fetched"] for m in mem.metrics])
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_token_budget_matches_memory(tmp_path):
+    """Token-bucket politeness (429 back-off) in storage mode must match
+    the in-memory path round for round: carry-over tokens, zero-token
+    back-off for 429'd hosts, and deferral of part rows."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.schemas import CORPUS_SCHEMA
+
+    def page(url, host, status=200, spans=None, transient=False):
+        spans = spans or [{"kind": "text", "text": "body",
+                           "media_ref": "", "offset": 0}]
+        return dict(url=url, host=host, status_code=status,
+                    content_type="text/html; charset=utf-8", spans=spans,
+                    body="<p>body</p>", redirect_location=None,
+                    transient=transient)
+
+    link = lambda u: {"kind": "link", "text": "l", "media_ref": u,  # noqa
+                      "offset": 0}
+    rows = [
+        page("https://www.gov.uk/", "www.gov.uk",
+             spans=[link(f"https://www.gov.uk/p{i}") for i in range(6)]),
+        *[page(f"https://www.gov.uk/p{i}", "www.gov.uk")
+          for i in range(6)],
+        page("https://slow.gov.uk/", "slow.gov.uk", status=429,
+             transient=True),
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    seeds = ["https://www.gov.uk/", "https://slow.gov.uk/"]
+    cfg_mem = CrawlConfig(root_urls=seeds, host_token_budget=2,
+                          max_rounds=12)
+    mem = run_crawl(corpus, seeds, cfg_mem, str(tmp_path / "tok_mem"),
+                    use_ray=False)
+    cfg_sto = CrawlConfig(root_urls=seeds, host_token_budget=2,
+                          max_rounds=12, frontier_on_storage=True)
+    eng = CrawlEngine(corpus, cfg_sto, str(tmp_path / "tok_sto"),
+                      use_ray=True)
+    try:
+        res = eng.run(seeds)
+        assert _order(res) == _order(mem)
+        assert (res.crawl_order["seq"].to_pylist()
+                == mem.crawl_order["seq"].to_pylist())
+        st, sm = res.seen.to_table(), mem.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == \
+            dict(zip(sm["digest"].to_pylist(),
+                     sm["status"].to_pylist()))
+        assert any(m["deferred"] > 0 for m in res.metrics)
+        for key in ("deferred", "fetched", "requeued"):
+            assert ([m[key] for m in res.metrics]
+                    == [m[key] for m in mem.metrics]), key
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_storage_frontier_parity_medium(tmp_path):
     """Storage rounds at multi-part scale: enough winners per round that
     every shard writes parts and the rank exchange crosses partition
