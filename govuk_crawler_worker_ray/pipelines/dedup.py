@@ -210,26 +210,53 @@ def _empty_pairs() -> pa.Table:
                      "jaccard": pa.array([], pa.float64())})
 
 
-def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
+# per-WORKER-PROCESS memos for the in-bucket verify: shingle sets keyed
+# (k, doc_id), verdicts keyed (k, doc_a, doc_b).  Cross-band repeat pairs
+# mostly land in the same process; capped so long-lived workers can't
+# grow without bound.  Values are k-dependent, never threshold-dependent.
+_WORKER_SHINGLE_MEMO: dict = {}
+_WORKER_PAIR_MEMO: dict = {}
+_MEMO_CAP = 200_000
+
+
+def _join_partitions() -> int:
+    try:
+        import ray
+
+        return max(4, min(64, int(ray.cluster_resources().get("CPU", 4))))
+    except Exception:
+        return 4
+
+
+def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5,
+                      distributed: bool | None = None,
+                      broadcast_limit: int = 2_000_000):
     """-> verified near-dup pairs (doc_a < doc_b, jaccard >= threshold).
 
-    Stages, all distributed (the driver only ever holds narrow hot-bucket
-    keys, candidate doc IDS, and candidate texts — never the pair/text
-    mass):
+    Stages:
       1. minhash+bands (vectorized map_batches), MATERIALIZED once —
-         the band table feeds two consumers (count + pairing) and is
-         narrow (doc_id, band_id, band_hash);
-      2. groupby(band) count -> collided buckets only (broadcast keys);
-      3. vectorized is_in filter -> groupby(band).map_groups pairing
-         over collided buckets only;
-      4. distinct pairs via a narrow groupby(doc_a, doc_b) aggregate;
-      5. Jaccard verify INSIDE map_batches against broadcast candidate
-         texts (ray.put once; per-batch shingle-set memo).
-    Returns a pyarrow Table (the verified pair set is small).
+         narrow (doc_id, band_key) rows feed two consumers;
+      2. groupby(band) count -> collided buckets only (almost every
+         bucket is a singleton; map_groups over singletons costs
+         per-group Python overhead x docs x bands);
+      3. candidate band rows get their texts attached, then
+         groupby(band).map_groups pairs AND Jaccard-verifies inside the
+         bucket (texts are group-local; a per-worker shingle/pair memo
+         absorbs cross-band repeats landing in the same process).
 
-    Scale note: the text broadcast is bounded by the candidate count; at
-    10^10 docs the candidates' texts route through the same worker->shard
-    staging as the crawl publish gate (ROADMAP #3).
+    Step 3's text attachment has two shapes (ROADMAP #3):
+    - ``distributed=False`` (default below ``broadcast_limit`` hot band
+      rows): hot keys + candidate texts broadcast via ``ray.put`` —
+      ~5x faster at bench scale (``Dataset.join``'s hash shuffle has
+      seconds of fixed cost here) and driver memory is bounded by the
+      explicit limit, not the corpus;
+    - ``distributed=True`` (auto above the limit): hot-bucket semi-join
+      and text join via ``Dataset.join`` — NOTHING reaches the driver
+      but the verified pair set; each candidate text ships once per hot
+      band row, bounded by the collided-bucket mass.  Both shapes are
+      equivalence-tested.
+    Returns a pyarrow Table (the verified pair set is small; duplicates
+    from pairs colliding in several bands are dropped driver-side).
     """
     import pandas as pd
     import ray
@@ -241,89 +268,100 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
                           batch_format="pyarrow")
              .materialize())
 
-    # almost every band bucket is a singleton: aggregate counts first
-    # (cheap combiner groupby), keep only COLLIDED buckets, and generate
-    # pairs from that small set — map_groups over every singleton bucket
-    # costs per-group Python overhead x num_docs x num_bands.
     counts = (bands.groupby("band_key")
               .aggregate(Count(alias_name="n")))
-    hot = counts.filter(expr="n > 1")
-    hot_parts = []
-    for b in hot.iter_batches(batch_format="pyarrow"):
-        hot_parts.append(b["band_key"].combine_chunks())
-    if not hot_parts or sum(len(p) for p in hot_parts) == 0:
-        return _empty_pairs()
-    hot_ref = ray.put(pa.concat_arrays(
-        [p if isinstance(p, pa.Array) else p.combine_chunks()
-         for p in hot_parts]))
+    hot = counts.filter(expr="n > 1").materialize()
+    if distributed is None:
+        hot_rows = int(hot.sum("n") or 0)
+        distributed = hot_rows > broadcast_limit
+    if distributed:
+        npart = _join_partitions()
+        hot_bands = bands.join(hot, "inner", num_partitions=npart,
+                               on=("band_key",))
+        with_text = hot_bands.join(
+            ds.select_columns(["doc_id", "text"]), "inner",
+            num_partitions=npart, on=("doc_id",))
+    else:
+        hot_parts = [b["band_key"].combine_chunks()
+                     for b in hot.iter_batches(batch_format="pyarrow")]
+        if not hot_parts or sum(len(p) for p in hot_parts) == 0:
+            return _empty_pairs()
+        hot_ref = ray.put(pa.concat_arrays(hot_parts))
 
-    def only_hot(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["band_key"],
-                                 value_set=ray.get(hot_ref)))
+        def only_hot(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["band_key"],
+                                     value_set=ray.get(hot_ref)))
 
-    # collided band rows are SMALL by construction: materialize them once
-    # (feeds both the candidate-id scan and the pairing groupby)
-    hot_bands = (bands.map_batches(only_hot, batch_format="pyarrow")
-                 .materialize())
-    ids: set = set()
-    for b in hot_bands.iter_batches(batch_format="pyarrow"):
-        ids.update(b["doc_id"].to_pylist())
-    if not ids:
-        return _empty_pairs()
-    # broadcast candidate texts once; verification runs INSIDE the same
-    # pairing execution (fused map after the bucket groupby)
-    text_ref = ray.put(_collect_texts(ds, ids))
+        hot_bands = (bands.map_batches(only_hot, batch_format="pyarrow")
+                     .materialize())
+        ids: set = set()
+        for b in hot_bands.iter_batches(batch_format="pyarrow"):
+            ids.update(b["doc_id"].to_pylist())
+        if not ids:
+            return _empty_pairs()
+        text_ref = ray.put(_collect_texts(ds, ids))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids_ = sorted(g["doc_id"].tolist())
-        out_a, out_b = [], []
-        for i in range(len(ids_)):
-            for j in range(i + 1, len(ids_)):
-                out_a.append(ids_[i])
-                out_b.append(ids_[j])
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        def attach(b: pa.Table) -> pa.Table:
+            texts = ray.get(text_ref)
+            return b.append_column("text", pa.array(
+                [texts[d] for d in b["doc_id"].to_pylist()],
+                pa.string()))
 
-    def verify(b: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
-        memo: dict = {}
+        with_text = hot_bands.map_batches(attach, batch_format="pyarrow")
 
-        def shingles(d):
-            s = memo.get(d)
-            if s is None:
-                s = set(_shingle_hashes(texts[d], k))
-                memo[d] = s
-            return s
+    def pair_verify(g: pd.DataFrame) -> pd.DataFrame:
+        # module-level per-process memos: shingle sets by doc, verdicts
+        # by pair — map_groups runs many buckets per worker process and
+        # cross-band repeats mostly recur within it
+        if (len(_WORKER_SHINGLE_MEMO) > _MEMO_CAP
+                or len(_WORKER_PAIR_MEMO) > _MEMO_CAP):
+            _WORKER_SHINGLE_MEMO.clear()
+            _WORKER_PAIR_MEMO.clear()
+        smemo = _WORKER_SHINGLE_MEMO
+        pmemo = _WORKER_PAIR_MEMO
+        ids_ = g["doc_id"].tolist()
+        txts = g["text"].tolist()
+        order = sorted(range(len(ids_)), key=lambda i: ids_[i])
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                a, bb = ids_[order[x]], ids_[order[y]]
+                key = (k, a, bb)
+                j = pmemo.get(key)
+                if j is None:
+                    sa = smemo.get((k, a))
+                    if sa is None:
+                        sa = set(_shingle_hashes(txts[order[x]], k))
+                        smemo[(k, a)] = sa
+                    sb = smemo.get((k, bb))
+                    if sb is None:
+                        sb = set(_shingle_hashes(txts[order[y]], k))
+                        smemo[(k, bb)] = sb
+                    if not sa and not sb:
+                        j = 1.0
+                    elif not sa or not sb:
+                        j = 0.0
+                    else:
+                        j = len(sa & sb) / len(sa | sb)
+                    pmemo[key] = j
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(bb)
+                    out_j.append(round(j, 6))
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64")})
 
-        seen_pairs: set = set()
-        keep_a, keep_b, keep_j = [], [], []
-        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
-            if (a, bb) in seen_pairs:  # same pair from multiple bands
-                continue
-            seen_pairs.add((a, bb))
-            sa, sb = shingles(a), shingles(bb)
-            if not sa and not sb:
-                j = 1.0
-            elif not sa or not sb:
-                j = 0.0
-            else:
-                j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(bb)
-                keep_j.append(round(j, 6))
-        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
-                         "doc_b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(keep_j, pa.float64())})
-
-    parts = [b for b in (hot_bands
+    parts = [b for b in (with_text
                          .groupby("band_key")
-                         .map_groups(bucket_pairs, batch_format="pandas")
-                         .map_batches(verify, batch_format="pyarrow")
-                         .iter_batches(batch_format="pyarrow"))]
+                         .map_groups(pair_verify, batch_format="pandas")
+                         .iter_batches(batch_format="pyarrow"))
+             if b.num_rows]
     if not parts:
         return _empty_pairs()
-    out = pa.concat_tables(parts)
+    out = pa.concat_tables(
+        [p.select(["doc_a", "doc_b", "jaccard"]) for p in parts])
     a = out["doc_a"].to_numpy()
     b = out["doc_b"].to_numpy()
     j = out["jaccard"].to_numpy()
@@ -338,8 +376,10 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5):
 
 
 def _collect_texts(ds, ids: set) -> dict:
-    """Fetch texts for a (small) candidate id set via a broadcast
-    semi-join filter — only candidate rows reach the driver."""
+    """Fetch texts for a (bounded) candidate id set via a broadcast
+    semi-join filter — only candidate rows reach the driver (the
+    broadcast shape of minhash_lsh_dedup; the join shape never calls
+    this)."""
     idlist = pa.array(sorted(ids))
 
     def flt(b: pa.Table) -> pa.Table:
@@ -390,10 +430,13 @@ def connected_components_distributed(pairs_ds, max_iters: int = 50):
                            batch_format="pyarrow")
               .materialize())
     # convergence: sum(labels) is nonnegative and strictly decreases
-    # while any label improves — a one-scalar driver check per round
+    # while any label improves — a one-scalar driver check per round.
+    # labels MUST materialize per iteration: without it each join would
+    # re-execute the whole prior-iteration lineage (lazy Datasets).
+    npart = _join_partitions()
     prev_sum = None
     for _ in range(max_iters):
-        cand = both.join(labels, "inner", num_partitions=4,
+        cand = both.join(labels, "inner", num_partitions=npart,
                          on=("dst",), right_on=("node",))
         cand_min = (cand.groupby("src")
                     .aggregate(Min("label", alias_name="label"))

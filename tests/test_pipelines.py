@@ -58,6 +58,18 @@ def test_minhash_neardup(docs_ds):
     assert cd[0] == cd[1] == cd[5] == 0
 
 
+def test_minhash_distributed_equals_broadcast(docs_ds):
+    """The join shape (no driver collection; ROADMAP #3) must produce
+    the exact pair set of the broadcast shape."""
+    from govuk_crawler_worker_ray.pipelines.dedup import minhash_lsh_dedup
+
+    small = minhash_lsh_dedup(docs_ds, threshold=0.5, distributed=False)
+    big = minhash_lsh_dedup(docs_ds, threshold=0.5, distributed=True)
+    assert small.to_pydict() == big.to_pydict()
+    auto = minhash_lsh_dedup(docs_ds, threshold=0.5, broadcast_limit=0)
+    assert auto.to_pydict() == small.to_pydict()
+
+
 def test_simhash_close_for_neardups(docs_ds):
     from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
 
