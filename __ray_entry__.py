@@ -239,6 +239,18 @@ def _q_ann_lsh(sf_dir: str):
         ["vec_id", "rank"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import ivf_knn
+
+    ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
+    # (vec_id, rank) only, as ann_lsh: float cosines would make the
+    # value-hash sensitive to last-ulp summation-order noise vs the twin
+    return ivf_knn(ds, _query_vec(sf_dir), k=10).select(
+        ["vec_id", "rank"])
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -255,6 +267,15 @@ def _q_minhash_neardup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    # 0.8: the sf docs are template-generated and heavily similar — at
+    # 0.5 the TRUE pair set is ~38% of all pairs (47k rows at sf0.01)
+    # and the exact join degenerates toward its all-pairs worst case
+    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8, n=3)
 
 
 def _q_neardup_components(sf_dir: str):
@@ -457,8 +478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": _q_top_docs,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_neardup": _q_minhash_neardup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "crawl_order": _q_crawl_order,
@@ -555,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
     # scalar-twin goldens for the deterministic per-row hash operators
     # (driver runs the side-by-side compare at sf0.01 per its contract)
     from govuk_crawler_worker_ray.goldens import (
+        write_ann_ivf_golden,
         write_ann_lsh_golden,
         write_scalar_goldens,
     )
@@ -566,6 +590,9 @@ def oracle_sql() -> dict[str, str]:
     ga = write_ann_lsh_golden(
         os.path.join(oracle_sf, "embeddings.parquet"),
         "/tmp/gcw_goldens")
+    gi = write_ann_ivf_golden(
+        os.path.join(oracle_sf, "embeddings.parquet"),
+        "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
     gs = os.path.join(d, "golden_seen.parquet")
@@ -575,6 +602,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"),
+        # exact trigram Jaccard from first principles (substr explode);
+        # the engine's jaccard is the same double quotient of the same
+        # exact integers, so the float compares bit-identical
+        "ngram_jaccard": (
+            "WITH pos AS (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 2)) AS i "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "substr(text, i, 3) AS gram FROM pos), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM grams "
+            "GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS i FROM grams a JOIN grams b "
+            "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) "
+            "AS jaccard FROM inter "
+            "JOIN sz sa ON sa.doc_id = doc_a "
+            "JOIN sz sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8 "
+            "ORDER BY doc_a, doc_b"),
         "token_count": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOK}')) "
             "AS BIGINT) AS n_tokens FROM documents"),
@@ -687,6 +734,10 @@ def oracle_sql() -> dict[str, str]:
         # golden (same two-implementations pattern as simhash)
         "ann_lsh": (
             f"SELECT vec_id, rank FROM read_parquet('{ga}')"),
+        # deterministic given the fixed k-means spec (sample, init,
+        # iteration count): scalar-twin golden, same pattern
+        "ann_ivf": (
+            f"SELECT vec_id, rank FROM read_parquet('{gi}')"),
         # the whole curation handoff is SQL-expressible over the crawl's
         # own parquet output (span unnest + string_agg + winner join)
         "curate_crawl": _curate_oracle_sql(),

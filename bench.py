@@ -33,6 +33,21 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+def _fixture_dir(n_pages: int) -> str:
+    """Bench fixtures live on tmpfs when available: this VM's disk is
+    io-throttled to ~9 MB/s, so corpus GENERATION (hundreds of MB of
+    parquet) would otherwise be disk-bound; existing /tmp fixtures are
+    still honored (write_fixture is idempotent per directory)."""
+    legacy = os.path.join("/tmp/gcw_fixtures", f"bench_{n_pages}")
+    if os.path.exists(os.path.join(legacy, "meta.json")) and \
+            not os.environ.get("GCW_FIXDIR"):
+        return legacy
+    base = (os.environ.get("GCW_FIXDIR")
+            or ("/dev/shm/gcw_fixtures" if os.path.isdir("/dev/shm")
+                else "/tmp/gcw_fixtures"))
+    return os.path.join(base, f"bench_{n_pages}")
+
+
 def _sf_value() -> float:
     tag = _sf_tag()
     try:
@@ -50,8 +65,8 @@ def bench_crawl(num_cpus: int) -> dict:
 
     n_pages = int(os.environ.get("GCW_BENCH_PAGES",
                                  SF_PAGES.get(_sf_tag(), 2000)))
-    fdir = write_fixture(f"/tmp/gcw_fixtures/bench_{n_pages}",
-                         n_pages=n_pages, goldens=False)
+    fdir = write_fixture(_fixture_dir(n_pages), n_pages=n_pages,
+                         goldens=False)
     corpus = pq.read_table(os.path.join(fdir, "corpus.parquet"))
     seeds = pq.read_table(os.path.join(fdir, "seeds.parquet"))[
         "url"].to_pylist()
@@ -60,9 +75,15 @@ def bench_crawl(num_cpus: int) -> dict:
     # workers add steal, not throughput; override with GCW_WORKERS
     workers = int(os.environ.get("GCW_WORKERS",
                                  min(16, max(4, num_cpus))))
+    # seen shards scale with the session's CPUs: the commit phases
+    # parallelize over shards, so a fixed count caps the wide level's
+    # commit speed (crawl results are shard-count invariant — pinned by
+    # the S=1 vs S=8 golden-parity tests)
+    shards = int(os.environ.get("GCW_SHARDS",
+                                min(16, max(8, num_cpus))))
     cfg = CrawlConfig(root_urls=list(ROOT_URLS),
                       crawler_threads=workers,
-                      num_seen_shards=8,
+                      num_seen_shards=shards,
                       max_rounds=40,
                       give_up_429_after=3,   # bound the 429 retry tail
                       checkpoint_every=5,
@@ -291,7 +312,7 @@ def run_scaling() -> dict:
     probe_pages = min(int(pages_env), 300000)
     from govuk_crawler_worker_ray.corpusgen import write_fixture
 
-    probe_dir = write_fixture(f"/tmp/gcw_fixtures/bench_{probe_pages}",
+    probe_dir = write_fixture(_fixture_dir(probe_pages),
                               n_pages=probe_pages, goldens=False)
     corpus_path = os.path.join(probe_dir, "corpus.parquet")
     try:

@@ -126,6 +126,97 @@ def ann_lsh_scalar(embeddings_path: str, k: int = 10) -> pa.Table:
     })
 
 
+# contract constants of the ann_ivf operator (similarity.py): sample =
+# 2048 smallest vec_ids, 16 centroids, 8 spherical-k-means iterations,
+# nprobe 4; init = evenly spaced rows of the vec_id-sorted sample
+_IVF_SAMPLE = 2048
+_IVF_K = 16
+_IVF_ITERS = 8
+_IVF_NPROBE = 4
+
+
+def ann_ivf_scalar(embeddings_path: str, k: int = 10) -> pa.Table:
+    """Scalar-twin ann_ivf: plain-Python spherical k-means (same init /
+    iteration spec as ``similarity.train_ivf_centroids``), probe the 4
+    nearest centroids, exact cosine over rows assigned to probed cells.
+    Float sums accumulate left-to-right — engine/golden agreement rests
+    on assignment and probe margins dwarfing summation-order ulp noise
+    (pinned by test_ann_ivf_matches_scalar_twin)."""
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [_lsh_normalize(list(map(float, v)))
+            for v in t["embedding"].to_pylist()]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = [vecs[i] for i in order[:_IVF_SAMPLE]]
+    n, kc = len(sample), min(_IVF_K, len(sample))
+    step = (n - 1) / (kc - 1) if kc > 1 else 0.0
+    init_idx = [int(i * step) for i in range(kc)]
+    init_idx[-1] = n - 1
+    cent = [list(sample[i]) for i in init_idx]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def argmax_dot(v):
+        best, bi = None, 0
+        for c in range(kc):
+            s = dot(v, cent[c])
+            if best is None or s > best:
+                best, bi = s, c
+        return bi
+
+    import math
+
+    for _ in range(_IVF_ITERS):
+        assign = [argmax_dot(v) for v in sample]
+        for c in range(kc):
+            members = [sample[i] for i in range(n) if assign[i] == c]
+            if not members:
+                continue
+            acc = [0.0] * len(members[0])
+            for m in members:
+                for j, x in enumerate(m):
+                    acc[j] += x
+            nrm = math.sqrt(sum(x * x for x in acc))
+            if nrm > 0:
+                cent[c] = [x / nrm for x in acc]
+    qpos = order[0]
+    qn = vecs[qpos]
+    probe = sorted(range(kc), key=lambda c: (-dot(cent[c], qn), c))[
+        :_IVF_NPROBE]
+    probe_set = set(probe)
+    scored = []
+    for vid, v in zip(ids, vecs):
+        if argmax_dot(v) not in probe_set:
+            continue
+        scored.append((-dot(v, qn), vid))
+    scored.sort()
+    top = scored[:k]
+    return pa.table({
+        "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
+def write_ann_ivf_golden(embeddings_path: str, out_dir: str) -> str:
+    """Persist the ann_ivf scalar-twin golden; idempotent via mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_ann_ivf.parquet")
+    marker = os.path.join(out_dir, "golden_ann_ivf_mtime")
+    mtime = str(os.path.getmtime(embeddings_path))
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read() == mtime:
+                return path
+    pq.write_table(ann_ivf_scalar(embeddings_path), path)
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return path
+
+
 def write_scalar_goldens(documents_path: str, out_dir: str) -> dict:
     """Compute both goldens over a documents parquet; idempotent via a
     source-mtime marker.  Returns {query_name: golden_parquet_path}."""

@@ -487,6 +487,219 @@ def connected_components(pairs: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard set-similarity self-join (prefix filter)
+# ---------------------------------------------------------------------------
+
+_CP_BITS = np.uint64(21)  # max codepoint 0x10FFFF < 2^21
+
+
+def _gram_ids(text: str, n: int) -> np.ndarray:
+    """Sorted distinct character-n-gram ids (uint64).  For n <= 3 the
+    packing is INJECTIVE (21 bits per codepoint), so ids ARE the grams
+    — no hashing, and Jaccard over ids equals Jaccard over the gram
+    strings exactly (what the DuckDB substr/unnest oracle computes).
+    n > 3 falls back to mixed rolling hashes (collision odds ~2^-64 per
+    pair-union; no SQL oracle claimed there)."""
+    cps = np.frombuffer(text.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    m = len(cps) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    g = cps[:m].copy()
+    if n <= 3:
+        for j in range(1, n):
+            g = (g << _CP_BITS) | cps[j:m + j]
+    else:
+        for j in range(1, n):
+            g = _mix64(g ^ cps[j:m + j])
+    return np.unique(g)
+
+
+def _gram_df(ds, n: int):
+    """Document frequency per distinct gram: one narrow explode +
+    groupby count.  The char-n-gram alphabet is bounded by charset^n
+    (~10^5-10^6 in practice, unlike word shingles), so the df map is
+    broadcastable at any corpus size."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = [_gram_ids(t, n) for t in b["text"].to_pylist()]
+        allg = (np.concatenate(parts) if parts
+                else np.empty(0, np.uint64))
+        return pa.table({"gram": pa.array(allg, pa.uint64())})
+
+    return (cpu_split(ds).map_batches(explode, batch_format="pyarrow")
+            .groupby("gram").aggregate(Count(alias_name="df")))
+
+
+def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3):
+    """EXACT character-n-gram Jaccard near-dup pairs: (doc_a < doc_b,
+    jaccard >= threshold), jaccard = |A∩B| / |A∪B| over distinct
+    n-grams — the exact counterpart of ``minhash_lsh_dedup`` (which
+    approximates the same measure with LSH recall).
+
+    Shape (prefix-filter set-similarity join — Chaudhuri et al. SSJoin
+    / Xiao et al. PPJoin, public results; all exchanges narrow):
+      1. gram DOCUMENT FREQUENCY pass (narrow explode + groupby count;
+         char-n-gram alphabets are charset^n-bounded so the df map
+         broadcasts via ``ray.put`` at any corpus size);
+      2. prefix rows: per doc order distinct grams by (df, gram)
+         ASCENDING and keep the first |A| - ceil(t*|A|) + 1 — any pair
+         with J >= t must share a prefix gram, and df-ascending order
+         puts the RAREST grams in the prefix so buckets stay tiny
+         (numeric order measured 40x slower here: common trigrams
+         collected hundreds of docs per bucket).  Grams with df == 1
+         are dropped outright (nothing to collide with);
+      3. candidate pairs: vectorized SELF-JOIN of the prefix rows on
+         gram (``Dataset.join``) + doc_a < doc_b + the PPJoin size
+         filter t*|A| <= |B| (J >= t forces it), deduped driver-side
+         (candidate sets are prefix-filtered small);
+      4. exact verify inside ``map_batches``: candidate docs' gram
+         arrays broadcast once (``ray.put``; bounded by the candidate
+         count — same bound and same ROADMAP join-shape escape hatch
+         as minhash), per-pair ``np.intersect1d`` of sorted ids.
+    Returns a sorted pyarrow Table.  The jaccard column is the raw
+    float64 quotient of exact integers, so it is bit-identical to the
+    oracle's ``CAST(i AS DOUBLE) / (na + nb - i)``.  Worst case: a
+    corpus where every doc shares every gram (all near-identical) has
+    no rare grams and degenerates toward all-pairs — which is also the
+    true output size at any threshold."""
+    import ray
+
+    df_parts = [b for b in _gram_df(ds, n)
+                .iter_batches(batch_format="pyarrow")]
+    if not df_parts:
+        return _empty_pairs()
+    dft = pa.concat_tables(df_parts)
+    dfg = (dft["gram"].to_numpy(zero_copy_only=False)
+           .astype(np.uint64, copy=False))
+    dfc = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(dfg)
+    df_ref = ray.put((dfg[o], dfc[o]))
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        sg, sc = ray.get(df_ref)
+        grams_out, docs_out, sz_out = [], [], []
+        for did, text in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            g = _gram_ids(text, n)
+            sz = len(g)
+            if sz == 0:
+                continue
+            p = sz - int(np.ceil(threshold * sz)) + 1
+            pos = np.searchsorted(sg, g)
+            if pos.max(initial=-1) >= len(sg) or \
+                    (len(g) and (sg[pos] != g).any()):
+                raise AssertionError(
+                    "gram missing from df table (dtype drift?)")
+            dfs = sc[pos]
+            order = np.lexsort((g, dfs))[:p]
+            take = g[order]
+            take = take[dfs[order] > 1]
+            if not len(take):
+                continue
+            grams_out.append(take)
+            docs_out.append(np.full(len(take), did, np.int64))
+            sz_out.append(np.full(len(take), sz, np.int64))
+        if not grams_out:
+            return pa.table({"gram": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(grams_out), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+            "sz": pa.array(np.concatenate(sz_out), pa.int64()),
+        })
+
+    rows = (cpu_split(ds).map_batches(prefix_rows,
+                                      batch_format="pyarrow")
+            .materialize())
+    right = rows.map_batches(
+        lambda b: pa.table({"gram": b["gram"], "doc_b": b["doc_id"],
+                            "sz_b": b["sz"]}),
+        batch_format="pyarrow")
+    joined = rows.join(right, "inner",
+                       num_partitions=_join_partitions(), on=("gram",))
+
+    def pair_filter(b: pa.Table) -> pa.Table:
+        a = b["doc_id"].to_numpy()
+        bb = b["doc_b"].to_numpy()
+        sa = b["sz"].to_numpy()
+        sb = b["sz_b"].to_numpy()
+        # doc_a < doc_b + PPJoin size filter: J >= t => t*|A| <= |B|
+        keep = (a < bb) & (threshold * sa <= sb) & (threshold * sb <= sa)
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(bb[keep], pa.int64())})
+
+    pairs: set = set()
+    for b in (joined.map_batches(pair_filter, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        pairs.update(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
+    if not pairs:
+        return _empty_pairs()
+    ids: set = {d for p in pairs for d in p}
+    idarr = pa.array(sorted(ids), pa.int64())
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=idarr))
+
+    gram_map: dict = {}
+    for b in (cpu_split(ds).map_batches(flt, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            gram_map[did] = _gram_ids(text, n)
+    gref = ray.put(gram_map)
+    plist = sorted(pairs)
+    import ray.data as rd
+
+    pair_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array([p[0] for p in plist], pa.int64()),
+        "doc_b": pa.array([p[1] for p in plist], pa.int64())}))
+
+    def verify(b: pa.Table) -> pa.Table:
+        gm = ray.get(gref)
+        ka, kb, kj = [], [], []
+        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            ga, gb = gm[a], gm[bb]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                ka.append(a)
+                kb.append(bb)
+                kj.append(j)
+        return pa.table({"doc_a": pa.array(ka, pa.int64()),
+                         "doc_b": pa.array(kb, pa.int64()),
+                         "jaccard": pa.array(kj, pa.float64())})
+
+    parts = [b for b in pair_ds.map_batches(
+        verify, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return _empty_pairs()
+    out = pa.concat_tables(parts)
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def ngram_jaccard_bruteforce(texts: dict, threshold: float,
+                             n: int) -> list:
+    """All-pairs scalar twin (tests only)."""
+    ids = sorted(texts)
+    out = []
+    for i, a in enumerate(ids):
+        ga = _gram_ids(texts[a], n)
+        for b in ids[i + 1:]:
+            gb = _gram_ids(texts[b], n)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

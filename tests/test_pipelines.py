@@ -70,6 +70,30 @@ def test_minhash_distributed_equals_broadcast(docs_ds):
     assert auto.to_pydict() == small.to_pydict()
 
 
+def test_ngram_jaccard_matches_bruteforce(docs_ds):
+    """Prefix-filter SSJoin must equal the all-pairs twin exactly —
+    pair set AND float jaccard values (both are quotients of the same
+    exact integers)."""
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        ngram_jaccard_bruteforce,
+        ngram_jaccard_dedup,
+    )
+
+    texts = {r["doc_id"]: r["text"]
+             for r in _docs_table().to_pylist()}
+    for t in (0.3, 0.5, 0.9):
+        out = ngram_jaccard_dedup(docs_ds, threshold=t, n=3)
+        got = list(zip(out["doc_a"].to_pylist(),
+                       out["doc_b"].to_pylist(),
+                       out["jaccard"].to_pylist()))
+        assert got == ngram_jaccard_bruteforce(texts, t, 3)
+    # exact dup pair scores exactly 1.0 at any threshold
+    out = ngram_jaccard_dedup(docs_ds, threshold=0.999, n=3)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert pairs == {(0, 5)}
+    assert out["jaccard"].to_pylist() == [1.0]
+
+
 def test_simhash_close_for_neardups(docs_ds):
     from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
 
@@ -345,6 +369,43 @@ def test_connected_components_distributed(ray_session):
     comp = dict(zip(got["doc_id"].to_pylist(),
                     got["component"].to_pylist()))
     assert comp[9] == 1 and comp[4] == 2 and comp[22] == 20
+
+
+def test_ivf_knn(ray_session, tmp_path):
+    """IVF coarse-quantizer ANN: with nprobe == n_clusters it must
+    equal brute force exactly; with nprobe < n_clusters it must find a
+    planted near-dup and match the pure-Python scalar twin
+    (the ann_ivf oracle golden) on a parquet round-trip."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.goldens import ann_ivf_scalar
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((400, 24)).astype(np.float32)
+    base[37] = base[0] * 1.1  # planted near-dup of the query row
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    q = base[0].astype(np.float64)
+    full = ivf_knn(ds, q, k=8, n_clusters=16, nprobe=16)
+    assert full.to_pydict() == knn_bruteforce(ds, q, k=8).to_pydict()
+    approx = ivf_knn(ds, q, k=8, n_clusters=16, nprobe=4)
+    got = approx["vec_id"].to_pylist()
+    assert got[0] == 0 and 37 in got  # query row + planted near-dup
+    # scalar-twin parity on the exact spec the oracle golden uses
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, p)
+    twin = ann_ivf_scalar(p, k=10)
+    eng = ivf_knn(rd.read_parquet(p), q, k=10).select(["vec_id", "rank"])
+    assert eng.to_pydict() == twin.to_pydict()
 
 
 def test_lsh_index_matches_scan(ray_session):
