@@ -22,6 +22,31 @@ import subprocess
 import sys
 import time
 
+# glibc arena retention: this VM inflates first-touch page faults to
+# ~100-1000x (hypervisor memory management) — any numpy pipeline whose
+# multi-MB temporaries go through fresh mmap/munmap cycles pays seconds
+# per batch (measured: the SAME 2.8M-element gather costs 1.9s on first
+# allocation, 8ms on arena reuse).  Keep big allocations on the
+# retained heap so first-touch is paid once per worker, not per batch.
+# Env vars are read at process start: they cover every CHILD (pinned
+# scaling runs, raylet -> Ray workers); mallopt covers THIS process.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+
+def _tune_malloc() -> None:
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # crawl corpus size per scale factor — sf0.1 is sized so per-round

@@ -65,6 +65,9 @@ class FetchWorker:
 
     def __init__(self, corpus_ref, cfg: CrawlConfig, seen_shards,
                  allowed_hosts: list[str]) -> None:
+        from ..state.malloc_tune import tune_malloc
+
+        tune_malloc()
         self.stage = FetchStage(corpus_ref, cfg, seen_shards)
         self.cfg = cfg
         self.allowed_hosts = allowed_hosts
@@ -115,7 +118,7 @@ class FetchWorker:
     def process_round_storage(self, tables: list[pa.Table],
                               table_paths: list[str], files: list[str],
                               fetched_dir: str, now: float,
-                              high: dict, budget=None,
+                              high, budget=None,
                               defer_dir: str | None = None) -> tuple:
         """Frontier-on-storage round work (ROADMAP #1): chunks arrive as
         in-memory tables (driver rows) or as FRONTIER PARQUET PART PATHS
@@ -134,6 +137,19 @@ class FetchWorker:
             prof = cProfile.Profile()
             prof.enable()
         _t0 = _time.perf_counter()
+        if isinstance(high, list):
+            # [ObjectRef]: the O(5xx/429-history) dict ships ONCE per
+            # round via ray.put — inlining it re-serialized it into
+            # every work-stealing RPC (O(high x groups) driver-side
+            # pickling); the list wrapper defeats Ray's auto-deref so
+            # each worker can also UNPICKLE it once per round
+            import ray
+
+            cached = getattr(self, "_high_cache", None)
+            if cached is None or cached[0] != high[0]:
+                cached = (high[0], ray.get(high[0]))
+                self._high_cache = cached
+            high = cached[1]
         counts: dict[str, int] = {}
         host_counts: dict[str, int] = {}
         req_parts: list[pa.Table] = []
@@ -277,6 +293,9 @@ class FetchWorkerPool:
                           now: float, fetched_dir: str,
                           high: dict, budget_ctx=None,
                           defer_dir: str | None = None) -> tuple:
+        import ray as _ray
+
+        high_ref = [_ray.put(high)] if high else {}
         """Storage-mode dispatch: driver rows go out as table chunks,
         shard-written frontier parts as file refs; results are merged
         outcome/host counts + requeue rows + staging refs + deferred-
@@ -315,8 +334,8 @@ class FetchWorkerPool:
                 if sub:
                     bud = sub
             return w.process_round_storage.remote(tabs, paths, fls,
-                                                  fetched_dir, now, high,
-                                                  bud, defer_dir)
+                                                  fetched_dir, now,
+                                                  high_ref, bud, defer_dir)
 
         from collections import deque
 

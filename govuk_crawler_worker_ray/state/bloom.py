@@ -58,8 +58,13 @@ class BloomFilter:
         if len(keys) == 0:
             return
         pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
-        word = (pos >> np.uint64(6)).ravel()
-        bit = _BIT[(pos & np.uint64(63)).ravel()]
+        # .view(int64) before any FANCY INDEXING: indexing with a uint64
+        # array takes a non-vectorized conversion path on this numpy
+        # build (measured 1.5 s vs 4 ms for a 1.7M-element gather —
+        # cProfile showed it dominating whole shard commits); masked
+        # values are < num_bits so the reinterpret is lossless
+        word = (pos >> np.uint64(6)).ravel().view(np.int64)
+        bit = _BIT[(pos & np.uint64(63)).ravel().view(np.int64)]
         # sort + segment-OR (reduceat): np.bitwise_or.at is an unbuffered
         # ufunc scatter at ~2us/element — it alone dominated large
         # seen-set replays (~2s per 128k keys); this path is ~30x faster
@@ -77,8 +82,8 @@ class BloomFilter:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         pos = self._positions(*self.split_hashes(keys.astype(np.uint64)))
-        word = pos >> np.uint64(6)
-        bit = _BIT[pos & np.uint64(63)]
+        word = (pos >> np.uint64(6)).view(np.int64)  # see add_many note
+        bit = _BIT[(pos & np.uint64(63)).view(np.int64)]
         return ((self.bits[word] & bit) != 0).all(axis=0)
 
     @property

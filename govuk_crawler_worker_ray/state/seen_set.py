@@ -65,6 +65,9 @@ class SeenShard:
 
     def __init__(self, shard_id: int, ttl_seconds: float,
                  expected_keys: int = 1 << 16) -> None:
+        from .malloc_tune import tune_malloc
+
+        tune_malloc()
         self.shard_id = shard_id
         self.ttl = float(ttl_seconds)
         self.expected_keys = expected_keys
