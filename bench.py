@@ -141,8 +141,9 @@ def bench_queries() -> dict:
     import __ray_entry__ as entrymod
 
     picks = ["dedup_exact", "text_stats", "lang_id", "events_hourly",
-             "revenue_by_nation", "ann_bruteforce", "minhash_neardup",
-             "simhash", "embedding_neardup", "top_docs_by_length"]
+             "revenue_by_nation", "ann_bruteforce", "ann_ivf",
+             "minhash_neardup", "simhash", "embedding_neardup",
+             "top_docs_by_length"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -94,6 +94,52 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds):
     assert out["jaccard"].to_pylist() == [1.0]
 
 
+def test_ngram_prefix_filter_complete():
+    """The prefix-filter theorem the SSJoin rests on: for ANY pair with
+    J >= t, the two df-ordered prefixes (length |A| - ceil(t|A|) + 1)
+    share at least one gram.  Randomized over mutated strings (high
+    true-pair density) — a miss here would silently drop pairs."""
+    import random
+
+    from govuk_crawler_worker_ray.pipelines.dedup import _gram_ids
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh "
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 60)))
+            for _ in range(12)]
+    texts = list(base)
+    for b in base:  # mutated near-dups
+        i = rng.randrange(max(len(b), 1))
+        texts.append(b[:i] + rng.choice(alphabet) + b[i:])
+        texts.append(b + rng.choice(alphabet))
+    grams = [_gram_ids(t, 3) for t in texts]
+    # global df over distinct grams
+    df: dict = {}
+    for g in grams:
+        for x in g.tolist():
+            df[x] = df.get(x, 0) + 1
+    for t in (0.3, 0.6, 0.9):
+        prefixes = []
+        for g in grams:
+            sz = len(g)
+            if sz == 0:
+                prefixes.append(set())
+                continue
+            p = sz - int(np.ceil(t * sz)) + 1
+            ordered = sorted(g.tolist(), key=lambda x: (df[x], x))
+            prefixes.append(set(ordered[:p]))
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                a, b = set(grams[i].tolist()), set(grams[j].tolist())
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    assert prefixes[i] & prefixes[j], (
+                        f"qualifying pair ({i},{j}) J={jac:.3f} at t={t} "
+                        "shares no prefix gram")
+
+
 def test_simhash_close_for_neardups(docs_ds):
     from govuk_crawler_worker_ray.pipelines.dedup import simhash_signatures
 
