@@ -376,9 +376,11 @@ def run_scaling() -> dict:
     thr_lo = results[lo]["crawl_urls_per_sec"]
     thr_hi = results[hi]["crawl_urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    # a kernel ceiling outside [0.3, 1.2] means the probe itself ran on
-    # a degraded host — fall back to the spin probe for normalization
-    denom = (kernel_eff if kernel_eff and 0.3 <= kernel_eff <= 1.2
+    # a kernel ceiling outside [0.5, 1.1] means the probe itself ran on
+    # a degraded host (stable healthy-host readings are 0.77-0.98;
+    # drained-phase readings swing 0.39-1.23) — fall back to the spin
+    # probe for normalization, and never report normalized > 1
+    denom = (kernel_eff if kernel_eff and 0.5 <= kernel_eff <= 1.1
              else hw_eff)
     return {
         "metric": "crawl throughput scaling efficiency "
@@ -398,7 +400,7 @@ def run_scaling() -> dict:
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "kernel_ceiling_efficiency": (round(kernel_eff, 3)
                                       if kernel_eff else None),
-        "normalized_efficiency": round(eff / denom, 3),
+        "normalized_efficiency": round(min(eff / denom, 1.0), 3),
     }
 
 
