@@ -321,6 +321,116 @@ def ivf_knn(ds, query_vec: np.ndarray, k: int = 10,
     })
 
 
+class IvfIndex:
+    """Persisted IVF layout over an embedding dataset — the scale path
+    ``ivf_knn`` documents, made concrete (mirrors ``LshIndex``): train
+    the codebook once, assign every vector once (a vectorized
+    map_batches pass), store rows SORTED by centroid id so each probe
+    reads a contiguous range.  At 10^10 rows the same layout is a
+    centroid-partitioned parquet/Lance table and probes read only
+    ``nprobe`` partitions.
+
+    Ranking semantics (same codebook spec, probe order, score-desc /
+    vec_id-asc tiebreaks) are identical to ``ivf_knn`` — pinned by
+    tests/test_pipelines.py::test_ivf_index_matches_scan."""
+
+    def __init__(self, assign: np.ndarray, ids: np.ndarray,
+                 matrix: np.ndarray, centroids: np.ndarray) -> None:
+        order = np.lexsort((ids, assign))
+        self.assign = assign[order]
+        self.ids = ids[order]
+        self.matrix = matrix[order]
+        self.centroids = centroids
+
+    @classmethod
+    def build(cls, ds, n_clusters: int = 16,
+              sample_size: int = 2048) -> "IvfIndex":
+        import ray
+
+        def bottom(batch: pa.Table) -> pa.Table:
+            ids, m = _to_matrix(batch)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "vec": pa.array(
+                                     [], pa.list_(pa.float64()))})
+            take = np.argsort(ids)[:sample_size]
+            return pa.table({
+                "vec_id": pa.array(ids[take], pa.int64()),
+                "vec": pa.array(list(m[take]), pa.list_(pa.float64()))})
+
+        sids, svecs = [], []
+        for b in (ds.map_batches(bottom, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            if b.num_rows:
+                sids.append(b["vec_id"].to_numpy())
+                svecs.append(np.stack(b["vec"].to_numpy(
+                    zero_copy_only=False)))
+        if not sids:
+            z = np.zeros(0, np.int64)
+            return cls(z, z, np.zeros((0, 1)), np.zeros((1, 1)))
+        sids_c = np.concatenate(sids)
+        sample = np.vstack(svecs)[np.argsort(sids_c)][:sample_size]
+        cent = train_ivf_centroids(sample, n_clusters)
+        cref = ray.put(cent)
+
+        def assign_rows(batch: pa.Table) -> pa.Table:
+            cent_ = ray.get(cref)
+            ids, m = _to_matrix(batch)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cid": pa.array([], pa.int64()),
+                                 "nvec": pa.array(
+                                     [], pa.list_(pa.float64()))})
+            mn = _normalize(m)
+            cid = (mn @ cent_.T).argmax(axis=1).astype(np.int64)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cid": pa.array(cid, pa.int64()),
+                "nvec": pa.array(list(mn), pa.list_(pa.float64())),
+            })
+
+        ids_l, cid_l, vecs_l = [], [], []
+        for b in (ds.map_batches(assign_rows, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            if b.num_rows:
+                ids_l.append(b["vec_id"].to_numpy())
+                cid_l.append(b["cid"].to_numpy())
+                vecs_l.append(np.stack(
+                    b["nvec"].to_numpy(zero_copy_only=False)))
+        ids = (np.concatenate(ids_l) if ids_l
+               else np.zeros(0, np.int64))
+        cids = (np.concatenate(cid_l) if cid_l
+                else np.zeros(0, np.int64))
+        mat = (np.vstack(vecs_l) if vecs_l else np.zeros((0, 1)))
+        return cls(cids, ids, mat, cent)
+
+    def query(self, query_vec: np.ndarray, k: int = 10,
+              nprobe: int = 4) -> pa.Table:
+        q = query_vec.astype(np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        probe = np.sort(np.argsort(-(self.centroids @ qn),
+                                   kind="stable")[:nprobe])
+        cand = []
+        for c in probe:
+            lo = np.searchsorted(self.assign, c, side="left")
+            hi = np.searchsorted(self.assign, c, side="right")
+            if hi > lo:
+                cand.append(np.arange(lo, hi))
+        if not cand:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
+        idx = np.concatenate(cand)
+        scores = self.matrix[idx] @ qn
+        ids = self.ids[idx]
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(np.round(scores[order], 6), pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+
 # near-dup LSH banding: 32 bands x 16 hyperplane bits.  Bits per band
 # must scale with dataset size (~log2 N + margin) or buckets saturate
 # and within-bucket pairing degenerates toward all-pairs: at 8 bits

@@ -454,6 +454,32 @@ def test_ivf_knn(ray_session, tmp_path):
     assert eng.to_pydict() == twin.to_pydict()
 
 
+def test_ivf_index_matches_scan(ray_session):
+    """The persisted IVF layout (assign-once, centroid-sorted ranges)
+    must return exactly what the per-query scan (ivf_knn) returns."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        IvfIndex,
+        ivf_knn,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((350, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(350), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    idx = IvfIndex.build(ds)
+    for qi in (0, 42, 199):
+        q = base[qi].astype(np.float64)
+        a = ivf_knn(ds, q, k=6)
+        b = idx.query(q, k=6)
+        assert a.to_pydict() == b.to_pydict()
+
+
 def test_lsh_index_matches_scan(ray_session):
     """The persisted LSH bucket index must return exactly what the
     per-query scan (lsh_knn) returns — same probe set, scoring, and
