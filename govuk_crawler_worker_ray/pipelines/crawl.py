@@ -853,13 +853,20 @@ class CrawlEngine:
 
         # barrier: staging must land, then the two-phase exchange commit
         _tb = _time.perf_counter()
-        if stage_refs:
-            ray.get(stage_refs)
+        staged_rows = sum(ray.get(stage_refs)) if stage_refs else 0
         m["t_barrier_ms"] = int((_time.perf_counter() - _tb) * 1000)
         _tb = _time.perf_counter()
         shards = self.seen.shards
         S = len(shards)
-        P = S
+        # partition count ADAPTS to this round's staged volume: the
+        # exchange costs O(S*P) object-store ops of pure fixed overhead
+        # (ray.put per ph1 cell, one return object per rank cell), which
+        # at P == S == 16 was ~1 s/round even for EMPTY rounds — more
+        # commit time than the crawl itself in retry-tail rounds.  A
+        # 256k-key single-owner merge is ~20 ms of numpy, so small
+        # rounds take P == 1; P grows back to S when a round stages
+        # enough keys that the merge itself needs to parallelize.
+        P = int(np.clip(-(-staged_rows // 262144), 1, S))
         boundaries = np.linspace(0, max(next_seq, 1),
                                  P + 1)[1:-1].astype(np.int64)
         ph1 = ray.get([s.commit_phase1.remote(now, boundaries, True)
@@ -885,18 +892,27 @@ class CrawlEngine:
         # BARE ref (not a tuple) when num_returns == 1, so wrap for S == 1
         rank_refs = []
         for p in range(P):
-            r = (shards[p % S].rank_partition
+            # rotate owner by round so P == 1 (small rounds) doesn't pin
+            # every merge on shard 0
+            r = (shards[(p + rnd) % S].rank_partition
                  .options(num_returns=S)
                  .remote([key_refs[s][p] for s in range(S)]))
             rank_refs.append([r] if S == 1 else r)
         frontier_dir = os.path.join(rdir, "frontier")
+        # clash set ships once through the object store, not once per
+        # shard RPC (top-level args are auto-resolved actor-side)
+        clash_arg = ray.put(clash) if len(clash) > 256 else clash
+        # shards whose ph1 saw zero winners have nothing to rank, split,
+        # or write — skip their phase2 RPC (the retry tail is many
+        # near-empty rounds and the fixed S RPCs added up)
+        live = [s for s in range(S) if hist[s].sum() > 0]
         ph2 = ray.get([
             shards[s].commit_phase2.remote(
                 next_seq, part_starts.tolist(),
                 [rank_refs[p][s] for p in range(P)],
-                clash, frontier_dir, part_rows_target,
+                clash_arg, frontier_dir, part_rows_target,
                 f"part-s{s:03d}")
-            for s in range(S)])
+            for s in live])
         m["t_ph2_ms"] = int((_time.perf_counter() - _tb) * 1000)
         new_parts: list[str] = []
         clash_tables: list[pa.Table] = []

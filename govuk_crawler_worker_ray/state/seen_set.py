@@ -293,7 +293,10 @@ class SeenShard:
         ky = (keys_u64(dg.to_pylist()) if keys is None
               else np.asarray(keys, dtype=np.uint64))
         self._staged.append((dg, us, hs, ps, li, kd, ky))
-        return len(self._staged)
+        # rows staged in THIS chunk: the driver sums these at the round
+        # barrier to size the rank-exchange partition count (a small
+        # round needs one merge partition, not one per shard)
+        return int(len(ps))
 
     def clear_staged(self) -> None:
         self._staged = []
@@ -458,7 +461,10 @@ class SeenShard:
         if as_refs:
             import ray
 
-            keys = [ray.put(k) for k in keys]
+            # tiny partitions travel inline in the reply — a ray.put per
+            # (shard, partition) cell is ~1 ms of object-store overhead
+            # and the S x P matrix of them dominated small-round commits
+            keys = [ray.put(k) if len(k) >= 8192 else k for k in keys]
         return counts, keys
 
     def rank_partition(self, key_arrays):
@@ -470,8 +476,15 @@ class SeenShard:
         try:
             import ray
 
-            key_arrays = [ray.get(a) if isinstance(a, ray.ObjectRef)
-                          else a for a in key_arrays]
+            ref_pos = [i for i, a in enumerate(key_arrays)
+                       if isinstance(a, ray.ObjectRef)]
+            if ref_pos:
+                # ONE batched get — a per-array get loop costs a driver
+                # round-trip per shard and serializes the merge
+                got = ray.get([key_arrays[i] for i in ref_pos])
+                key_arrays = list(key_arrays)
+                for i, v in zip(ref_pos, got):
+                    key_arrays[i] = v
         except ImportError:
             pass
         arrs = [np.asarray(a, dtype=np.int64) for a in key_arrays]
@@ -504,14 +517,19 @@ class SeenShard:
         self._partition_bounds = []
         if t is None or t.num_rows == 0:
             return [], _empty_winner_frontier(), 0
+        ref_pos = [p for p, r in enumerate(rank_refs)
+                   if isinstance(r, ray.ObjectRef)]
+        if ref_pos:
+            got = ray.get([rank_refs[p] for p in ref_pos])
+            rank_refs = list(rank_refs)
+            for p, v in zip(ref_pos, got):
+                rank_refs[p] = v
         seqs = np.empty(t.num_rows, dtype=np.int64)
         for p, (s, e) in enumerate(bounds):
             if e <= s:
                 continue
-            ranks = rank_refs[p]
-            if isinstance(ranks, ray.ObjectRef):
-                ranks = ray.get(ranks)
-            seqs[s:e] = base_seq + int(part_starts[p]) + np.asarray(ranks)
+            seqs[s:e] = base_seq + int(part_starts[p]) + \
+                np.asarray(rank_refs[p])
         frontier = pa.table({
             "discovered_seq": pa.array(seqs, pa.int64()),
             "url": t["url"],
