@@ -322,21 +322,27 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5,
         ids_ = g["doc_id"].tolist()
         txts = g["text"].tolist()
         order = sorted(range(len(ids_)), key=lambda i: ids_[i])
+        sets = []
+        for i in order:
+            s = smemo.get((k, ids_[i]))
+            if s is None:
+                s = set(_shingle_hashes(txts[i], k))
+                smemo[(k, ids_[i])] = s
+            sets.append(s)
         out_a, out_b, out_j = [], [], []
         for x in range(len(order)):
             for y in range(x + 1, len(order)):
                 a, bb = ids_[order[x]], ids_[order[y]]
+                sa, sb = sets[x], sets[y]
+                # PPJoin size filter: J(A,B) <= min/max of the set
+                # sizes, so a size-skewed pair can't reach threshold —
+                # skip the intersection (exact: J would be < t anyway)
+                la, lb = len(sa), len(sb)
+                if min(la, lb) < threshold * max(la, lb):
+                    continue
                 key = (k, a, bb)
                 j = pmemo.get(key)
                 if j is None:
-                    sa = smemo.get((k, a))
-                    if sa is None:
-                        sa = set(_shingle_hashes(txts[order[x]], k))
-                        smemo[(k, a)] = sa
-                    sb = smemo.get((k, bb))
-                    if sb is None:
-                        sb = set(_shingle_hashes(txts[order[y]], k))
-                        smemo[(k, bb)] = sb
                     if not sa and not sb:
                         j = 1.0
                     elif not sa or not sb:
