@@ -168,6 +168,48 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def _q_asof_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        asof_join_events,
+    )
+
+    return asof_join_events(_events(sf_dir))
+
+
+def _q_range_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        range_join_events,
+    )
+
+    return range_join_events(_events(sf_dir))
+
+
+def _q_sliding_window(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        sliding_window_hourly,
+    )
+
+    return sliding_window_hourly(_events(sf_dir))
+
+
+def _q_distinct_users_daily(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        distinct_users_daily,
+    )
+
+    return distinct_users_daily(_events(sf_dir))
+
+
+def _q_stratified_sample(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        stratified_sample,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    return stratified_sample(docs)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -473,6 +515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "sliding_window": _q_sliding_window,
+        "distinct_users_daily": _q_distinct_users_daily,
+        "stratified_sample": _q_stratified_sample,
         "revenue_by_nation": _q_revenue_by_nation,
         "revenue_by_nation_join": _q_revenue_by_nation_join,
         "top_docs_by_length": _q_top_docs,
@@ -517,6 +564,37 @@ _ACCEPTED_SQL = ("'text/css','text/csv',"
                  "'application/vnd.ms-excel',"
                  "'application/vnd.openxmlformats-officedocument."
                  "spreadsheetml.sheet'")
+
+
+# range_join window constants, imported from the pipeline module so the
+# oracle can never drift from the engine's interval table
+def _range_consts():
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        RANGE_BASE_US,
+        RANGE_PERIOD_US,
+        RANGE_SPAN_US,
+    )
+
+    return RANGE_BASE_US, RANGE_PERIOD_US, RANGE_SPAN_US
+
+
+_RANGE_BASE, _RANGE_PERIOD, _RANGE_SPAN = _range_consts()
+
+
+def _strata_case_sql() -> str:
+    """CASE expression with the SAME md5-prefix thresholds the engine's
+    stratified_sample uses (imported, not re-typed)."""
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        DEFAULT_RATE,
+        DEFAULT_RATES,
+        _hex_threshold,
+    )
+
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{_hex_threshold(r)}'"
+        for lang, r in sorted(DEFAULT_RATES.items()))
+    return (f"CASE lang {whens} "
+            f"ELSE '{_hex_threshold(DEFAULT_RATE)}' END")
 
 
 def _curate_oracle_sql() -> str:
@@ -672,6 +750,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM g GROUP BY user_id"),
+        "asof_join": (
+            "WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS "
+            "ts_micros FROM events WHERE event_type = 'purchase'), "
+            "b AS (SELECT user_id, epoch_us(ts) AS ts_micros, "
+            "max(CAST(round(value * 1000000) AS BIGINT)) AS value_micros "
+            "FROM events WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT a.event_id, a.user_id, a.ts_micros, "
+            "COALESCE(b.ts_micros, -1) AS right_ts_micros, "
+            "COALESCE(b.value_micros, -1) AS right_value_micros "
+            "FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id "
+            "AND a.ts_micros >= b.ts_micros"),
+        "range_join": (
+            "WITH r AS (SELECT i AS range_id, "
+            f"{_RANGE_BASE} + i * {_RANGE_PERIOD} AS lo, "
+            f"{_RANGE_BASE} + i * {_RANGE_PERIOD} + {_RANGE_SPAN} AS hi "
+            "FROM generate_series(0, 59) t(i)) "
+            "SELECT r.range_id, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micros FROM events e JOIN r "
+            "ON epoch_us(e.ts) >= r.lo AND epoch_us(e.ts) < r.hi "
+            "GROUP BY 1"),
+        "sliding_window": (
+            "WITH h AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS v FROM events GROUP BY 1, 2) "
+            "SELECT event_type, bucket, "
+            "CAST(sum(n) OVER w AS BIGINT) AS w24_events, "
+            "CAST(sum(v) OVER w AS BIGINT) AS w24_micros FROM h "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
+            "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
+        "distinct_users_daily": (
+            "SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "count(*) AS n_events FROM events GROUP BY 1"),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            f"{_strata_case_sql()}"),
         "revenue_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"

@@ -198,3 +198,179 @@ def top_docs_by_length(ds, k: int = 25) -> pa.Table:
     order = np.lexsort((ids, -n))[:k]
     return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
                      "n_chars": pa.array(n[order], pa.int64())})
+
+
+def asof_join_events(ds, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """AS-OF join over the events stream: for each LEFT-type event, the
+    most recent RIGHT-type event by the same user with right.ts <=
+    left.ts (DuckDB ``ASOF LEFT JOIN`` semantics; unmatched rows carry
+    -1).  Ray Data lacks an as-of join operator, so this is the
+    documented composition: narrow per-batch projection/filter -> ONE
+    hash shuffle on user_id -> sorted-merge (``np.searchsorted``)
+    inside each group.
+
+    Partitioning assumption: one user's events fit in one group — true
+    for user-keyed event streams; a hot user would be salted by time
+    range and merged with a second as-of pass over the boundary rows.
+
+    Right-side ties on (user_id, ts) are pre-aggregated to max(value)
+    so the match is deterministic.  Timestamps/values travel as int64
+    micros for oracle-exact comparison."""
+    def narrow(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = batch.filter(mask)
+        side = pc.cast(pc.equal(b["event_type"], right_type), pa.int8())
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_micros": b["ts"].cast(pa.int64()),
+            "value_micros": pa.array(
+                np.rint(b["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64), pa.int64()),
+            "side": side,
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].sort_values(["ts_micros", "event_id"])
+        b = g[g["side"] == 1]
+        n = len(a)
+        if n == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [],
+                                 "ts_micros": [], "right_ts_micros": [],
+                                 "right_value_micros": []})
+        right_ts = np.full(n, -1, dtype=np.int64)
+        right_val = np.full(n, -1, dtype=np.int64)
+        if len(b):
+            bb = (b.groupby("ts_micros", as_index=False)["value_micros"]
+                  .max().sort_values("ts_micros"))
+            bts = bb["ts_micros"].to_numpy()
+            bval = bb["value_micros"].to_numpy()
+            idx = np.searchsorted(bts, a["ts_micros"].to_numpy(),
+                                  side="right") - 1
+            hit = idx >= 0
+            right_ts[hit] = bts[idx[hit]]
+            right_val[hit] = bval[idx[hit]]
+        return pd.DataFrame({
+            "event_id": a["event_id"].to_numpy(),
+            "user_id": a["user_id"].to_numpy(),
+            "ts_micros": a["ts_micros"].to_numpy(),
+            "right_ts_micros": right_ts,
+            "right_value_micros": right_val,
+        })
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+# deterministic maintenance-window intervals for range_join_events:
+# window i covers [BASE + i*PERIOD, BASE + i*PERIOD + SPAN) — gaps of
+# PERIOD-SPAN between windows, so containment is a real range predicate,
+# not a partition of the axis.
+RANGE_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
+RANGE_PERIOD_US = 12 * 3600 * 1_000_000
+RANGE_SPAN_US = 5 * 3600 * 1_000_000
+
+
+def range_join_events(ds, n_ranges: int = 60):
+    """Range (interval-containment) join: events x a small table of
+    non-contiguous time windows, aggregated per window: (range_id,
+    n_events, sum_value_micros).  The window table is tiny and SORTED,
+    so the join is a broadcast + per-batch ``np.searchsorted`` on the
+    window starts with an upper-bound check — no shuffle at all; the
+    only exchange is the final pre-aggregated groupby (one row per
+    window per batch).  For an UNSORTED/overlapping interval table the
+    same shape holds with an interval tree built once per actor."""
+    from ray.data.aggregate import Sum
+
+    los = RANGE_BASE_US + np.arange(n_ranges, dtype=np.int64) \
+        * RANGE_PERIOD_US
+    his = los + RANGE_SPAN_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        idx = np.searchsorted(los, ts, side="right") - 1
+        ok = (idx >= 0) & (ts < his[np.clip(idx, 0, None)])
+        v = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                    * 1_000_000).astype(np.int64)
+        df = pd.DataFrame({"range_id": idx[ok], "n": 1, "v": v[ok]})
+        g = df.groupby("range_id", as_index=False).agg(
+            partial_n=("n", "sum"), partial_v=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("range_id")
+            .aggregate(Sum("partial_n", alias_name="n_events"),
+                       Sum("partial_v", alias_name="sum_value_micros")))
+
+
+def sliding_window_hourly(ds, window_buckets: int = 24):
+    """Sliding (RANGE-frame) windowed aggregate: per event_type, the
+    trailing-24-hour sum/count at each hour bucket — SQL's ``SUM(v)
+    OVER (PARTITION BY type ORDER BY bucket RANGE BETWEEN 23 PRECEDING
+    AND CURRENT ROW)``.  Composition: the tumbling hourly pre-aggregate
+    (events_hourly — one row per (type, bucket) leaves each batch),
+    then ONE groupby(event_type) whose groups are tiny (one row per
+    hour), windowed inside via prefix sums + ``searchsorted`` (RANGE
+    frames over sparse buckets, so gaps are honored — a rolling() over
+    rows would be wrong)."""
+    hourly = events_hourly(ds)
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        b = g["bucket"].to_numpy()
+        v = g["sum_value_micros"].to_numpy()
+        n = g["n_events"].to_numpy()
+        cv = np.concatenate([[0], np.cumsum(v)])
+        cn = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(b, b - window_buckets + 1, side="left")
+        hi = np.arange(len(b), dtype=np.int64) + 1
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket": b,
+            "w24_events": cn[hi] - cn[lo],
+            "w24_micros": cv[hi] - cv[lo],
+        })
+
+    return (hourly.groupby("event_type")
+            .map_groups(per_type, batch_format="pandas"))
+
+
+def distinct_users_daily(ds):
+    """Exact COUNT(DISTINCT) per group at scale: (day, n_users,
+    n_events) over the events stream.  Two-phase: per-batch dedup of
+    (day, user_id) pairs (the combiner — repeat events collapse before
+    anything moves), ONE hash shuffle on the pair to finish the dedup,
+    then a second pre-aggregated groupby(day) that only moves one row
+    per (day, batch).  No driver-side sets, no global sort; the pair
+    shuffle is the information-theoretic floor for exact distinct."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400 * 1_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"day": ts // day_us,
+                           "user_id": batch["user_id"].to_numpy(),
+                           "n": 1})
+        g = df.groupby(["day", "user_id"], as_index=False).agg(
+            partial_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_pair = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["day", "user_id"])
+                .aggregate(Sum("partial_n", alias_name="pair_n")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": batch["day"].to_numpy(), "u": 1,
+                           "e": batch["pair_n"].to_numpy()})
+        g = df.groupby("day", as_index=False).agg(
+            partial_u=("u", "sum"), partial_e=("e", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (per_pair.map_batches(fold, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("partial_u", alias_name="n_users"),
+                       Sum("partial_e", alias_name="n_events")))
