@@ -210,6 +210,22 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def _q_media_features(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import media_features
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    return media_features(docs, decoder="fake")
+
+
+def _q_video_frames(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import video_frames
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    return video_frames(docs)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -520,6 +536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "distinct_users_daily": _q_distinct_users_daily,
         "stratified_sample": _q_stratified_sample,
+        "media_features": _q_media_features,
+        "video_frames": _q_video_frames,
         "revenue_by_nation": _q_revenue_by_nation,
         "revenue_by_nation_join": _q_revenue_by_nation_join,
         "top_docs_by_length": _q_top_docs,
@@ -670,6 +688,11 @@ def oracle_sql() -> dict[str, str]:
         "/tmp/gcw_goldens")
     gi = write_ann_ivf_golden(
         os.path.join(oracle_sf, "embeddings.parquet"),
+        "/tmp/gcw_goldens")
+    from govuk_crawler_worker_ray.goldens import write_media_goldens
+
+    gmed = write_media_goldens(
+        os.path.join(oracle_sf, "documents.parquet"),
         "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
@@ -848,6 +871,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, fingerprint FROM "
             f"read_parquet('{sg['fingerprint']}')"),
+        # multimodal fake-decode twins: pure-Python scalar goldens
+        # (blake2b features are not SQL-expressible; same
+        # two-implementations pattern as simhash/fingerprint)
+        "media_features": (
+            "SELECT media_id, kind, width, height, duration_ms, "
+            "mean_byte, n_bytes FROM "
+            f"read_parquet('{gmed['media_features']}')"),
+        "video_frames": (
+            "SELECT media_id, frame_idx, frame_digest FROM "
+            f"read_parquet('{gmed['video_frames']}')"),
         # deterministic given the fixed hyperplane family: scalar-twin
         # golden (same two-implementations pattern as simhash)
         "ann_lsh": (

@@ -263,3 +263,104 @@ def write_ann_lsh_golden(embeddings_path: str, out_dir: str) -> str:
     with open(marker, "w") as f:
         f.write(mtime)
     return path
+
+
+# ---------------------------------------------------------------------------
+# multimodal scalar twins (media_features / video_frames queries)
+# ---------------------------------------------------------------------------
+
+_MEDIA_KINDS = ("image", "audio", "video")
+_MEDIA_PAYLOAD_BYTES = 4096
+
+
+def _media_payload(doc_id) -> tuple[bytes, str]:
+    """The synthesize contract: payload = repeated 32-byte blake2b of
+    str(doc_id), truncated; kind = first seed byte mod 3 (row-intrinsic
+    — see pipelines/multimodal.synthesize_media_batch)."""
+    seedb = hashlib.blake2b(str(doc_id).encode(), digest_size=32).digest()
+    reps = _MEDIA_PAYLOAD_BYTES // 32 + 1
+    return ((seedb * reps)[:_MEDIA_PAYLOAD_BYTES],
+            _MEDIA_KINDS[seedb[0] % 3])
+
+
+def media_features_scalar(documents_path: str) -> pa.Table:
+    """Pure-Python twin of pipelines/multimodal.media_features with the
+    fake decoder: per doc, blake2b(payload, 8) -> feature ints, byte
+    mean via exact integer sum (float64-identical to the engine's
+    numpy mean: the sum of <=4096 uint8 values is exact in a double)."""
+    t = pq.read_table(documents_path, columns=["doc_id"])
+    rows = {k: [] for k in ("media_id", "kind", "width", "height",
+                            "duration_ms", "mean_byte", "n_bytes")}
+    for d in t["doc_id"].to_pylist():
+        payload, kind = _media_payload(d)
+        base = int.from_bytes(
+            hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rows["media_id"].append(str(d))
+        rows["kind"].append(kind)
+        rows["width"].append(16 + base % 1024 if kind != "audio" else 0)
+        rows["height"].append(
+            16 + (base >> 10) % 1024 if kind != "audio" else 0)
+        rows["duration_ms"].append(
+            int(base % 60_000) if kind != "image" else 0)
+        rows["mean_byte"].append(round(sum(payload) / len(payload), 6))
+        rows["n_bytes"].append(len(payload))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.string()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+        "mean_byte": pa.array(rows["mean_byte"], pa.float64()),
+        "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
+    })
+
+
+def video_frames_scalar(documents_path: str, num_frames: int = 4
+                        ) -> pa.Table:
+    """Pure-Python twin of pipelines/multimodal.video_frames: for each
+    video-kind doc, num_frames contiguous payload slices hashed to
+    frame digests."""
+    t = pq.read_table(documents_path, columns=["doc_id"])
+    ids, frames, digests = [], [], []
+    for d in t["doc_id"].to_pylist():
+        payload, kind = _media_payload(d)
+        if kind != "video":
+            continue
+        n = len(payload)
+        for f in range(num_frames):
+            lo = (n * f) // num_frames
+            hi = (n * (f + 1)) // num_frames
+            ids.append(str(d))
+            frames.append(f)
+            digests.append(hashlib.blake2b(
+                payload[lo:hi], digest_size=8).hexdigest())
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "frame_idx": pa.array(frames, pa.int32()),
+        "frame_digest": pa.array(digests, pa.string()),
+    })
+
+
+def write_media_goldens(documents_path: str, out_dir: str) -> dict:
+    """Persist both media goldens; idempotent via source mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "media_features": os.path.join(out_dir,
+                                       "golden_media_features.parquet"),
+        "video_frames": os.path.join(out_dir,
+                                     "golden_video_frames.parquet"),
+    }
+    marker = os.path.join(out_dir, "golden_media_mtime")
+    mtime = str(os.path.getmtime(documents_path))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == mtime and all(os.path.exists(p)
+                                         for p in paths.values()):
+                return paths
+    pq.write_table(media_features_scalar(documents_path),
+                   paths["media_features"])
+    pq.write_table(video_frames_scalar(documents_path),
+                   paths["video_frames"])
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return paths

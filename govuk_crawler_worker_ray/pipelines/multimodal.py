@@ -37,11 +37,14 @@ def synthesize_media_batch(batch: pa.Table, payload_bytes: int = 4096
     kinds = ["image", "audio", "video"]
     payloads = []
     out_kind = []
-    for i, d in enumerate(ids):
+    for d in ids:
         seedb = hashlib.blake2b(str(d).encode(), digest_size=32).digest()
         reps = payload_bytes // 32 + 1
         payloads.append((seedb * reps)[:payload_bytes])
-        out_kind.append(kinds[i % 3])
+        # kind must be ROW-intrinsic (first seed byte), never the
+        # batch-local index: block boundaries are an executor choice,
+        # and output that depends on them is nondeterministic
+        out_kind.append(kinds[seedb[0] % 3])
     return pa.table({
         "media_id": pa.array([str(d) for d in ids], pa.string()),
         "kind": pa.array(out_kind, pa.string()),

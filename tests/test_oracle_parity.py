@@ -54,7 +54,7 @@ ORACLE_KEYS = [
     "lang_histogram", "lang_id", "events_hourly", "sessionize",
     "revenue_by_nation", "top_docs_by_length", "ann_bruteforce",
     "asof_join", "range_join", "sliding_window", "distinct_users_daily",
-    "stratified_sample",
+    "stratified_sample", "media_features", "video_frames",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
