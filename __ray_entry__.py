@@ -210,6 +210,14 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def _q_kmv_distinct(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sketches import kmv_distinct
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return kmv_distinct(events)
+
+
 def _q_media_features(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import media_features
 
@@ -536,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "distinct_users_daily": _q_distinct_users_daily,
         "stratified_sample": _q_stratified_sample,
+        "kmv_distinct": _q_kmv_distinct,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -597,6 +606,12 @@ def _range_consts():
 
 
 _RANGE_BASE, _RANGE_PERIOD, _RANGE_SPAN = _range_consts()
+
+
+def _kmv_sql() -> str:
+    from govuk_crawler_worker_ray.pipelines.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql()
 
 
 def _strata_case_sql() -> str:
@@ -805,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(v) OVER w AS BIGINT) AS w24_micros FROM h "
             "WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
             "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
+        "kmv_distinct": _kmv_sql(),
         "distinct_users_daily": (
             "SELECT epoch_us(ts) // 86400000000 AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "

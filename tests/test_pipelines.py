@@ -185,6 +185,30 @@ def test_knn_and_lsh(ray_session):
     assert 7 in approx["vec_id"].to_pylist()
 
 
+def test_kmv_sketch(ray_session):
+    """KMV estimate is close to truth, exact under k, and invariant to
+    how the input is blocked (mergeability)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sketches import kmv_distinct
+
+    n = 2000
+    t = pa.table({
+        "event_type": pa.array(["a"] * n + ["b"] * 40, pa.string()),
+        "user_id": pa.array([i % 700 for i in range(n)]
+                            + [i % 10 for i in range(40)], pa.int64()),
+    })
+    for blocks in (1, 7):
+        out = (kmv_distinct(rd.from_arrow(t).repartition(blocks), k=256)
+               .to_pandas().set_index("event_type")["est_distinct"])
+        assert out["b"] == 10  # n < k: exact
+        assert abs(out["a"] - 700) / 700 < 0.2  # k=256 => ~6.3% stderr
+        if blocks == 1:
+            first = dict(out)
+        else:
+            assert dict(out) == first  # block-layout invariant
+
+
 def test_multimodal_plumbing(docs_ds):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         MediaDecodeStage,
