@@ -210,6 +210,22 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def _q_token_df(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
+
+    return token_df(_docs(sf_dir))
+
+
+def _q_value_quantiles(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        value_quantiles,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return value_quantiles(events)
+
+
 def _q_kmv_distinct(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_distinct
 
@@ -545,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "stratified_sample": _q_stratified_sample,
         "kmv_distinct": _q_kmv_distinct,
+        "token_df": _q_token_df,
+        "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -821,6 +839,20 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
             "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
         "kmv_distinct": _kmv_sql(),
+        "token_df": (
+            "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents) GROUP BY tok"),
+        "value_quantiles": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 1000000) AS BIGINT) AS v FROM events) "
+            "SELECT event_type, "
+            "quantile_disc(v, 0.25) AS q25_micros, "
+            "quantile_disc(v, 0.5) AS q50_micros, "
+            "quantile_disc(v, 0.75) AS q75_micros, "
+            "quantile_disc(v, 0.95) AS q95_micros "
+            "FROM v GROUP BY event_type"),
         "distinct_users_daily": (
             "SELECT epoch_us(ts) // 86400000000 AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "

@@ -374,3 +374,34 @@ def distinct_users_daily(ds):
             .groupby("day")
             .aggregate(Sum("partial_u", alias_name="n_users"),
                        Sum("partial_e", alias_name="n_events")))
+
+
+def value_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact discrete quantiles of event value per event_type —
+    ``quantile_disc`` semantics (element at index ceil(q*n)-1 of the
+    sorted group).  Values travel as int64 micros; ONE groupby whose
+    per-group work is a numpy sort.  Exact group-wise quantiles
+    inherently need the group's values in one place; at 10^10 rows per
+    group the swap is a mergeable t-digest/KLL sketch behind the same
+    output schema (the kmv_distinct precedent for sketch-backed
+    oracles)."""
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "v": pa.array(
+                np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64), pa.int64()),
+        })
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in qs:
+            row[f"q{int(q * 100)}_micros"] = int(
+                v[max(int(np.ceil(q * n)) - 1, 0)])
+        return pd.DataFrame([row])
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(per_type, batch_format="pandas"))

@@ -195,3 +195,35 @@ def lang_histogram(ds):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("lang")
             .aggregate(Sum("partial_n", alias_name="n")))
+
+
+def token_df(ds):
+    """Vocabulary document frequency: (token, df) — for each distinct
+    whitespace token, how many documents contain it (the DF side of
+    TF-IDF and the input to stopword discovery).  Per-batch combiner:
+    tokens are deduped per document and pre-counted per batch, so the
+    one wide groupby(token) moves at most one row per (token, batch) —
+    vocabulary-sized, not corpus-sized.  Hot tokens ("the") are exactly
+    the pre-aggregated ones, so the shuffle is skew-free by
+    construction."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        text = batch["text"].combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": flat.to_pandas()[keep],
+                           "doc": doc_idx[keep]})
+        g = (df.drop_duplicates()
+             .groupby("token", as_index=False).agg(partial_df=("doc",
+                                                               "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("partial_df", alias_name="df")))
