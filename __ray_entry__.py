@@ -81,14 +81,18 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _read_sized(path: str, columns: list[str] | None = None):
-    """read_parquet with block count pinned to CPU width (floored by
-    file size).  Two measured failure modes bracket this choice: Ray's
-    default splitting shatters small files into ~100-row blocks (groupby
-    becomes a tiny-task shuffle matrix — 31s for 5000 rows at 32 CPUs),
-    while a 1-block read serializes every downstream map stage AND makes
-    sort-aggregates pathological (8-10s for an 80k-row groupby; a
-    repartition() to fix it costs ~2-5s of all-to-all overhead).
-    Splitting at the read costs neither."""
+    """read_parquet with a size-scaled block count.  Three measured
+    failure modes bracket this choice: Ray's default splitting shatters
+    small files into ~100-row blocks (groupby becomes a tiny-task
+    shuffle matrix — 31s for 5000 rows at 32 CPUs); a 1-block read
+    serializes every downstream map stage; and a CPU-width split of a
+    SMALL file makes every sort-aggregate pay per-partition fixed cost
+    (measured at sf0.1/32 CPUs: dedup_exact 3.6s at 32 blocks vs 0.5s
+    at 8; minhash 11.4s vs 3.5s — the vectorized kernels no longer need
+    machine-width parallelism on small inputs, but the shuffle matrix
+    still charges blocks^2).  Policy: floor 8, grow one block per 8 MiB
+    so big inputs still fan out to (and past) CPU width, cap at
+    4x CPUs."""
     import ray
     import ray.data as rd
 
@@ -97,7 +101,7 @@ def _read_sized(path: str, columns: list[str] | None = None):
     except Exception:
         ncpus = 4
     size = os.path.getsize(path)
-    blocks = max(ncpus, min(64, size // (32 << 20)))
+    blocks = min(max(8, size // (8 << 20)), max(4 * ncpus, 8))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=int(blocks))
 
