@@ -158,7 +158,11 @@ def bench_queries() -> dict:
     picks = ["dedup_exact", "text_stats", "lang_id", "events_hourly",
              "revenue_by_nation", "ann_bruteforce", "ann_ivf",
              "minhash_neardup", "simhash", "embedding_neardup",
-             "top_docs_by_length"]
+             "top_docs_by_length",
+             # round-3 additions (each sub-second at sf0.1; the suite
+             # total is NOT comparable round-over-round — compare
+             # per-query entries)
+             "asof_join", "sliding_window", "kmv_distinct", "token_df"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
