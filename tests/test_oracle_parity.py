@@ -55,7 +55,7 @@ ORACLE_KEYS = [
     "revenue_by_nation", "top_docs_by_length", "ann_bruteforce",
     "asof_join", "range_join", "sliding_window", "distinct_users_daily",
     "stratified_sample", "media_features", "video_frames",
-    "kmv_distinct", "token_df", "value_quantiles",
+    "kmv_distinct", "token_df", "value_quantiles", "ngram_jaccard",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

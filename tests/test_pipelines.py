@@ -81,12 +81,14 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds):
 
     texts = {r["doc_id"]: r["text"]
              for r in _docs_table().to_pylist()}
-    for t in (0.3, 0.5, 0.9):
-        out = ngram_jaccard_dedup(docs_ds, threshold=t, n=3)
-        got = list(zip(out["doc_a"].to_pylist(),
-                       out["doc_b"].to_pylist(),
-                       out["jaccard"].to_pylist()))
-        assert got == ngram_jaccard_bruteforce(texts, t, 3)
+    for mode in ("prefix", "dense"):
+        for t in (0.3, 0.5, 0.9):
+            out = ngram_jaccard_dedup(docs_ds, threshold=t, n=3,
+                                      mode=mode)
+            got = list(zip(out["doc_a"].to_pylist(),
+                           out["doc_b"].to_pylist(),
+                           out["jaccard"].to_pylist()))
+            assert got == ngram_jaccard_bruteforce(texts, t, 3), mode
     # exact dup pair scores exactly 1.0 at any threshold
     out = ngram_jaccard_dedup(docs_ds, threshold=0.999, n=3)
     pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
