@@ -230,6 +230,31 @@ def _q_value_quantiles(sf_dir: str):
     return value_quantiles(events)
 
 
+_ANTI_CUTOFF_US = 852076800 * 1_000_000  # 1997-01-01T00:00:00Z
+
+
+def _q_anti_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        orders_without_recent_lineitem,
+    )
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey"])
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_shipdate"])
+    return orders_without_recent_lineitem(orders, li, _ANTI_CUTOFF_US)
+
+
+def _q_group_topk(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        top_docs_per_group,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang", "text"])
+    return top_docs_per_group(docs)
+
+
 def _q_kmv_distinct(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_distinct
 
@@ -565,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "stratified_sample": _q_stratified_sample,
         "kmv_distinct": _q_kmv_distinct,
+        "anti_join": _q_anti_join,
+        "group_topk": _q_group_topk,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -843,6 +870,17 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
             "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
         "kmv_distinct": _kmv_sql(),
+        "anti_join": (
+            "SELECT o_orderkey FROM orders WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"AND epoch_us(l_shipdate) >= {_ANTI_CUTOFF_US})"),
+        "group_topk": (
+            "WITH r AS (SELECT lang, doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY length(text) DESC, doc_id ASC) AS rn "
+            "FROM documents) "
+            "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3"),
         "token_df": (
             "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) "
             "AS df FROM (SELECT doc_id, "

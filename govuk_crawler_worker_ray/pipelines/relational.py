@@ -405,3 +405,54 @@ def value_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.95)):
     return (ds.map_batches(narrow, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(per_type, batch_format="pandas"))
+
+
+def orders_without_recent_lineitem(orders_ds, lineitem_ds,
+                                   cutoff_us: int,
+                                   num_partitions: int = 8):
+    """ANTI join: orders with NO lineitem shipped at/after ``cutoff_us``
+    — SQL's NOT EXISTS.  The probe side is filtered + projected to the
+    single join key inside ``map_batches`` BEFORE the exchange (only
+    int64 keys shuffle), then Ray Data's native ``join_type=
+    "left_anti"`` hash-shuffles both sides.  Broadcast is the wrong
+    shape here: the probe side is fact-sized, so the anti join must
+    partition — the complement of the broadcast semi-join the curation
+    pipeline uses for its small winner set.  Output: (o_orderkey)."""
+    def probe_keys(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64())
+        keep = pc.greater_equal(ts, pa.scalar(cutoff_us, pa.int64()))
+        return pa.table({"l_orderkey": batch.filter(keep)["l_orderkey"]})
+
+    keys = lineitem_ds.map_batches(probe_keys, batch_format="pyarrow")
+    left = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    return left.join(keys, "left_anti", num_partitions=num_partitions,
+                     on=("o_orderkey",), right_on=("l_orderkey",))
+
+
+def top_docs_per_group(ds, k: int = 3):
+    """Per-group top-k: the k longest documents per lang, deterministic
+    (n_chars desc, doc_id asc) tiebreak — SQL's row_number() OVER
+    (PARTITION BY lang ORDER BY ...) <= k.  Per-batch partial top-k per
+    group first (at most k rows per (group, batch) reach the shuffle),
+    then one tiny groupby(lang) finishes.  Output: (lang, doc_id,
+    n_chars)."""
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy()
+        ids = b["doc_id"].to_numpy()
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        df = pd.DataFrame({"lang": langs, "doc_id": ids, "n_chars": n})
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("lang", as_index=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(k)
+        return g[["lang", "doc_id", "n_chars"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(finish, batch_format="pandas"))
