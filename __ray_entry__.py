@@ -214,6 +214,14 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def _q_text_normalize(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        normalize_texts,
+    )
+
+    return normalize_texts(_docs(sf_dir))
+
+
 def _q_token_df(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
 
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
+        "text_normalize": _q_text_normalize,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -881,6 +890,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY length(text) DESC, doc_id ASC) AS rn "
             "FROM documents) "
             "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3"),
+        "text_normalize": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace("
+            "regexp_replace(regexp_replace(lower(text), "
+            "'[0-9]+', '<num>', 'g'), '[.,;:!?]', '', 'g'), "
+            "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS norm_chars FROM n"),
         "token_df": (
             "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) "
             "AS df FROM (SELECT doc_id, "

@@ -227,3 +227,32 @@ def token_df(ds):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("token")
             .aggregate(Sum("partial_df", alias_name="df")))
+
+
+# normalization/scrub regexes (RE2 — identical engine in pyarrow and
+# DuckDB, so the SQL oracle matches byte-for-byte)
+_SCRUB_DIGITS = r"[0-9]+"
+_SCRUB_PUNCT = r"[.,;:!?]"
+_SCRUB_WS = r"\s+"
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Pretraining text normalization: lowercase, mask digit runs to
+    ``<num>``, strip sentence punctuation, collapse whitespace runs to
+    one space, trim.  Pure RE2 kernel chain over the Arrow column —
+    zero Python per row; the scrub every pretraining corpus pass needs
+    before tokenization/dedup."""
+    t = pc.utf8_lower(batch["text"])
+    t = pc.replace_substring_regex(t, _SCRUB_DIGITS, "<num>")
+    t = pc.replace_substring_regex(t, _SCRUB_PUNCT, "")
+    t = pc.replace_substring_regex(t, _SCRUB_WS, " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": t,
+        "norm_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+    })
+
+
+def normalize_texts(ds):
+    return ds.map_batches(normalize_batch, batch_format="pyarrow")
