@@ -423,6 +423,12 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_simhash_neardup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import simhash_neardup
+
+    return simhash_neardup(_docs(sf_dir))
+
+
 def _q_crawl_order(sf_dir: str):
     order, _, _ = _run_fixture_crawl()
     return order
@@ -616,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -974,6 +981,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash": (
             "SELECT doc_id, simhash FROM "
             f"read_parquet('{sg['simhash']}')"),
+        # banded-candidate recall is EXACT by pigeonhole, so the
+        # all-pairs hamming over the scalar-twin signatures is a true
+        # whole-algorithm oracle for the banding + bucket verify
+        "simhash_neardup": (
+            "WITH s AS (SELECT doc_id, ('0x' || simhash)::UBIGINT AS "
+            f"sig FROM read_parquet('{sg['simhash']}')) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sig, b.sig)) <= 3"),
         "fingerprint": (
             "SELECT doc_id, fingerprint FROM "
             f"read_parquet('{sg['fingerprint']}')"),

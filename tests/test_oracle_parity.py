@@ -56,7 +56,7 @@ ORACLE_KEYS = [
     "asof_join", "range_join", "sliding_window", "distinct_users_daily",
     "stratified_sample", "media_features", "video_frames",
     "kmv_distinct", "token_df", "value_quantiles", "ngram_jaccard",
-    "anti_join", "group_topk", "text_normalize",
+    "anti_join", "group_topk", "text_normalize", "simhash_neardup",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
