@@ -423,6 +423,16 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    return quantize_embeddings(emb)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import simhash_neardup
 
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
+        "quantize_embeddings": _q_quantize_embeddings,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -941,6 +952,15 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_length": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
             "FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 25"),
+        "quantize_embeddings": (
+            "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), m AS (SELECT vec_id, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS m FROM b) "
+            "SELECT vec_id, m AS scale, array_to_string("
+            "list_transform(v, x -> CAST(CASE WHEN m = 0 THEN 0 ELSE "
+            "floor(abs(127 * x / m) + 0.5) * "
+            "(CASE WHEN x < 0 THEN -1 ELSE 1 END) END AS BIGINT)), ',') "
+            "AS qvec_csv FROM m"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "
