@@ -187,6 +187,20 @@ def test_knn_and_lsh(ray_session):
     assert 7 in approx["vec_id"].to_pylist()
 
 
+def test_media_kind_block_invariant(docs_ds):
+    """synthesize_media_batch must derive kind from the ROW (seed byte),
+    never the batch-local index: output must not change when the
+    executor re-blocks the input."""
+    from govuk_crawler_worker_ray.pipelines.multimodal import media_features
+
+    base = (media_features(docs_ds, decoder="fake").to_pandas()
+            .sort_values("media_id").reset_index(drop=True))
+    reblocked = (media_features(docs_ds.repartition(5), decoder="fake")
+                 .to_pandas().sort_values("media_id")
+                 .reset_index(drop=True))
+    assert base.equals(reblocked)
+
+
 def test_kmv_sketch(ray_session):
     """KMV estimate is close to truth, exact under k, and invariant to
     how the input is blocked (mergeability)."""
