@@ -214,6 +214,22 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs)
 
 
+def _q_bpe_token_count(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
+def _q_conversion_funnel(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        conversion_funnel,
+    )
+
+    return conversion_funnel(_events(sf_dir))
+
+
 def _q_text_normalize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         normalize_texts,
@@ -616,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
+        "bpe_token_count": _q_bpe_token_count,
+        "conversion_funnel": _q_conversion_funnel,
         "text_normalize": _q_text_normalize,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
@@ -688,6 +706,16 @@ def _kmv_sql() -> str:
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_oracle_sql
 
     return kmv_oracle_sql()
+
+
+def _bpe_sql() -> str:
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        BPE_TOKEN_RE,
+    )
+
+    rx = BPE_TOKEN_RE.replace("'", "''")
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{rx}')) "
+            "AS BIGINT) AS n_bpe_tokens FROM documents")
 
 
 def _strata_case_sql() -> str:
@@ -908,6 +936,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY length(text) DESC, doc_id ASC) AS rn "
             "FROM documents) "
             "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3"),
+        "bpe_token_count": _bpe_sql(),
+        "conversion_funnel": (
+            "WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 "
+            "FROM events WHERE event_type = 'signup' GROUP BY 1) "
+            "SELECT f.user_id, f.t0 AS first_ts_micros, "
+            "CAST(CASE WHEN EXISTS (SELECT 1 FROM events p "
+            "WHERE p.event_type = 'purchase' AND p.user_id = f.user_id "
+            "AND epoch_us(p.ts) >= f.t0 "
+            "AND epoch_us(p.ts) <= f.t0 + 86400000000) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS converted FROM f"),
         "text_normalize": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace("
             "regexp_replace(regexp_replace(lower(text), "

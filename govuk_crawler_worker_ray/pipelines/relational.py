@@ -456,3 +456,42 @@ def top_docs_per_group(ds, k: int = 3):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("lang")
             .map_groups(finish, batch_format="pandas"))
+
+
+def conversion_funnel(ds, first_type: str = "signup",
+                      then_type: str = "purchase",
+                      within_us: int = 86_400 * 1_000_000):
+    """Event-sequence funnel: per user, did a ``then_type`` event occur
+    within ``within_us`` AFTER the user's FIRST ``first_type`` event —
+    (user_id, first_ts_micros, converted int64).  The sessionize /
+    as-of family's third shape: per-batch narrow projection + filter,
+    ONE user_id hash shuffle, numpy searchsorted inside each group.
+    Users with no ``first_type`` event are absent (SQL inner-select
+    semantics)."""
+    def narrow(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([first_type, then_type]))
+        b = batch.filter(mask)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_micros": b["ts"].cast(pa.int64()),
+            "is_first": pc.cast(pc.equal(b["event_type"], first_type),
+                                pa.int8()),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_first"] == 1]["ts_micros"]
+        if not len(a):
+            return pd.DataFrame({"user_id": [], "first_ts_micros": [],
+                                 "converted": []})
+        t0 = int(a.min())
+        b = np.sort(g[g["is_first"] == 0]["ts_micros"].to_numpy())
+        lo = np.searchsorted(b, t0, side="left")
+        conv = int(lo < len(b) and b[lo] <= t0 + within_us)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "first_ts_micros": [t0],
+                             "converted": [conv]})
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

@@ -256,3 +256,28 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 def normalize_texts(ds):
     return ds.map_batches(normalize_batch, batch_format="pyarrow")
+
+
+# GPT-2-family pretokenizer shape (public: Radford et al. 2019 release):
+# contraction suffixes, letter runs, digit runs, punctuation runs,
+# whitespace — RE2-compatible (no lookahead), identical counts in
+# pyarrow and DuckDB (probed)
+BPE_TOKEN_RE = (r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + n_bpe_tokens under the GPT-2-style pretokenizer regex —
+    the 'BPE-ish' token counting a training-data pipeline budgets with
+    (vocab merges only split WITHIN these pretokens, so this upper-
+    bounds and tracks real BPE token counts)."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(batch["text"], BPE_TOKEN_RE),
+            pa.int64()),
+    })
+
+
+def bpe_token_counts(ds):
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
