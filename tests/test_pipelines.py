@@ -548,3 +548,66 @@ def test_lsh_index_matches_scan(ray_session):
         assert a.to_pydict() == b.to_pydict()
     assert idx.query(base[2].astype(np.float64), k=3)[
         "vec_id"].to_pylist()[0] == 2
+
+
+def test_event_op_boundary_semantics(ray_session):
+    """Boundary cases the sf oracles never hit at microsecond
+    resolution: as-of right-event exactly AT the left ts (match),
+    range-join events exactly at lo (in) and hi (out), funnel
+    purchases exactly at t0 and t0+window (both convert)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        RANGE_BASE_US,
+        RANGE_SPAN_US,
+        asof_join_events,
+        conversion_funnel,
+        range_join_events,
+    )
+
+    us = 1_000_000
+    day = 86_400 * us
+
+    def ev(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows],
+                              pa.float64()),
+        }))
+
+    t0 = RANGE_BASE_US
+    # as-of: click exactly at the purchase ts matches (>= semantics);
+    # a later click does not
+    a = asof_join_events(ev([
+        (1, t0, 7, "purchase", 1.0),
+        (2, t0, 7, "click", 2.0),        # same instant: matches
+        (3, t0 + us, 7, "click", 3.0),   # after: must not match
+        (4, t0 - us, 8, "purchase", 1.0),  # user 8 has no click
+    ])).to_pandas().set_index("event_id")
+    assert a.loc[1, "right_ts_micros"] == t0
+    assert a.loc[1, "right_value_micros"] == 2_000_000
+    assert a.loc[4, "right_ts_micros"] == -1
+    # range join: lo inclusive, hi exclusive
+    r = range_join_events(ev([
+        (1, t0, 1, "view", 1.0),                      # == lo: in
+        (2, t0 + RANGE_SPAN_US, 1, "view", 1.0),      # == hi: out
+        (3, t0 + RANGE_SPAN_US - 1, 1, "view", 1.0),  # hi-1us: in
+    ])).to_pandas()
+    assert r["n_events"].sum() == 2
+    # funnel: purchase at exactly t0 and exactly t0+window both convert
+    f = conversion_funnel(ev([
+        (1, t0, 1, "signup", 0.0),
+        (2, t0, 1, "purchase", 0.0),          # same instant converts
+        (3, t0, 2, "signup", 0.0),
+        (4, t0 + day, 2, "purchase", 0.0),    # == window edge converts
+        (5, t0, 3, "signup", 0.0),
+        (6, t0 + day + 1, 3, "purchase", 0.0),  # 1us past: no
+    ])).to_pandas().set_index("user_id")
+    assert f.loc[1, "converted"] == 1
+    assert f.loc[2, "converted"] == 1
+    assert f.loc[3, "converted"] == 0
