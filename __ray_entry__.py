@@ -455,6 +455,21 @@ def _q_simhash_neardup(sf_dir: str):
     return simhash_neardup(_docs(sf_dir))
 
 
+def _q_pagerank(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import pagerank
+
+    d = _fixture()
+    links = rd.read_parquet(os.path.join(d, "golden_links.parquet"),
+                            columns=["doc_id", "link_url"])
+    edges = links.map_batches(
+        lambda b: pa.table({"src": b["doc_id"], "dst": b["link_url"]}),
+        batch_format="pyarrow")
+    return pagerank(edges)
+
+
 def _q_crawl_order(sf_dir: str):
     order, _, _ = _run_fixture_crawl()
     return order
@@ -652,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
         "quantize_embeddings": _q_quantize_embeddings,
+        "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -706,6 +722,16 @@ def _kmv_sql() -> str:
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_oracle_sql
 
     return kmv_oracle_sql()
+
+
+def _pagerank_sql(gl: str) -> str:
+    from govuk_crawler_worker_ray.pipelines.graph import (
+        pagerank_oracle_sql,
+    )
+
+    return pagerank_oracle_sql(
+        "SELECT doc_id AS src, link_url AS dst FROM "
+        f"read_parquet('{gl}')")
 
 
 def _bpe_sql() -> str:
@@ -1026,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, mirror_path FROM read_parquet('{gm}')"),
         "extract_links": (
             f"SELECT doc_id, link_seq, link_url FROM read_parquet('{gl}')"),
+        # integer-exact PageRank: the same floor-arithmetic update
+        # unrolled as chained CTEs (see pipelines/graph.py)
+        "pagerank": _pagerank_sql(gl),
         "content_type_gate": (
             "SELECT url, CASE WHEN lower(trim(split_part(content_type, "
             f"';', 1))) IN ({_ACCEPTED_SQL}) THEN true ELSE false END AS "
