@@ -943,8 +943,8 @@ def simhash_neardup(ds, k: int = 3):
         sig = g["sig"].to_numpy().astype(np.uint64)
         m = len(ids)
         if m < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "hamming": []})
+            z = np.empty(0, dtype=np.int64)  # typed empty
+            return pd.DataFrame({"doc_a": z, "doc_b": z, "hamming": z})
         iu, ju = np.triu_indices(m, 1)
         ham = _popcount64(sig[iu] ^ sig[ju])
         keep = ham <= k

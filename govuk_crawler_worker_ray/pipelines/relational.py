@@ -237,9 +237,12 @@ def asof_join_events(ds, left_type: str = "purchase",
         b = g[g["side"] == 1]
         n = len(a)
         if n == 0:
-            return pd.DataFrame({"event_id": [], "user_id": [],
-                                 "ts_micros": [], "right_ts_micros": [],
-                                 "right_value_micros": []})
+            # typed empty: object-dtype empties poison the block schema
+            # when concatenated with int64 blocks from other groups
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"event_id": z, "user_id": z,
+                                 "ts_micros": z, "right_ts_micros": z,
+                                 "right_value_micros": z})
         right_ts = np.full(n, -1, dtype=np.int64)
         right_val = np.full(n, -1, dtype=np.int64)
         if len(b):
@@ -482,8 +485,9 @@ def conversion_funnel(ds, first_type: str = "signup",
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         a = g[g["is_first"] == 1]["ts_micros"]
         if not len(a):
-            return pd.DataFrame({"user_id": [], "first_ts_micros": [],
-                                 "converted": []})
+            z = np.empty(0, dtype=np.int64)  # typed empty (see as-of)
+            return pd.DataFrame({"user_id": z, "first_ts_micros": z,
+                                 "converted": z})
         t0 = int(a.min())
         b = np.sort(g[g["is_first"] == 0]["ts_micros"].to_numpy())
         lo = np.searchsorted(b, t0, side="left")

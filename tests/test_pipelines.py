@@ -611,3 +611,27 @@ def test_event_op_boundary_semantics(ray_session):
     assert f.loc[1, "converted"] == 1
     assert f.loc[2, "converted"] == 1
     assert f.loc[3, "converted"] == 0
+
+
+def test_asof_user_without_left_events(ray_session):
+    """A user with only right-type events yields an empty per-group
+    frame; its dtypes must not poison the block schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        asof_join_events,
+    )
+
+    t0 = 1_700_000_000 * 1_000_000
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([t0, t0 + 1, t0 + 2], pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 2], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "click"],
+                               pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }))
+    out = asof_join_events(ds).to_pandas()
+    assert list(out["event_id"]) == [2]  # user 1 contributes nothing
+    assert out["right_ts_micros"].iloc[0] == -1  # click is AFTER
