@@ -230,6 +230,32 @@ def _q_conversion_funnel(sf_dir: str):
     return conversion_funnel(_events(sf_dir))
 
 
+def _q_event_gaps(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import event_gaps
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return event_gaps(events)
+
+
+def _q_doc_quartiles(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        doc_length_quartiles,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["lang", "doc_id", "text"])
+    return doc_length_quartiles(docs)
+
+
+def _q_events_rollup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import events_rollup
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    return events_rollup(events)
+
+
 def _q_text_normalize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         normalize_texts,
@@ -649,6 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
         "conversion_funnel": _q_conversion_funnel,
+        "event_gaps": _q_event_gaps,
+        "doc_quartiles": _q_doc_quartiles,
+        "events_rollup": _q_events_rollup,
         "text_normalize": _q_text_normalize,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
@@ -972,6 +1001,26 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(p.ts) >= f.t0 "
             "AND epoch_us(p.ts) <= f.t0 + 86400000000) "
             "THEN 1 ELSE 0 END AS BIGINT) AS converted FROM f"),
+        "event_gaps": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS gap FROM events) "
+            "SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(COALESCE(max(gap), -1) AS BIGINT) AS max_gap_micros "
+            "FROM g GROUP BY user_id"),
+        "doc_quartiles": (
+            "SELECT lang, doc_id, CAST(ntile(4) OVER (PARTITION BY "
+            "lang ORDER BY length(text), doc_id) AS BIGINT) AS quartile "
+            "FROM documents"),
+        "events_rollup": (
+            "WITH d AS (SELECT event_type, "
+            "epoch_us(ts) // 86400000000 AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, n_events FROM d "
+            "UNION ALL SELECT event_type, -1, "
+            "CAST(sum(n_events) AS BIGINT) FROM d GROUP BY event_type "
+            "UNION ALL SELECT 'ALL', -1, CAST(sum(n_events) AS BIGINT) "
+            "FROM d"),
         "text_normalize": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace("
             "regexp_replace(regexp_replace(lower(text), "

@@ -499,3 +499,123 @@ def conversion_funnel(ds, first_type: str = "signup",
     return (ds.map_batches(narrow, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def event_gaps(ds):
+    """LAG-window family: per user, the number of inter-event gaps and
+    the LARGEST gap in micros (idle-time detection) — SQL's
+    ``max(ts - lag(ts) OVER (PARTITION BY user ORDER BY ts))``.
+    One user_id shuffle; ``np.diff`` over the sorted group.  Users with
+    a single event report -1 (SQL NULL coalesced identically)."""
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "ts_micros": batch["ts"].cast(pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_micros"].to_numpy())
+        gaps = np.diff(ts)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_gaps": [len(gaps)],
+            "max_gap_micros": [int(gaps.max()) if len(gaps) else -1],
+        })
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+def doc_length_quartiles(ds, n_tiles: int = 4):
+    """NTILE-window family: each document's length quartile within its
+    lang — SQL's ``ntile(4) OVER (PARTITION BY lang ORDER BY
+    length(text), doc_id)`` with its exact remainder rule (the first
+    ``m % n`` tiles get the extra row).  One lang shuffle, ranking and
+    the ntile formula vectorized per group.  Output: (lang, doc_id,
+    quartile 1-based)."""
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        m = len(g)
+        base, rem = divmod(m, n_tiles)
+        r = np.arange(m, dtype=np.int64)
+        big = rem * (base + 1)
+        tile = np.where(r < big, r // max(base + 1, 1),
+                        rem + (r - big) // max(base, 1))
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "doc_id": g["doc_id"],
+            "quartile": tile.astype(np.int64) + 1,
+        })
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(per_lang, batch_format="pandas"))
+
+
+def events_rollup(ds):
+    """ROLLUP family: (event_type, day) counts plus per-type subtotals
+    plus the grand total in ONE output table, sentinel-coded (day = -1,
+    event_type = 'ALL') so the SQL twin is a plain UNION of groupbys
+    with no NULL-semantics ambiguity.  The detail level is the only
+    wide shuffle; both total levels re-aggregate its (tiny)
+    pre-aggregated output."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "day": ts // day_us, "n": 1})
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            partial_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("partial_n", alias_name="n_events"))
+              .materialize())
+
+    def to_type_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "n": b["n_events"].to_numpy()})
+        g = df.groupby("event_type", as_index=False).agg(
+            partial_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    by_type = (detail.map_batches(to_type_partial, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Sum("partial_n", alias_name="n_events")))
+
+    def tag_type(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(np.full(b.num_rows, -1, np.int64),
+                            pa.int64()),
+            "n_events": b["n_events"],
+        })
+
+    def to_total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": pa.array(["ALL"] * min(b.num_rows, 1)
+                                   if b.num_rows else [], pa.string()),
+            "day": pa.array([-1] * min(b.num_rows, 1)
+                            if b.num_rows else [], pa.int64()),
+            "n_events": pa.array(
+                [int(b["n_events"].to_numpy().sum())]
+                if b.num_rows else [], pa.int64()),
+        })
+
+    import ray.data as rd
+
+    type_rows = by_type.map_batches(tag_type, batch_format="pyarrow")
+    # grand total: fold the (tiny) per-type rows in one batch
+    total_rows = (type_rows.repartition(1)
+                  .map_batches(to_total, batch_format="pyarrow"))
+    return detail.union(type_rows).union(total_rows)
