@@ -256,6 +256,14 @@ def _q_events_rollup(sf_dir: str):
     return events_rollup(events)
 
 
+def _q_events_pivot(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import events_pivot
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    return events_pivot(events)
+
+
 def _q_text_normalize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         normalize_texts,
@@ -678,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "doc_quartiles": _q_doc_quartiles,
         "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
         "text_normalize": _q_text_normalize,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
@@ -1021,6 +1030,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_events) AS BIGINT) FROM d GROUP BY event_type "
             "UNION ALL SELECT 'ALL', -1, CAST(sum(n_events) AS BIGINT) "
             "FROM d"),
+        "events_pivot": (
+            "SELECT epoch_us(ts) // 86400000000 AS day, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 "
+                f"END) AS BIGINT) AS n_{t}"
+                for t in ("click", "error", "purchase", "signup",
+                          "view"))
+            + " FROM events GROUP BY 1"),
         "text_normalize": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace("
             "regexp_replace(regexp_replace(lower(text), "

@@ -619,3 +619,50 @@ def events_rollup(ds):
     total_rows = (type_rows.repartition(1)
                   .map_batches(to_total, batch_format="pyarrow"))
     return detail.union(type_rows).union(total_rows)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(ds):
+    """PIVOT family: one row per day with a count column per event
+    type — SQL's conditional aggregation (``sum(CASE WHEN type = x
+    THEN 1 END)``).  The detail (type, day) aggregate shuffles once
+    (pre-aggregated); the pivot itself is a per-batch reshape of that
+    tiny output, no second shuffle.  Unknown types are dropped (the
+    column set is the schema contract).  Output: (day, n_click,
+    n_error, n_purchase, n_signup, n_view)."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "day": ts // day_us, "n": 1})
+        df = df[df["event_type"].isin(EVENT_TYPES)]
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            partial_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("partial_n", alias_name="n")))
+
+    def widen(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        wide = (df.pivot_table(index="day", columns="event_type",
+                               values="n", aggfunc="sum", fill_value=0)
+                .reindex(columns=list(EVENT_TYPES), fill_value=0)
+                .reset_index())
+        out = {"day": pa.array(wide["day"].to_numpy(np.int64),
+                               pa.int64())}
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = pa.array(wide[t].to_numpy(np.int64),
+                                     pa.int64())
+        return pa.table(out)
+
+    # one partition: the detail output is (types x days) rows — tiny;
+    # a day split across blocks would otherwise emit two partial rows
+    return detail.repartition(1).map_batches(widen,
+                                             batch_format="pyarrow")
