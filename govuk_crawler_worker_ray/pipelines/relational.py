@@ -615,9 +615,12 @@ def events_rollup(ds):
     import ray.data as rd
 
     type_rows = by_type.map_batches(tag_type, batch_format="pyarrow")
-    # grand total: fold the (tiny) per-type rows in one batch
+    # grand total: ONE block and batch_size=None (whole-block batches) —
+    # the 1024-row default would split a wide detail table and emit
+    # several 'ALL' rows
     total_rows = (type_rows.repartition(1)
-                  .map_batches(to_total, batch_format="pyarrow"))
+                  .map_batches(to_total, batch_format="pyarrow",
+                               batch_size=None))
     return detail.union(type_rows).union(total_rows)
 
 
@@ -662,7 +665,9 @@ def events_pivot(ds):
                                      pa.int64())
         return pa.table(out)
 
-    # one partition: the detail output is (types x days) rows — tiny;
-    # a day split across blocks would otherwise emit two partial rows
-    return detail.repartition(1).map_batches(widen,
-                                             batch_format="pyarrow")
+    # one partition AND batch_size=None (whole-block batches): the
+    # detail output is (types x days) rows — tiny, but the 1024-row
+    # default batch split would emit duplicate day rows once the
+    # detail outgrows one batch
+    return detail.repartition(1).map_batches(
+        widen, batch_format="pyarrow", batch_size=None)

@@ -635,3 +635,35 @@ def test_asof_user_without_left_events(ray_session):
     out = asof_join_events(ds).to_pandas()
     assert list(out["event_id"]) == [2]  # user 1 contributes nothing
     assert out["right_ts_micros"].iloc[0] == -1  # click is AFTER
+
+
+def test_rollup_pivot_wide_detail(ray_session):
+    """Detail tables larger than the default 1024-row map_batches batch
+    must still produce exactly one grand-total row (rollup) and one row
+    per day (pivot)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        EVENT_TYPES,
+        events_pivot,
+        events_rollup,
+    )
+
+    day_us = 86_400 * 1_000_000
+    n_days = 400  # x5 types = 2000 detail rows > 1024
+    rows_ts, rows_ty = [], []
+    for d in range(n_days):
+        for t in EVENT_TYPES:
+            rows_ts.append(d * day_us + 1)
+            rows_ty.append(t)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(rows_ty, pa.string()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+    }))
+    r = events_rollup(ds).to_pandas()
+    assert (r["event_type"] == "ALL").sum() == 1
+    assert r[r["event_type"] == "ALL"]["n_events"].iloc[0] == len(rows_ts)
+    p = events_pivot(ds).to_pandas()
+    assert len(p) == n_days and p["day"].is_unique
+    assert (p[[f"n_{t}" for t in EVENT_TYPES]].to_numpy() == 1).all()
