@@ -81,12 +81,17 @@ def pagerank(edges_ds, iterations: int = 5):
                             on=("url",), right_on=("dst",))
 
         def update(b: pa.Table) -> pa.Table:
-            inp = b["inp"].to_pandas().fillna(0).astype(np.int64)
+            import pyarrow.compute as pc
+
+            # fill nulls in Arrow, not pandas: the pandas round-trip
+            # goes through float64 and loses int64 exactness past 2^53
+            # (reachable at 10^10-node in-sums)
+            inp = pc.fill_null(pc.cast(b["inp"], pa.int64()),
+                               0).to_numpy(zero_copy_only=False)
             return pa.table({
                 "url": b["url"],
                 "rank_micros": pa.array(
-                    PR_BASE + (PR_DAMP_NUM * inp.to_numpy()) // 100,
-                    pa.int64()),
+                    PR_BASE + (PR_DAMP_NUM * inp) // 100, pa.int64()),
             })
 
         ranks = (merged.map_batches(update, batch_format="pyarrow")
