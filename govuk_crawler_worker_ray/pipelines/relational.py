@@ -612,8 +612,6 @@ def events_rollup(ds):
                 if b.num_rows else [], pa.int64()),
         })
 
-    import ray.data as rd
-
     type_rows = by_type.map_batches(tag_type, batch_format="pyarrow")
     # grand total: ONE block and batch_size=None (whole-block batches) —
     # the 1024-row default would split a wide detail table and emit
