@@ -256,6 +256,20 @@ def _q_events_rollup(sf_dir: str):
     return events_rollup(events)
 
 
+def _q_normalized_dedup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import normalized_dedup
+
+    return normalized_dedup(_docs(sf_dir))
+
+
+def _q_length_histogram(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        length_histogram,
+    )
+
+    return length_histogram(_docs(sf_dir))
+
+
 def _q_events_pivot(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import events_pivot
 
@@ -687,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quartiles": _q_doc_quartiles,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
+        "normalized_dedup": _q_normalized_dedup,
+        "length_histogram": _q_length_histogram,
         "text_normalize": _q_text_normalize,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
@@ -1030,6 +1046,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_events) AS BIGINT) FROM d GROUP BY event_type "
             "UNION ALL SELECT 'ALL', -1, CAST(sum(n_events) AS BIGINT) "
             "FROM d"),
+        "normalized_dedup": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace("
+            "regexp_replace(regexp_replace(lower(text), "
+            "'[0-9]+', '<num>', 'g'), '[.,;:!?]', '', 'g'), "
+            "'\\s+', ' ', 'g')) AS t FROM documents) "
+            "SELECT md5(t) AS norm_hash, min(doc_id) AS doc_id, "
+            "count(*) AS n_dups FROM n GROUP BY md5(t)"),
+        # floor(log2(x)) == bit_length-1: verified exact for 1..200000
+        # against Python int.bit_length (IEEE log2 of 2^k is exact)
+        "length_histogram": (
+            "WITH b AS (SELECT CASE WHEN length(text) = 0 THEN -1 "
+            "ELSE CAST(floor(log2(length(text))) AS BIGINT) END AS "
+            "bucket, CAST(length(text) AS BIGINT) AS chars "
+            "FROM documents) "
+            "SELECT bucket, count(*) AS n_docs, "
+            "CAST(sum(chars) AS BIGINT) AS sum_chars FROM b "
+            "GROUP BY bucket"),
         "events_pivot": (
             "SELECT epoch_us(ts) // 86400000000 AS day, "
             + ", ".join(

@@ -958,3 +958,30 @@ def simhash_neardup(ds, k: int = 3):
              .map_groups(bucket_pairs, batch_format="pandas"))
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def normalized_dedup(ds):
+    """Normalization-invariant exact dedup: documents identical AFTER
+    the standard scrub (lowercase, digit masking, punct strip,
+    whitespace collapse — text_analysis.normalize_batch) collapse to
+    one row: (norm_hash, doc_id = min, n_dups).  Catches the
+    near-duplicate class exact dedup misses (case/formatting variants)
+    without any similarity machinery.  Same plan as exact_dedup: the
+    normalize+hash map is vectorized per batch, ONE narrow groupby."""
+    from ray.data.aggregate import Count, Min
+
+    from .text_analysis import normalize_batch
+
+    def h(batch: pa.Table) -> pa.Table:
+        norm = normalize_batch(batch)
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in norm["norm_text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_hash": pa.array(hashes, pa.string()),
+        })
+
+    return (ds.map_batches(h, batch_format="pyarrow")
+            .groupby("norm_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups")))

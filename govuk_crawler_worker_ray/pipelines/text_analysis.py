@@ -281,3 +281,27 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
 
 def bpe_token_counts(ds):
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+def length_histogram(ds):
+    """Log2-bucketed document-length histogram: (bucket = floor(log2
+    (n_chars)), n_docs, sum_chars) — the corpus-shape report every
+    curation run starts with.  Integer bit_length arithmetic (no
+    floats), per-batch partial counts, one tiny groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64()).to_numpy()
+        # floor(log2(x)) for x >= 1 == bit_length - 1; empty docs -> -1
+        bucket = np.array([int(x).bit_length() - 1 for x in n],
+                          dtype=np.int64)
+        df = pd.DataFrame({"bucket": bucket, "n": 1, "chars": n})
+        g = df.groupby("bucket", as_index=False).agg(
+            partial_n=("n", "sum"), partial_c=("chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("partial_n", alias_name="n_docs"),
+                       Sum("partial_c", alias_name="sum_chars")))

@@ -59,7 +59,7 @@ ORACLE_KEYS = [
     "anti_join", "group_topk", "text_normalize", "simhash_neardup",
     "quantize_embeddings", "bpe_token_count", "conversion_funnel",
     "pagerank", "event_gaps", "doc_quartiles", "events_rollup",
-    "events_pivot",
+    "events_pivot", "normalized_dedup", "length_histogram",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
