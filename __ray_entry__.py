@@ -286,6 +286,26 @@ def _q_text_normalize(sf_dir: str):
     return normalize_texts(_docs(sf_dir))
 
 
+def _q_repetition_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_decontaminate(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        decontaminate,
+    )
+
+    return decontaminate(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_token_df(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
 
@@ -704,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "length_histogram": _q_length_histogram,
         "text_normalize": _q_text_normalize,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -1078,6 +1100,57 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_chars FROM n"),
+        # repetition: same token stream as token_df (regexp_extract_all
+        # \S+ == the engine's utf8_split_whitespace minus empties);
+        # fractions are single double divisions of exact ints on both
+        # sides, so the hashes match bit-for-bit
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "unnest(generate_series(1, "
+            "len(regexp_extract_all(text, '\\S+')))) AS p "
+            "FROM documents), "
+            "stats AS (SELECT doc_id, count(*) AS n, "
+            "count(DISTINCT tok) AS nd FROM toks GROUP BY doc_id), "
+            "bi AS (SELECT doc_id, tok || ' ' || "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS bg "
+            "FROM toks), "
+            "bimax AS (SELECT doc_id, max(c) AS maxc FROM ("
+            "SELECT doc_id, bg, count(*) AS c FROM bi "
+            "WHERE bg IS NOT NULL GROUP BY doc_id, bg) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens, "
+            "COALESCE(CAST(s.n - s.nd AS DOUBLE) / s.n, 0.0) "
+            "AS dup_token_frac, "
+            "COALESCE(2.0 * b.maxc / s.n, 0.0) AS top_bigram_frac "
+            "FROM documents d LEFT JOIN stats s USING (doc_id) "
+            "LEFT JOIN bimax b ON d.doc_id = b.doc_id"),
+        # decontamination: benchmark slice = doc_id % 17 == 0; word
+        # 5-grams; NULL-propagating concat drops trailing positions
+        # exactly like the engine's same-doc mask
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "unnest(generate_series(1, "
+            "len(regexp_extract_all(text, '\\S+')))) AS p "
+            "FROM documents), "
+            "g AS (SELECT doc_id, tok || ' ' || "
+            "lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w "
+            "|| ' ' || lead(tok, 3) OVER w || ' ' || "
+            "lead(tok, 4) OVER w AS gram FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY p) "
+            "QUALIFY gram IS NOT NULL), "
+            "bench AS (SELECT DISTINCT gram FROM g "
+            "WHERE doc_id % 17 = 0), "
+            "hits AS (SELECT g.doc_id, count(*) AS n_hits FROM g "
+            "JOIN bench USING (gram) WHERE g.doc_id % 17 <> 0 "
+            "GROUP BY g.doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 "
+            "END AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "WHERE d.doc_id % 17 <> 0"),
         "token_df": (
             "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) "
             "AS df FROM (SELECT doc_id, "

@@ -283,6 +283,135 @@ def bpe_token_counts(ds):
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 
 
+def repetition_stats(ds):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights", App. A —
+    public): per doc, the fraction of tokens that duplicate another
+    token in the same document and the fraction of tokens covered by
+    the single most frequent bigram.  Both are standard pretraining
+    quality-filter features (high values => boilerplate/spam).
+
+    Embarrassingly parallel (per-doc), no shuffle: one Arrow whitespace
+    split + pandas C-level groupbys per batch.  Output is narrow
+    (doc_id + 3 scalars)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        s = pd.Series(flat.to_pandas()[keep].to_numpy(), dtype=object)
+        d = doc_idx[keep]
+        n_tok = np.bincount(d, minlength=n_docs).astype(np.int64)
+        n_dist = np.zeros(n_docs, dtype=np.int64)
+        if len(d):
+            g = (pd.DataFrame({"doc": d, "tok": s})
+                 .drop_duplicates().groupby("doc")["tok"].size())
+            n_dist[g.index.to_numpy()] = g.to_numpy()
+        max_bg = np.zeros(n_docs, dtype=np.int64)
+        if len(d) > 1:
+            same = d[1:] == d[:-1]
+            if same.any():
+                left = s.to_numpy()
+                bg = pd.DataFrame({
+                    "doc": d[:-1][same],
+                    "bg": pd.Series(left[:-1][same], dtype=object)
+                    + " " + pd.Series(left[1:][same], dtype=object)})
+                m = (bg.groupby(["doc", "bg"]).size()
+                     .groupby(level=0).max())
+                max_bg[m.index.to_numpy()] = m.to_numpy()
+        safe_n = np.maximum(n_tok, 1).astype(np.float64)
+        dup_frac = (n_tok - n_dist).astype(np.float64) / safe_n
+        top_bg_frac = 2.0 * max_bg.astype(np.float64) / safe_n
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "dup_token_frac": pa.array(dup_frac, pa.float64()),
+            "top_bigram_frac": pa.array(top_bg_frac, pa.float64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def decontaminate(ds, bench_mod: int = 17, n: int = 5):
+    """Benchmark decontamination: flag training documents whose word
+    ``n``-grams overlap a benchmark set (the standard eval-leak check —
+    GPT-3 App. C / PaLM-style n-gram overlap, public method).  The
+    "benchmark" here is the deterministic slice ``doc_id % bench_mod
+    == 0`` of the same corpus (no external data).
+
+    Scale shape: the benchmark gram set is SMALL by nature (eval suites
+    are tiny next to a 100 TB corpus), so it is built distributed, then
+    collected once and broadcast via ``ray.put`` — every flag task does
+    an O(1) hash probe per position; the training corpus itself streams
+    and never shuffles."""
+    import pandas as pd
+    import ray
+
+    def grams_of(batch: pa.Table, only_bench: bool) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (ids % bench_mod == 0) if only_bench \
+            else (ids % bench_mod != 0)
+        if not sel.any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=object)})
+        sub = batch.filter(pa.array(sel))
+        toks = pc.utf8_split_whitespace(sub["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(sub.num_rows), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pandas()[keep].to_numpy()
+        d = doc_idx[keep]
+        if len(d) < n:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=object)})
+        ok = d[:len(d) - n + 1] == d[n - 1:]  # gram stays in one doc
+        gram = pd.Series(words[:len(d) - n + 1], dtype=object)
+        for i in range(1, n):
+            gram = gram + " " + pd.Series(
+                words[i:len(d) - n + 1 + i], dtype=object)
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(zero_copy_only=False)[
+                d[:len(d) - n + 1][ok]],
+            "gram": gram[ok].to_numpy()})
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        g = grams_of(batch, only_bench=True)
+        return pa.table({"gram": pa.array(
+            pd.unique(g["gram"]), pa.string())})
+
+    bench_grams = set(
+        ds.map_batches(bench_partial, batch_format="pyarrow")
+        .unique("gram"))
+    bench_ref = ray.put(frozenset(bench_grams))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams = ray.get(bench_ref)
+        g = grams_of(batch, only_bench=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cand = ids[ids % bench_mod != 0]
+        hits = np.zeros(len(cand), dtype=np.int64)
+        if len(g):
+            hit = g["gram"].isin(grams)
+            h = (pd.DataFrame({"doc_id": g["doc_id"], "hit": hit})
+                 .groupby("doc_id")["hit"].sum())
+            lut = pd.Series(np.arange(len(cand)), index=cand)
+            hits[lut[h.index.to_numpy()].to_numpy()] = \
+                h.to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(cand, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array((hits > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def length_histogram(ds):
     """Log2-bucketed document-length histogram: (bucket = floor(log2
     (n_chars)), n_docs, sum_chars) — the corpus-shape report every
