@@ -306,6 +306,14 @@ def _q_decontaminate(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_chunk_dedup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import chunk_dedup
+
+    return chunk_dedup(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_token_df(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
 
@@ -726,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "chunk_dedup": _q_chunk_dedup,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -1151,6 +1160,26 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # span-level exact dedup: chunks = consecutive 8-token windows;
+        # winner = min (doc_id, chunk_id) per distinct chunk text; docs
+        # reassembled from surviving chunks (fully-duplicate docs drop)
+        "chunk_dedup": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "unnest(generate_series(1, "
+            "len(regexp_extract_all(text, '\\S+')))) AS p "
+            "FROM documents), "
+            "chunks AS (SELECT doc_id, "
+            "CAST((p - 1) // 8 AS BIGINT) AS chunk_id, "
+            "string_agg(tok, ' ' ORDER BY p) AS ctext FROM toks "
+            "GROUP BY doc_id, (p - 1) // 8), "
+            "win AS (SELECT doc_id, chunk_id, ctext, row_number() "
+            "OVER (PARTITION BY ctext ORDER BY doc_id, chunk_id) AS rn "
+            "FROM chunks) "
+            "SELECT doc_id, "
+            "string_agg(ctext, ' ' ORDER BY chunk_id) AS kept_text, "
+            "CAST(count(*) AS BIGINT) AS n_kept "
+            "FROM win WHERE rn = 1 GROUP BY doc_id"),
         "token_df": (
             "SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) "
             "AS df FROM (SELECT doc_id, "

@@ -960,6 +960,88 @@ def simhash_neardup(ds, k: int = 3):
             .aggregate(Min("hamming", alias_name="hamming")))
 
 
+def chunk_dedup(ds, chunk_tokens: int = 8):
+    """Span-level exact dedup with document reassembly (the
+    RefinedWeb / MassiveText "remove duplicated spans, keep the first
+    occurrence" pass — Penedo et al. 2023, public; lines/paragraphs
+    stand in here as fixed ``chunk_tokens``-word chunks because the
+    synthetic corpus has no newlines).
+
+    A chunk survives only at its globally FIRST occurrence — min
+    (doc_id, chunk_id) over every place the identical chunk text
+    appears; each doc is then reassembled from its surviving chunks in
+    order.  Docs whose every chunk was seen earlier (exact dups)
+    disappear entirely.
+
+    Plan (two shuffles, both narrow):
+      1. explode to (doc_id, chunk_id, ctext) chunk rows (vectorized
+         token split + C-level pandas group-join per batch);
+      2. groupby(ctext) with a packed-int Min aggregate — no
+         map_groups, the winner position decodes from one int64;
+      3. groupby(doc_id).map_groups reassembly (sort by chunk_id,
+         join) — per-doc groups, same shape as sessionize.
+    Chunk text moves exactly once (it must — reassembly needs it);
+    everything else is int64 columns."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    _CID_BITS = 20  # 2^20 chunks/doc == 8M tokens/doc; assert below
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_pos = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pandas()[keep].to_numpy()
+        d = doc_pos[keep]
+        if not len(d):
+            return pa.table({"packed": pa.array([], pa.int64()),
+                             "ctext": pa.array([], pa.string())})
+        # token index within doc -> chunk id
+        n_tok = np.bincount(d, minlength=n_docs)
+        starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        tok_idx = np.arange(len(d)) - starts[d]
+        cid = tok_idx // chunk_tokens
+        assert int(cid.max()) < (1 << _CID_BITS), \
+            "doc exceeds 2^20 chunks; widen the packed key"
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[d]
+        g = (pd.DataFrame({"doc_id": ids, "cid": cid, "tok": words})
+             .groupby(["doc_id", "cid"], sort=False)["tok"]
+             .agg(" ".join).reset_index())
+        packed = (g["doc_id"].to_numpy().astype(np.int64)
+                  << _CID_BITS) | g["cid"].to_numpy().astype(np.int64)
+        return pa.table({"packed": pa.array(packed, pa.int64()),
+                         "ctext": pa.array(g["tok"].to_numpy(),
+                                           pa.string())})
+
+    winners = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("ctext")
+               .aggregate(Min("packed", alias_name="packed")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(packed >> _CID_BITS, pa.int64()),
+            "chunk_id": pa.array(packed & ((1 << _CID_BITS) - 1),
+                                 pa.int64()),
+            "ctext": batch["ctext"],
+        })
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_id")
+        return pd.DataFrame({
+            "doc_id": [g["doc_id"].iloc[0]],
+            "kept_text": [" ".join(g["ctext"])],
+            "n_kept": np.array([len(g)], dtype=np.int64),
+        })
+
+    return (winners.map_batches(unpack, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(reassemble,
+                                          batch_format="pandas"))
+
+
 def normalized_dedup(ds):
     """Normalization-invariant exact dedup: documents identical AFTER
     the standard scrub (lowercase, digit masking, punct strip,
