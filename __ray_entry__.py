@@ -306,6 +306,17 @@ def _q_decontaminate(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_pricing_summary(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        pricing_summary,
+    )
+
+    return pricing_summary(_read_sized(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_returnflag", "l_linestatus"]))
+
+
 def _q_chunk_dedup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import chunk_dedup
 
@@ -331,6 +342,11 @@ def _q_value_quantiles(sf_dir: str):
 
 
 _ANTI_CUTOFF_US = 852076800 * 1_000_000  # 1997-01-01T00:00:00Z
+
+# imported so the oracle can never drift from the engine's filter
+from govuk_crawler_worker_ray.pipelines.relational import (  # noqa: E402
+    PRICING_CUTOFF_US,
+)
 
 
 def _q_anti_join(sf_dir: str):
@@ -735,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
+        "pricing_summary": _q_pricing_summary,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -1202,6 +1219,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
             f"{_strata_case_sql()}"),
+        # Q1-shape: integer cents/micros inner aggregate, averages
+        # derived from the exact sums in the outer select (mirrors the
+        # engine's finish step expression-for-expression)
+        "pricing_summary": (
+            "WITH a AS (SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) "
+            "AS sum_qty_cents, "
+            "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS sum_base_cents, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS sum_disc_price_cents, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * "
+            "(1 + l_tax) * 100 + 0.5) AS BIGINT)) AS sum_charge_cents, "
+            "sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) "
+            "AS sum_disc_micros, "
+            "count(*) AS count_order FROM lineitem "
+            f"WHERE epoch_us(l_shipdate) <= {PRICING_CUTOFF_US} "
+            "GROUP BY 1, 2) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum_qty_cents AS BIGINT) AS sum_qty_cents, "
+            "CAST(sum_base_cents AS BIGINT) AS sum_base_cents, "
+            "CAST(sum_disc_price_cents AS BIGINT) "
+            "AS sum_disc_price_cents, "
+            "CAST(sum_charge_cents AS BIGINT) AS sum_charge_cents, "
+            "CAST(sum_disc_micros AS BIGINT) AS sum_disc_micros, "
+            "CAST(count_order AS BIGINT) AS count_order, "
+            "CAST(sum_qty_cents AS DOUBLE) / 100.0 / count_order "
+            "AS avg_qty, "
+            "CAST(sum_base_cents AS DOUBLE) / 100.0 / count_order "
+            "AS avg_price, "
+            "CAST(sum_disc_micros AS DOUBLE) / 1000000.0 / count_order "
+            "AS avg_disc FROM a"),
         "revenue_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"

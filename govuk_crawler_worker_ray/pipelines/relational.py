@@ -101,6 +101,80 @@ def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
                        Sum("partial_c", alias_name="revenue_cents")))
 
 
+PRICING_CUTOFF_US = 904694400000000  # 1998-09-02 00:00:00 UTC in micros
+
+
+def pricing_summary(lineitem_ds):
+    """TPC-H Q1-shape pricing summary report over lineitem: filter on
+    ship date, group by (returnflag, linestatus), and produce the
+    classic sum/avg/count battery.  The canonical combiner showcase:
+    each batch pre-aggregates to at most |RF x LS| (~6) rows in exact
+    integer cents/micros, the groupby shuffles only those partials, and
+    the averages are derived from the integer sums in a final tiny map
+    — so the result is bit-identical to the DuckDB oracle regardless of
+    summation order (float sums would not be)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = us <= PRICING_CUTOFF_US
+        qty = batch["l_quantity"].to_numpy()[m]
+        ext = batch["l_extendedprice"].to_numpy()[m]
+        disc = batch["l_discount"].to_numpy()[m]
+        tax = batch["l_tax"].to_numpy()[m]
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(
+                batch["l_returnflag"].to_pandas())[m],
+            "l_linestatus": np.asarray(
+                batch["l_linestatus"].to_pandas())[m],
+            # floor(x+0.5), NOT np.rint: DuckDB round() is
+            # half-away-from-zero, rint is half-to-even, and exact .5
+            # products occur; floor(x+0.5) is the same doubles on both
+            # sides (all values positive here)
+            "qty_c": np.floor(qty * 100 + 0.5).astype(np.int64),
+            "base_c": np.floor(ext * 100 + 0.5).astype(np.int64),
+            "disc_price_c": np.floor(
+                ext * (1 - disc) * 100 + 0.5).astype(np.int64),
+            "charge_c": np.floor(
+                ext * (1 - disc) * (1 + tax) * 100 + 0.5
+            ).astype(np.int64),
+            "disc_u": np.floor(disc * 1000000 + 0.5).astype(np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            p_qty=("qty_c", "sum"), p_base=("base_c", "sum"),
+            p_disc_price=("disc_price_c", "sum"),
+            p_charge=("charge_c", "sum"), p_disc=("disc_u", "sum"),
+            p_n=("qty_c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("p_qty", alias_name="sum_qty_cents"),
+                      Sum("p_base", alias_name="sum_base_cents"),
+                      Sum("p_disc_price",
+                          alias_name="sum_disc_price_cents"),
+                      Sum("p_charge", alias_name="sum_charge_cents"),
+                      Sum("p_disc", alias_name="sum_disc_micros"),
+                      Sum("p_n", alias_name="count_order")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy().astype(np.float64)
+        return batch.append_column(
+            "avg_qty", pa.array(
+                batch["sum_qty_cents"].to_numpy() / 100.0 / n,
+                pa.float64())).append_column(
+            "avg_price", pa.array(
+                batch["sum_base_cents"].to_numpy() / 100.0 / n,
+                pa.float64())).append_column(
+            "avg_disc", pa.array(
+                batch["sum_disc_micros"].to_numpy() / 1000000.0 / n,
+                pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def revenue_by_nation_hashjoin(orders_ds, customer_ds, nation_tbl,
                                num_partitions: int = 8):
     """Distributed HASH JOIN variant of ``revenue_by_nation``: orders
