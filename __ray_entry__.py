@@ -478,6 +478,16 @@ def _q_ann_ivf(sf_dir: str):
         ["vec_id", "rank"])
 
 
+def _q_semantic_dedup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        semantic_dedup,
+    )
+
+    ds = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                     columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.95)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -763,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_components": _q_neardup_components,
@@ -934,6 +945,13 @@ def oracle_sql() -> dict[str, str]:
         os.path.join(oracle_sf, "embeddings.parquet"),
         "/tmp/gcw_goldens")
     gi = write_ann_ivf_golden(
+        os.path.join(oracle_sf, "embeddings.parquet"),
+        "/tmp/gcw_goldens")
+    from govuk_crawler_worker_ray.goldens import (
+        write_semantic_dedup_golden,
+    )
+
+    gsd = write_semantic_dedup_golden(
         os.path.join(oracle_sf, "embeddings.parquet"),
         "/tmp/gcw_goldens")
     from govuk_crawler_worker_ray.goldens import write_media_goldens
@@ -1349,6 +1367,8 @@ def oracle_sql() -> dict[str, str]:
         # iteration count): scalar-twin golden, same pattern
         "ann_ivf": (
             f"SELECT vec_id, rank FROM read_parquet('{gi}')"),
+        "semantic_dedup": (
+            f"SELECT vec_id, cluster, keep FROM read_parquet('{gsd}')"),
         # the whole curation handoff is SQL-expressible over the crawl's
         # own parquet output (span unnest + string_agg + winner join)
         "curate_crawl": _curate_oracle_sql(),

@@ -217,6 +217,99 @@ def write_ann_ivf_golden(embeddings_path: str, out_dir: str) -> str:
     return path
 
 
+def semantic_dedup_scalar(embeddings_path: str,
+                          threshold: float = 0.95) -> pa.Table:
+    """Scalar-twin semantic_dedup (SemDeDup): the same spherical
+    k-means codebook spec as ``ann_ivf_scalar``, every vector assigned
+    to its argmax-cosine centroid, then per cluster a plain-Python
+    pairwise cosine scan marking any vector with a lower-vec_id
+    in-cluster neighbor at >= threshold.  Engine/golden agreement rests
+    on assignment and threshold margins dwarfing summation-order ulp
+    noise (same contract as the ann_ivf twin)."""
+    import math
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [_lsh_normalize(list(map(float, v)))
+            for v in t["embedding"].to_pylist()]
+    if not ids:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.int64())})
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = [vecs[i] for i in order[:_IVF_SAMPLE]]
+    n, kc = len(sample), min(_IVF_K, len(sample))
+    step = (n - 1) / (kc - 1) if kc > 1 else 0.0
+    init_idx = [int(i * step) for i in range(kc)]
+    init_idx[-1] = n - 1
+    cent = [list(sample[i]) for i in init_idx]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def argmax_dot(v):
+        best, bi = None, 0
+        for c in range(kc):
+            s = dot(v, cent[c])
+            if best is None or s > best:
+                best, bi = s, c
+        return bi
+
+    for _ in range(_IVF_ITERS):
+        assign = [argmax_dot(v) for v in sample]
+        for c in range(kc):
+            members = [sample[i] for i in range(n) if assign[i] == c]
+            if not members:
+                continue
+            acc = [0.0] * len(members[0])
+            for m in members:
+                for j, x in enumerate(m):
+                    acc[j] += x
+            nrm = math.sqrt(sum(x * x for x in acc))
+            if nrm > 0:
+                cent[c] = [x / nrm for x in acc]
+
+    clusters = {}
+    for pos in order:  # vec_id ascending
+        clusters.setdefault(argmax_dot(vecs[pos]), []).append(pos)
+    out_id, out_cl, out_keep = [], [], []
+    for c, members in clusters.items():
+        # dup is vs EVERY earlier (lower vec_id) member, kept or not —
+        # the engine's upper-triangle rule
+        for i, pos in enumerate(members):
+            dup = any(dot(vecs[pos], vecs[epos]) >= threshold
+                      for epos in members[:i])
+            out_id.append(ids[pos])
+            out_cl.append(c)
+            out_keep.append(0 if dup else 1)
+    return pa.table({
+        "vec_id": pa.array(out_id, pa.int64()),
+        "cluster": pa.array(out_cl, pa.int64()),
+        "keep": pa.array(out_keep, pa.int64()),
+    })
+
+
+def write_semantic_dedup_golden(embeddings_path: str,
+                                out_dir: str) -> str:
+    """Persist the semantic_dedup scalar-twin golden; idempotent via
+    mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_semantic_dedup.parquet")
+    marker = os.path.join(out_dir, "golden_semantic_dedup_mtime")
+    mtime = str(os.path.getmtime(embeddings_path))
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read() == mtime:
+                return path
+    pq.write_table(semantic_dedup_scalar(embeddings_path), path)
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return path
+
+
 def write_scalar_goldens(documents_path: str, out_dir: str) -> dict:
     """Compute both goldens over a documents parquet; idempotent via a
     source-mtime marker.  Returns {query_name: golden_parquet_path}."""

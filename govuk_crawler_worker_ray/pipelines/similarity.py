@@ -619,3 +619,95 @@ def quantize_embeddings(ds):
         })
 
     return ds.map_batches(qb, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings
+# ---------------------------------------------------------------------------
+
+def _bottom_sample(ds, sample_size: int) -> np.ndarray | None:
+    """Deterministic codebook sample: the ``sample_size`` smallest
+    vec_ids, gathered with a per-batch partial bottom-k merge (order-
+    independent, never a full collect) — same recipe as ``ivf_knn``."""
+    def bottom(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        take = np.argsort(ids)[:sample_size]
+        return pa.table({
+            "vec_id": pa.array(ids[take], pa.int64()),
+            "vec": pa.array(list(m[take]), pa.list_(pa.float64()))})
+
+    sids, svecs = [], []
+    for b in (ds.map_batches(bottom, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows:
+            sids.append(b["vec_id"].to_numpy())
+            svecs.append(np.stack(b["vec"].to_numpy(zero_copy_only=False)))
+    if not sids:
+        return None
+    sids = np.concatenate(sids)
+    return np.vstack(svecs)[np.argsort(sids)][:sample_size]
+
+
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
+                   sample_size: int = 2048):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public): coarse
+    k-means clustering over the embedding space, then exact pairwise
+    cosine WITHIN each cluster only; a vector is dropped when a
+    lower-vec_id in-cluster vector sits at cosine >= threshold (the min
+    vec_id of each semantic group is the kept representative).
+
+    Plan: deterministic codebook (same spherical k-means as ``ivf_knn``)
+    -> broadcast centroids, one assignment matmul per batch -> ONE
+    shuffle on cluster id -> per-cluster pairwise matmul in map_groups.
+    The pairwise work is O(sum_c n_c^2) instead of O(n^2) — exactly the
+    published algorithm's cost shape; at 10^10 rows scale n_clusters
+    ~ n/10^4 so clusters stay matmul-sized (the codebook is still tiny
+    next to the data), and shard any straggler cluster by a second
+    sub-clustering pass.
+
+    Returns (vec_id, cluster, keep) — keep as int64 0/1."""
+    import pandas as pd
+    import ray
+
+    sample = _bottom_sample(ds, sample_size)
+    if sample is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.int64())})
+    cent = train_ivf_centroids(sample, n_clusters)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cref)
+        ids, m = _to_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        mn = _normalize(m)
+        a = (mn @ cent_.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+            "vec": pa.array(list(mn), pa.list_(pa.float64()))})
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+        ids = g["vec_id"].to_numpy()[order]
+        m = np.stack(g["vec"].to_numpy()[order])
+        sims = m @ m.T
+        # dup iff any EARLIER (lower vec_id) row is >= threshold
+        dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy()[order],
+            "keep": (~dup).astype(np.int64),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

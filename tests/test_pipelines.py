@@ -667,3 +667,48 @@ def test_rollup_pivot_wide_detail(ray_session):
     p = events_pivot(ds).to_pandas()
     assert len(p) == n_days and p["day"].is_unique
     assert (p[[f"n_{t}" for t in EVENT_TYPES]].to_numpy() == 1).all()
+
+
+def test_semantic_dedup_drops_planted_neardups(ray_session):
+    """SemDeDup on a planted-near-dup fixture: every dropped vector has
+    a lower-id same-cluster neighbor at >= threshold (soundness, checked
+    exactly with numpy), and every planted dup that shares its
+    original's cluster is dropped (completeness on the planted set)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_base = 32, 300
+    base = rng.standard_normal((n_base, dim))
+    rows = [base[i] for i in range(n_base)]
+    planted = []
+    for i in range(0, 60, 3):  # 20 planted near-dups of base rows
+        dup = base[i] + 0.02 * rng.standard_normal(dim)
+        planted.append((i, n_base + len(planted)))
+        rows.append(dup)
+    m = np.stack(rows)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(rd.from_arrow(tbl), threshold=0.95).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(rows)
+    m32 = m.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    cl = out["cluster"].to_numpy()
+    keep = out["keep"].to_numpy()
+    for v in np.nonzero(keep == 0)[0]:
+        lower_same = np.nonzero((cl[:v] == cl[v]))[0]
+        assert (sims[lower_same, v] >= 0.95).any(), v
+    dropped = 0
+    for orig, dup in planted:
+        if cl[orig] == cl[dup] and sims[orig, dup] >= 0.95:
+            assert keep[dup] == 0, (orig, dup)
+            dropped += 1
+    assert dropped >= 15  # the fixture really exercised the drop path
