@@ -317,6 +317,14 @@ def _q_pricing_summary(sf_dir: str):
                  "l_discount", "l_tax", "l_returnflag", "l_linestatus"]))
 
 
+def _q_pack_offsets(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.packing import pack_offsets
+
+    return pack_offsets(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_chunk_dedup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import chunk_dedup
 
@@ -762,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "pricing_summary": _q_pricing_summary,
+        "pack_offsets": _q_pack_offsets,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -1195,6 +1204,20 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # packing layout: global token prefix sum over doc_id order,
+        # sliced into 2048-token sequences; empty docs occupy 0 tokens
+        "pack_offsets": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS tok_start FROM t) "
+            "SELECT doc_id, n_tokens, tok_start, "
+            "tok_start // 2048 AS seq_first, "
+            "(tok_start + greatest(n_tokens, 1) - 1) // 2048 "
+            "AS seq_last FROM s"),
         # span-level exact dedup: chunks = consecutive 8-token windows;
         # winner = min (doc_id, chunk_id) per distinct chunk text; docs
         # reassembled from surviving chunks (fully-duplicate docs drop)

@@ -1,0 +1,94 @@
+"""Training-sequence packing layout — the "concatenate all documents,
+then slice fixed-length windows" packing every GPT-style pretraining run
+uses (Radford et al. 2019; Brown et al. 2020 — public method).
+
+``pack_offsets`` assigns every document its global token offset in the
+doc_id-ordered concatenation of the corpus, plus the first/last training
+sequence it lands in.  That offset is a GLOBAL PREFIX SUM — the one
+primitive Ray Data has no native operator for — implemented as the
+classic two-phase distributed scan:
+
+  1. narrow projection (doc_id, n_tokens, bucket) where buckets are
+     doc_id ranges (order-preserving);
+  2. per-bucket token sums via a pre-aggregated groupby — a tiny table
+     (one row per bucket) that the driver exclusive-scans and
+     broadcasts;
+  3. groupby(bucket).map_groups: sort by doc_id inside the bucket,
+     local exclusive cumsum + the bucket's base offset.
+
+Only narrow int64 rows ever shuffle; text is read once for token
+counts and never moves.  At 10^10 docs, widen ``bucket_docs`` so the
+driver-side scan stays ~10^5 rows (or add one more scan level — the
+same trick, recursively); for sparse/non-dense ids swap the fixed-width
+bucket for range-partition boundaries from an id-quantile sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+
+
+def pack_offsets(ds, seq_tokens: int = 2048, bucket_docs: int = 64):
+    """-> (doc_id, n_tokens, tok_start, seq_first, seq_last): the
+    packing layout of the doc_id-ordered token concatenation sliced
+    into ``seq_tokens``-token training sequences.  Empty docs occupy
+    zero tokens (seq_last == seq_first at their start offset)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = pc.cast(pc.count_substring_regex(batch["text"],
+                                                 TOKEN_RE),
+                        pa.int64()).to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "bucket": pa.array(ids // bucket_docs, pa.int64()),
+        })
+
+    # narrow int64 rows only; bounded, safe to pin for the two passes
+    narrow_ds = ds.map_batches(narrow,
+                               batch_format="pyarrow").materialize()
+
+    # phase 1: per-bucket sums (pre-aggregated per batch), driver scan
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": batch["bucket"].to_numpy(zero_copy_only=False),
+            "t": batch["n_tokens"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("bucket", as_index=False).agg(p=("t", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (narrow_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("p", alias_name="bucket_tokens"))
+            .to_pandas().sort_values("bucket"))
+    base = dict(zip(
+        sums["bucket"].to_numpy(),
+        np.concatenate(([0], np.cumsum(
+            sums["bucket_tokens"].to_numpy())[:-1])).astype(np.int64)))
+    bref = ray.put(base)
+
+    # phase 2: in-bucket exclusive cumsum + bucket base
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_ = ray.get(bref)
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = (np.concatenate(([0], np.cumsum(n)[:-1]))
+                 + base_[int(g["bucket"].iloc[0])])
+        occ = np.maximum(n, 1)  # empty docs: seq_last == seq_first
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "tok_start": start,
+            "seq_first": start // seq_tokens,
+            "seq_last": (start + occ - 1) // seq_tokens,
+        })
+
+    return (narrow_ds.groupby("bucket")
+            .map_groups(scan_bucket, batch_format="pandas"))
