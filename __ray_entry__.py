@@ -333,6 +333,26 @@ def _q_chunk_dedup(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_distinctive_terms(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        distinctive_terms,
+    )
+
+    return distinctive_terms(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_quality_filter(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        quality_filter,
+    )
+
+    return quality_filter(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_token_df(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
 
@@ -769,6 +789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
+        "distinctive_terms": _q_distinctive_terms,
+        "quality_filter": _q_quality_filter,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
         "token_df": _q_token_df,
@@ -1204,6 +1226,33 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # rarest-k terms per doc: integer (df, token) ordering only
+        "distinctive_terms": (
+            "WITH toks AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "d AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+            "FROM toks GROUP BY token), "
+            "r AS (SELECT doc_id, token, df, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY df, token) AS BIGINT) AS rank "
+            "FROM toks JOIN d USING (token)) "
+            "SELECT doc_id, rank, token, df FROM r WHERE rank <= 3"),
+        # global-median quality gate; same score expression as
+        # quality_score, threshold = quantile_disc(points, 0.5)
+        "quality_filter": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 4 "
+            "ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(text, '{_STOP}')) "
+            "AS DOUBLE) / GREATEST(len(regexp_extract_all(text, "
+            f"'{_TOK}')), 1) >= 0.01 THEN 4 ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(text, '{_PUNCT}')) "
+            "AS DOUBLE) / GREATEST(length(text), 1) <= 0.2 THEN 2 "
+            "ELSE 0 END AS BIGINT) AS quality_points FROM documents), "
+            "t AS (SELECT quantile_disc(quality_points, 0.5) AS thr "
+            "FROM s) "
+            "SELECT doc_id, quality_points FROM s, t "
+            "WHERE quality_points >= t.thr"),
         # packing layout: global token prefix sum over doc_id order,
         # sliced into 2048-token sequences; empty docs occupy 0 tokens
         "pack_offsets": (

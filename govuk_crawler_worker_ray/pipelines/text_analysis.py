@@ -283,6 +283,91 @@ def bpe_token_counts(ds):
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 
 
+def distinctive_terms(ds, k: int = 3, num_partitions: int = 8):
+    """Rarest-``k`` distinctive terms per document: each doc's distinct
+    tokens are joined against the corpus document-frequency table and
+    the ``k`` lowest-df tokens win (ties by token text) — the
+    integer-exact cousin of TF-IDF term extraction (pure (df, token)
+    ordering, no float idf, so the oracle hashes bit-for-bit).
+
+    Scale shape: the vocabulary of a web-scale corpus is unbounded
+    (numbers, typos), so the DF side is NOT broadcast — both sides
+    shuffle once through ``Dataset.join`` on token, then one per-doc
+    top-k.  Per-batch (doc_id, token) dedup is globally exact because a
+    document never spans batches."""
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"doc_id": ids[doc_idx[keep]],
+                           "token": flat.to_pandas()[keep].to_numpy()})
+             .drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    doc_tokens = ds.map_batches(pairs, batch_format="pyarrow")
+    dfreq = token_df(ds)  # (token, df) — the same distributed combiner
+    joined = doc_tokens.join(dfreq, "inner",
+                             num_partitions=num_partitions,
+                             on=("token",))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "token"]).head(k)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "token": g["token"].to_numpy(),
+            "df": g["df"].to_numpy().astype(np.int64),
+        })
+
+    return joined.groupby("doc_id").map_groups(topk,
+                                               batch_format="pandas")
+
+
+def quality_filter(ds, q: float = 0.5):
+    """Global-quantile quality gate: keep documents at or above the
+    corpus's exact discrete ``q``-quantile of quality_points (the
+    "drop the bottom half by quality" curation step).
+
+    Two-pass global statistic, never a global sort: pass 1 builds the
+    integer score histogram with per-batch bincount partials (the
+    shuffle moves ~11 rows/batch), the DRIVER reads the tiny histogram
+    and derives the quantile_disc threshold (element ceil(q*n)-1 of the
+    sorted multiset); pass 2 re-streams and filters.  The input is read
+    twice — that is the streaming-correct trade against materializing a
+    10^10-row scored dataset."""
+    scored = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pts = batch["quality_points"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(pts, minlength=11)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pts": pa.array(nz, pa.int64()),
+                         "partial_n": pa.array(cnt[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    h = (scored.map_batches(hist, batch_format="pyarrow")
+         .groupby("pts").aggregate(Sum("partial_n", alias_name="n"))
+         .to_pandas().sort_values("pts"))
+    counts = h["n"].to_numpy()
+    n_total = int(counts.sum())
+    target = max(int(np.ceil(q * n_total)) - 1, 0)
+    thr = int(h["pts"].to_numpy()[np.searchsorted(
+        np.cumsum(counts) - 1, target)])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["quality_points"], thr))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
 def repetition_stats(ds):
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models: Methods, Analysis & Insights", App. A —

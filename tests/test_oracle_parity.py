@@ -62,6 +62,7 @@ ORACLE_KEYS = [
     "events_pivot", "normalized_dedup", "length_histogram",
     "repetition_stats", "decontaminate", "chunk_dedup",
     "pricing_summary", "semantic_dedup", "pack_offsets",
+    "distinctive_terms", "quality_filter",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
