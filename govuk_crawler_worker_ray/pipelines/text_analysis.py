@@ -283,21 +283,29 @@ def bpe_token_counts(ds):
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 
 
-def distinctive_terms(ds, k: int = 3, num_partitions: int = 8):
+def distinctive_terms(ds, k: int = 3, num_partitions: int = 8,
+                      broadcast_limit: int = 2_000_000,
+                      distributed: bool | None = None):
     """Rarest-``k`` distinctive terms per document: each doc's distinct
-    tokens are joined against the corpus document-frequency table and
-    the ``k`` lowest-df tokens win (ties by token text) — the
-    integer-exact cousin of TF-IDF term extraction (pure (df, token)
-    ordering, no float idf, so the oracle hashes bit-for-bit).
+    tokens score against the corpus document-frequency table and the
+    ``k`` lowest-df tokens win (ties by token text) — the integer-exact
+    cousin of TF-IDF term extraction (pure (df, token) ordering, no
+    float idf, so the oracle hashes bit-for-bit).
 
-    Scale shape: the vocabulary of a web-scale corpus is unbounded
-    (numbers, typos), so the DF side is NOT broadcast — both sides
-    shuffle once through ``Dataset.join`` on token, then one per-doc
-    top-k.  Per-batch (doc_id, token) dedup is globally exact because a
-    document never spans batches."""
+    Two paths (auto-picked by vocabulary size, the minhash-candidates
+    pattern):
+    - broadcast (default when vocab <= ``broadcast_limit``): the
+      (token, df) table ships once via ``ray.put``; the doc batches are
+      then scored IN PLACE — zero shuffle, fully vectorized pandas
+      (measured 18s -> ~1s at sf0.1: the join path's per-doc
+      map_groups pays ~1ms x n_docs of group dispatch);
+    - distributed (unbounded vocab — numbers/typos at web scale):
+      ``Dataset.join`` on token, then per-doc top-k in map_groups.
+      Correct at any vocab size, pays two shuffles."""
     import pandas as pd
+    import ray
 
-    def pairs(batch: pa.Table) -> pa.Table:
+    def pairs_df(batch: pa.Table) -> "pd.DataFrame":
         n_docs = batch.num_rows
         toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
         flat = pc.list_flatten(toks)
@@ -305,13 +313,42 @@ def distinctive_terms(ds, k: int = 3, num_partitions: int = 8):
         doc_idx = np.repeat(np.arange(n_docs), lens)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        g = (pd.DataFrame({"doc_id": ids[doc_idx[keep]],
-                           "token": flat.to_pandas()[keep].to_numpy()})
-             .drop_duplicates())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return (pd.DataFrame({
+            "doc_id": ids[doc_idx[keep]],
+            "token": flat.to_pandas()[keep].to_numpy()})
+            .drop_duplicates())
 
-    doc_tokens = ds.map_batches(pairs, batch_format="pyarrow")
-    dfreq = token_df(ds)  # (token, df) — the same distributed combiner
+    # (token, df) via the same distributed combiner; materialized so
+    # the auto-switch count() and the broadcast to_pandas() don't
+    # re-execute the pipeline (narrow, vocabulary-sized)
+    dfreq = token_df(ds).materialize()
+
+    if distributed is None:
+        distributed = dfreq.count() > broadcast_limit
+
+    if not distributed:
+        vocab = dfreq.to_pandas()
+        vref = ray.put(pd.Series(
+            vocab["df"].to_numpy().astype(np.int64),
+            index=vocab["token"].to_numpy()))
+
+        def score(batch: pa.Table) -> pa.Table:
+            lut = ray.get(vref)
+            g = pairs_df(batch)
+            g["df"] = lut[g["token"]].to_numpy()
+            g = (g.sort_values(["doc_id", "df", "token"])
+                 .groupby("doc_id", sort=False).head(k))
+            g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+            return pa.Table.from_pandas(
+                g[["doc_id", "rank", "token", "df"]],
+                preserve_index=False)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    doc_tokens = ds.map_batches(
+        lambda b: pa.Table.from_pandas(pairs_df(b),
+                                       preserve_index=False),
+        batch_format="pyarrow")
     joined = doc_tokens.join(dfreq, "inner",
                              num_partitions=num_partitions,
                              on=("token",))

@@ -712,3 +712,25 @@ def test_semantic_dedup_drops_planted_neardups(ray_session):
             assert keep[dup] == 0, (orig, dup)
             dropped += 1
     assert dropped >= 15  # the fixture really exercised the drop path
+
+
+def test_distinctive_terms_paths_agree(ray_session):
+    """The broadcast (bounded-vocab) and join (unbounded-vocab) paths of
+    distinctive_terms must produce identical rows."""
+    import ray.data as rd
+
+    import pandas as pd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        distinctive_terms,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=4)
+    key = ["doc_id", "rank", "token", "df"]
+    a = (distinctive_terms(ds, distributed=False).to_pandas()[key]
+         .sort_values(key).reset_index(drop=True))
+    b = (distinctive_terms(ds, distributed=True).to_pandas()[key]
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
