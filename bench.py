@@ -162,7 +162,10 @@ def bench_queries() -> dict:
              # round-3 additions (each sub-second at sf0.1; the suite
              # total is NOT comparable round-over-round — compare
              # per-query entries)
-             "asof_join", "sliding_window", "kmv_distinct", "token_df"]
+             "asof_join", "sliding_window", "kmv_distinct", "token_df",
+             # late-round-3 additions (same caveat)
+             "chunk_dedup", "semantic_dedup", "repetition_stats",
+             "pricing_summary", "pack_offsets", "distinctive_terms"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
