@@ -353,6 +353,24 @@ def _q_quality_filter(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_dataset_split(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sampling import dataset_split
+
+    return dataset_split(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]))
+
+
 def _q_token_df(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import token_df
 
@@ -791,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "distinctive_terms": _q_distinctive_terms,
         "quality_filter": _q_quality_filter,
+        "heavy_hitters": _q_heavy_hitters,
+        "dataset_split": _q_dataset_split,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
         "token_df": _q_token_df,
@@ -886,6 +906,24 @@ def _bpe_sql() -> str:
     rx = BPE_TOKEN_RE.replace("'", "''")
     return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{rx}')) "
             "AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
+def _dataset_split_sql() -> str:
+    """CASE chain with the SAME md5-prefix cut points the engine's
+    dataset_split uses (imported, not re-typed)."""
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        DEFAULT_SPLITS,
+        _hex_threshold,
+    )
+
+    acc, arms = 0.0, []
+    for name, frac in DEFAULT_SPLITS[:-1]:
+        acc += frac
+        arms.append("WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+                    f"< '{_hex_threshold(acc)}' THEN '{name}'")
+    return ("SELECT doc_id, CASE " + " ".join(arms)
+            + f" ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split "
+            "FROM documents")
 
 
 def _strata_case_sql() -> str:
@@ -1226,6 +1264,19 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # frequent tokens above 1% of all token occurrences, exact
+        # integer threshold compare
+        "heavy_hitters": (
+            "WITH toks AS (SELECT "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), tot AS (SELECT count(*) AS n FROM toks) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences "
+            "FROM toks, tot GROUP BY token, tot.n "
+            "HAVING 100 * count(*) > 1 * tot.n"),
+        # deterministic md5-bucket train/val/test assignment (same hash
+        # contract as stratified_sample); thresholds imported from the
+        # pipeline constants so the oracle can never drift
+        "dataset_split": _dataset_split_sql(),
         # rarest-k terms per doc: integer (df, token) ordering only
         "distinctive_terms": (
             "WITH toks AS (SELECT DISTINCT doc_id, "

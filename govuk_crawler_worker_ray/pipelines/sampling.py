@@ -59,3 +59,45 @@ def stratified_sample(ds, rates: dict[str, float] | None = None,
         return batch.filter(mask).select(["doc_id", "lang"])
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# power-of-two split fractions so the hex boundaries are exact
+DEFAULT_SPLITS = (("train", 7 / 8), ("val", 1 / 16), ("test", 1 / 16))
+
+
+def dataset_split(ds, splits=DEFAULT_SPLITS):
+    """Deterministic train/val/test assignment: every row lands in
+    exactly one split by where md5(doc_id)'s leading 32 bits fall in
+    the cumulative-fraction partition of [0, 1) — the assignment every
+    training pipeline needs, stable across re-partitioning, resumes,
+    reruns, and cluster size (same hash contract as
+    ``stratified_sample``).  Output: (doc_id, split).
+
+    Pure per-row map, no shuffle, no state; downstream consumers filter
+    on the split column (or write partitioned by it)."""
+    # strict `<` upper bounds for all but the last split (the residual
+    # interval) — the same compare convention as stratified_sample and
+    # the SQL CASE chain
+    names, bounds, acc = [], [], 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        names.append(name)
+        bounds.append(_hex_threshold(acc))
+    last = splits[-1][0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        out = []
+        for d in batch["doc_id"].to_pylist():
+            h = hashlib.md5(str(d).encode()).hexdigest()[:8]
+            for name, hi in zip(names, bounds):
+                if h < hi:
+                    out.append(name)
+                    break
+            else:
+                out.append(last)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "split": pa.array(out, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

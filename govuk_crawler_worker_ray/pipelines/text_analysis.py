@@ -405,6 +405,48 @@ def quality_filter(ds, q: float = 0.5):
     return scored.map_batches(gate, batch_format="pyarrow")
 
 
+def heavy_hitters(ds, pct: int = 1):
+    """Corpus-level frequent tokens: every token whose total occurrence
+    count exceeds ``pct`` percent of all tokens, with its EXACT count —
+    stopword discovery / boilerplate detection.  Threshold compare stays
+    in integers (100 * count > pct_scaled * total) so the oracle hashes
+    bit-for-bit.
+
+    Shape: the same skew-free vocabulary combiner as ``token_df`` (per-
+    batch exact counts, one vocabulary-sized groupby) plus a scalar
+    total from the same partials.  At unbounded vocabulary the swap is a
+    mergeable SpaceSaving/Misra-Gries summary per batch with an exact
+    second pass over the surviving candidates (the kmv_distinct
+    precedent for sketch-backed operators)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        s = pd.Series(flat.to_pandas()[keep].to_numpy())
+        g = s.value_counts()
+        return pa.table({
+            "token": pa.array(g.index.to_numpy(), pa.string()),
+            "partial_n": pa.array(g.to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    # narrow (token, count) partials feed BOTH the per-token sum and
+    # the corpus total without re-reading the text
+    partials = ds.map_batches(partial,
+                              batch_format="pyarrow").materialize()
+    counts = (partials.groupby("token")
+              .aggregate(Sum("partial_n", alias_name="n_occurrences")))
+    total = int(partials.sum("partial_n"))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = batch["n_occurrences"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(100 * n > pct * total))
+
+    return counts.map_batches(gate, batch_format="pyarrow")
+
+
 def repetition_stats(ds):
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models: Methods, Analysis & Insights", App. A —

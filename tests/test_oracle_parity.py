@@ -62,7 +62,8 @@ ORACLE_KEYS = [
     "events_pivot", "normalized_dedup", "length_histogram",
     "repetition_stats", "decontaminate", "chunk_dedup",
     "pricing_summary", "semantic_dedup", "pack_offsets",
-    "distinctive_terms", "quality_filter",
+    "distinctive_terms", "quality_filter", "heavy_hitters",
+    "dataset_split",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
