@@ -325,6 +325,29 @@ def _q_pack_offsets(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Prior run = docs with doc_id % 3 == 0; new arrivals = the rest
+    (deterministic simulated increment over the same table)."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        incremental_dedup,
+    )
+
+    def part(is_prior):
+        def f(b):
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+            return b.filter(pa.array(m if is_prior else ~m))
+        return f
+
+    docs = lambda: _read_sized(  # noqa: E731
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    prior = docs().map_batches(part(True), batch_format="pyarrow")
+    new = docs().map_batches(part(False), batch_format="pyarrow")
+    return incremental_dedup(new, prior)
+
+
 def _q_chunk_dedup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.dedup import chunk_dedup
 
@@ -811,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "heavy_hitters": _q_heavy_hitters,
         "dataset_split": _q_dataset_split,
+        "incremental_dedup": _q_incremental_dedup,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
         "token_df": _q_token_df,
@@ -1318,6 +1342,15 @@ def oracle_sql() -> dict[str, str]:
             "tok_start // 2048 AS seq_first, "
             "(tok_start + greatest(n_tokens, 1) - 1) // 2048 "
             "AS seq_last FROM s"),
+        # cross-run incremental dedup: prior = doc_id % 3 == 0
+        "incremental_dedup": (
+            "WITH prior AS (SELECT DISTINCT md5(text) AS h "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "nw AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "WHERE doc_id % 3 <> 0) "
+            "SELECT h AS content_hash, min(doc_id) AS doc_id, "
+            "count(*) AS n_dups FROM nw "
+            "WHERE h NOT IN (SELECT h FROM prior) GROUP BY h"),
         # span-level exact dedup: chunks = consecutive 8-token windows;
         # winner = min (doc_id, chunk_id) per distinct chunk text; docs
         # reassembled from surviving chunks (fully-duplicate docs drop)

@@ -960,6 +960,42 @@ def simhash_neardup(ds, k: int = 3):
             .aggregate(Min("hamming", alias_name="hamming")))
 
 
+def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8):
+    """Cross-run incremental dedup — the daily-increment scenario: a
+    new arrival batch deduplicates against the hash set of everything a
+    PRIOR run already kept, then within itself.  Output: one row per
+    genuinely new distinct text, (content_hash, doc_id=min, n_dups).
+
+    Shape: both sides reduce to narrow hash rows; the prior side
+    pre-dedupes per batch (one row per distinct hash per batch), the
+    new side anti-joins it with Ray Data's native ``left_anti`` hash
+    join (the anti_join precedent — no broadcast, correct when the
+    prior corpus is 100 TB too), and the survivors finish with the
+    exact_dedup groupby.  Nothing but 16-byte-hash rows ever
+    shuffles."""
+    from ray.data.aggregate import Count, Min
+
+    def prior_hashes(batch: pa.Table) -> pa.Table:
+        h = content_hash_batch(batch)
+        return pa.table({
+            "prior_hash": pc.unique(h["content_hash"].combine_chunks()),
+        })
+
+    prior = prior_ds.map_batches(prior_hashes, batch_format="pyarrow")
+
+    new_hashed = (new_ds
+                  .map_batches(content_hash_batch,
+                               batch_format="pyarrow")
+                  .select_columns(["doc_id", "content_hash"]))
+    fresh = new_hashed.join(prior, "left_anti",
+                            num_partitions=num_partitions,
+                            on=("content_hash",),
+                            right_on=("prior_hash",))
+    return (fresh.groupby("content_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups")))
+
+
 def chunk_dedup(ds, chunk_tokens: int = 8):
     """Span-level exact dedup with document reassembly (the
     RefinedWeb / MassiveText "remove duplicated spans, keep the first
