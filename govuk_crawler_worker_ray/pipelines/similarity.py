@@ -258,29 +258,11 @@ def ivf_knn(ds, query_vec: np.ndarray, k: int = 10,
     import ray
 
     # pass 1: deterministic sample = bottom-`sample_size` vec_ids
-    def bottom(batch: pa.Table) -> pa.Table:
-        ids, m = _to_matrix(batch)
-        if len(ids) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float64()))})
-        take = np.argsort(ids)[:sample_size]
-        return pa.table({
-            "vec_id": pa.array(ids[take], pa.int64()),
-            "vec": pa.array(list(m[take]), pa.list_(pa.float64()))})
-
-    sids, svecs = [], []
-    for b in (ds.map_batches(bottom, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        if b.num_rows:
-            sids.append(b["vec_id"].to_numpy())
-            svecs.append(np.stack(b["vec"].to_numpy(
-                zero_copy_only=False)))
-    if not sids:
+    sample = _bottom_sample(ds, sample_size)
+    if sample is None:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64()),
                          "rank": pa.array([], pa.int64())})
-    sids = np.concatenate(sids)
-    sample = np.vstack(svecs)[np.argsort(sids)][:sample_size]
     cent = train_ivf_centroids(sample, n_clusters)
 
     q = query_vec.astype(np.float64)
@@ -347,29 +329,10 @@ class IvfIndex:
               sample_size: int = 2048) -> "IvfIndex":
         import ray
 
-        def bottom(batch: pa.Table) -> pa.Table:
-            ids, m = _to_matrix(batch)
-            if len(ids) == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "vec": pa.array(
-                                     [], pa.list_(pa.float64()))})
-            take = np.argsort(ids)[:sample_size]
-            return pa.table({
-                "vec_id": pa.array(ids[take], pa.int64()),
-                "vec": pa.array(list(m[take]), pa.list_(pa.float64()))})
-
-        sids, svecs = [], []
-        for b in (ds.map_batches(bottom, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
-            if b.num_rows:
-                sids.append(b["vec_id"].to_numpy())
-                svecs.append(np.stack(b["vec"].to_numpy(
-                    zero_copy_only=False)))
-        if not sids:
+        sample = _bottom_sample(ds, sample_size)
+        if sample is None:
             z = np.zeros(0, np.int64)
             return cls(z, z, np.zeros((0, 1)), np.zeros((1, 1)))
-        sids_c = np.concatenate(sids)
-        sample = np.vstack(svecs)[np.argsort(sids_c)][:sample_size]
         cent = train_ivf_centroids(sample, n_clusters)
         cref = ray.put(cent)
 
