@@ -376,6 +376,16 @@ def _q_quality_filter(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_bigram_fluency(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        bigram_fluency,
+    )
+
+    return bigram_fluency(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_heavy_hitters(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         heavy_hitters,
@@ -835,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "dataset_split": _q_dataset_split,
         "incremental_dedup": _q_incremental_dedup,
+        "bigram_fluency": _q_bigram_fluency,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
         "token_df": _q_token_df,
@@ -1288,6 +1299,26 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # mean corpus-wide bigram count per doc (integer sums, one
+        # double division — bit-exact)
+        "bigram_fluency": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "unnest(generate_series(1, "
+            "len(regexp_extract_all(text, '\\S+')))) AS p "
+            "FROM documents), "
+            "bi AS (SELECT doc_id, tok || ' ' || "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS bg "
+            "FROM toks), "
+            "b2 AS (SELECT doc_id, bg FROM bi WHERE bg IS NOT NULL), "
+            "cnt AS (SELECT bg, count(*) AS c FROM b2 GROUP BY bg), "
+            "agg AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "sum(c) AS s FROM b2 JOIN cnt USING (bg) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "COALESCE(CAST(a.s AS DOUBLE) / a.n_bigrams, 0.0) "
+            "AS avg_bigram_freq "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"),
         # frequent tokens above 1% of all token occurrences, exact
         # integer threshold compare
         "heavy_hitters": (

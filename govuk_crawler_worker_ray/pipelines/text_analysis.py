@@ -447,6 +447,73 @@ def heavy_hitters(ds, pct: int = 1):
     return counts.map_batches(gate, batch_format="pyarrow")
 
 
+def bigram_fluency(ds):
+    """Corpus-frequency fluency proxy — the role the CCNet/KenLM
+    perplexity filter plays in pretraining curation (Wenzek et al.
+    2020, public), with an integer-exact statistic instead of a float
+    LM: per doc, the mean corpus-wide occurrence count of its token
+    bigrams.  Typical prose scores high (its transitions are common);
+    gibberish and boilerplate-with-rare-joins score low.
+
+    Two passes over the text: (1) the global bigram count table via the
+    skew-free combiner (per-batch counts, one vocabulary-sized
+    groupby), broadcast once via ``ray.put``; (2) per-doc vectorized
+    lookup + integer sum, one double division at the end — so the
+    oracle hashes bit-for-bit.  Bigram vocabulary outgrowing a
+    broadcast swaps pass 2 to the distinctive_terms join path."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def doc_bigrams(batch: pa.Table):
+        n_docs = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_pandas()[keep].to_numpy()
+        d = doc_idx[keep]
+        if len(d) < 2:
+            return (np.array([], np.int64),
+                    np.array([], dtype=object), n_docs)
+        same = d[1:] == d[:-1]
+        bg = (pd.Series(w[:-1][same], dtype=object) + " "
+              + pd.Series(w[1:][same], dtype=object)).to_numpy()
+        return d[:-1][same], bg, n_docs
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, bg, _ = doc_bigrams(batch)
+        g = pd.Series(bg).value_counts()
+        return pa.table({
+            "bg": pa.array(g.index.to_numpy(), pa.string()),
+            "partial_n": pa.array(g.to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bg").aggregate(Sum("partial_n", alias_name="n"))
+              .to_pandas())
+    lut_ref = ray.put(pd.Series(counts["n"].to_numpy().astype(np.int64),
+                                index=counts["bg"].to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        d, bg, n_docs = doc_bigrams(batch)
+        n_bi = np.bincount(d, minlength=n_docs).astype(np.int64)
+        sums = np.zeros(n_docs, dtype=np.int64)
+        if len(d):
+            np.add.at(sums, d, lut[bg].to_numpy())
+        safe = np.maximum(n_bi, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "avg_bigram_freq": pa.array(
+                sums.astype(np.float64) / safe, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def repetition_stats(ds):
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models: Methods, Analysis & Insights", App. A —

@@ -63,7 +63,7 @@ ORACLE_KEYS = [
     "repetition_stats", "decontaminate", "chunk_dedup",
     "pricing_summary", "semantic_dedup", "pack_offsets",
     "distinctive_terms", "quality_filter", "heavy_hitters",
-    "dataset_split", "incremental_dedup",
+    "dataset_split", "incremental_dedup", "bigram_fluency",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
