@@ -1042,6 +1042,11 @@ def chunk_dedup(ds, chunk_tokens: int = 8):
         cid = tok_idx // chunk_tokens
         assert int(cid.max()) < (1 << _CID_BITS), \
             "doc exceeds 2^20 chunks; widen the packed key"
+        # loud guard instead of silent int64 wrap (the pseq-overflow
+        # lesson from the seen-set rank exchange)
+        assert int(batch["doc_id"].to_numpy(
+            zero_copy_only=False).max(initial=0)) < (1 << 43), \
+            "doc_id exceeds 2^43; packed (doc_id, chunk_id) key wraps"
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)[d]
         g = (pd.DataFrame({"doc_id": ids, "cid": cid, "tok": words})
              .groupby(["doc_id", "cid"], sort=False)["tok"]
