@@ -317,6 +317,16 @@ def _q_pricing_summary(sf_dir: str):
                  "l_discount", "l_tax", "l_returnflag", "l_linestatus"]))
 
 
+def _q_deterministic_shuffle(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.packing import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]))
+
+
 def _q_pack_offsets(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.packing import pack_offsets
 
@@ -848,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_fluency": _q_bigram_fluency,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
         "media_features": _q_media_features,
@@ -1359,6 +1370,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT doc_id, quality_points FROM s, t "
             "WHERE quality_points >= t.thr"),
+        # reproducible corpus shuffle: dense rank in (md5, doc_id) order
+        "deterministic_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) "
+            "AS shuffle_pos FROM documents"),
         # packing layout: global token prefix sum over doc_id order,
         # sliced into 2048-token sequences; empty docs occupy 0 tokens
         "pack_offsets": (

@@ -92,3 +92,69 @@ def pack_offsets(ds, seq_tokens: int = 2048, bucket_docs: int = 64):
 
     return (narrow_ds.groupby("bucket")
             .map_groups(scan_bucket, batch_format="pandas"))
+
+
+def deterministic_shuffle(ds):
+    """Global training-order shuffle: every document gets a dense
+    position 0..N-1 in ascending (md5(doc_id), doc_id) order — the
+    reproducible corpus shuffle a training run consumes (stable across
+    re-partitioning, resume, and cluster size, unlike
+    ``random_shuffle``).
+
+    Global rank without a global sort materialization: the 2-hex-char
+    hash prefix gives 256 ORDER-PRESERVING buckets (fixed-width
+    lowercase hex compares lexicographically = numerically), so rank =
+    exclusive-scan of bucket counts + in-bucket local sort — the same
+    two-phase scan as ``pack_offsets``.  Only (doc_id, 32-char hash)
+    rows shuffle once, by bucket.
+
+    md5-per-row in Python is the honest oracle-parity cost at test
+    scale (see sampling.py's contract note); the production swap is a
+    vectorized 128-bit hash behind the same ordering contract."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(d).encode()).hexdigest()
+              for d in batch["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "h": pa.array(hs, pa.string()),
+            "bucket": pa.array([int(h[:2], 16) for h in hs],
+                               pa.int64()),
+        })
+
+    hashed_ds = ds.map_batches(hashed,
+                               batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(b, minlength=256)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "partial_n": pa.array(cnt[nz], pa.int64())})
+
+    sums = (hashed_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("partial_n", alias_name="n"))
+            .to_pandas().sort_values("bucket"))
+    base = dict(zip(
+        sums["bucket"].to_numpy(),
+        np.concatenate(([0], np.cumsum(
+            sums["n"].to_numpy())[:-1])).astype(np.int64)))
+    bref = ray.put(base)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_ = ray.get(bref)
+        g = g.sort_values(["h", "doc_id"])
+        start = base_[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shuffle_pos": start + np.arange(len(g), dtype=np.int64),
+        })
+
+    return (hashed_ds.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas"))
