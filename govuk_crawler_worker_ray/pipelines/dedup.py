@@ -1061,26 +1061,38 @@ def chunk_dedup(ds, chunk_tokens: int = 8):
                .groupby("ctext")
                .aggregate(Min("packed", alias_name="packed")))
 
+    # reassembly partitions: docs hash to ~2x CPU partitions so the
+    # per-group work is ONE vectorized pandas groupby per partition,
+    # not one Ray map_groups dispatch per doc (~1 ms x n_docs — the
+    # distinctive_terms lesson)
+    try:
+        import ray
+
+        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n_parts = 8
+
     def unpack(batch: pa.Table) -> pa.Table:
         packed = batch["packed"].to_numpy(zero_copy_only=False)
+        doc = packed >> _CID_BITS
         return pa.table({
-            "doc_id": pa.array(packed >> _CID_BITS, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
             "chunk_id": pa.array(packed & ((1 << _CID_BITS) - 1),
                                  pa.int64()),
             "ctext": batch["ctext"],
+            "part": pa.array(doc % n_parts, pa.int64()),
         })
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("chunk_id")
-        return pd.DataFrame({
-            "doc_id": [g["doc_id"].iloc[0]],
-            "kept_text": [" ".join(g["ctext"])],
-            "n_kept": np.array([len(g)], dtype=np.int64),
-        })
+    def reassemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"])
+        out = (g.groupby("doc_id", sort=False)["ctext"]
+               .agg(kept_text=" ".join, n_kept="size").reset_index())
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[["doc_id", "kept_text", "n_kept"]]
 
     return (winners.map_batches(unpack, batch_format="pyarrow")
-            .groupby("doc_id").map_groups(reassemble,
-                                          batch_format="pandas"))
+            .groupby("part").map_groups(reassemble_part,
+                                        batch_format="pandas"))
 
 
 def normalized_dedup(ds):
