@@ -169,7 +169,8 @@ def _q_events_hourly(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import sessionize
 
-    return sessionize(_events(sf_dir))
+    return sessionize(_read_sized(os.path.join(sf_dir, "events.parquet"),
+                                  columns=["user_id", "ts"]))
 
 
 def _q_asof_join(sf_dir: str):

@@ -42,20 +42,52 @@ def events_hourly(ds):
 
 def sessionize(ds, gap_seconds: int = 1800):
     """Session windows per user (gap > ``gap_seconds`` starts a new
-    session): (user_id, n_sessions, n_events).  groupby(user).map_groups
-    over ts-sorted groups — the documented Ray Data shape for
-    stream-window semantics."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64").to_numpy()  # microseconds
-        gaps = np.diff(ts) > gap_seconds * 1_000_000
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(gaps.sum()) + 1],
-            "n_events": [len(g)],
+    session): (user_id, n_sessions, n_events).
+
+    Partition-vectorized stream-window shape: users hash to ~2x CPU
+    partitions (ONE shuffle), and each partition computes EVERY user's
+    session count with one sort + one diff + a boundary mask — no
+    per-user dispatch (Ray's map_groups costs ~1 ms per group; at 10^8
+    users that is the whole job)."""
+    try:
+        import ray
+
+        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n_parts = 8
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "ts": pa.array(batch["ts"].cast(pa.int64()).to_numpy(),
+                           pa.int64()),
+            "part": pa.array(u % n_parts, pa.int64()),
         })
 
-    return (ds.groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+    gap_us = gap_seconds * 1_000_000
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = new_user.copy()
+        starts[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        uu, idx, cnt = np.unique(u, return_index=True,
+                                 return_counts=True)
+        sess = np.add.reduceat(starts.astype(np.int64), idx)
+        return pd.DataFrame({
+            "user_id": uu,
+            "n_sessions": sess,
+            "n_events": cnt.astype(np.int64),
+        })
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
 
 
 def revenue_by_nation(orders_ds, customer_tbl: pa.Table,
