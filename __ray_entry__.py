@@ -107,11 +107,18 @@ def _read_sized(path: str, columns: list[str] | None = None):
 
 
 def _docs(sf_dir: str):
-    return _read_sized(os.path.join(sf_dir, "documents.parquet"))
+    # prune at the read: no pipeline consumes source/n_chars (verified);
+    # queries needing narrower slices do their own _read_sized
+    return _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "lang"])
 
 
 def _events(sf_dir: str):
-    return _read_sized(os.path.join(sf_dir, "events.parquet"))
+    # props (a wide JSON string) is consumed by no pipeline — never
+    # read it
+    return _read_sized(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "ts", "user_id",
+                                "event_type", "value"])
 
 
 def _q_dedup_exact(sf_dir: str):
