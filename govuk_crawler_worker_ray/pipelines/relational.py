@@ -322,12 +322,24 @@ def asof_join_events(ds, left_type: str = "purchase",
 
     Right-side ties on (user_id, ts) are pre-aggregated to max(value)
     so the match is deterministic.  Timestamps/values travel as int64
-    micros for oracle-exact comparison."""
+    micros for oracle-exact comparison.
+
+    Partition-vectorized: users hash to ~2x CPU partitions and each
+    partition runs ONE ``pd.merge_asof(by=user_id)`` over all of its
+    users — no per-user map_groups dispatch."""
+    try:
+        import ray
+
+        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n_parts = 8
+
     def narrow(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["event_type"],
                         value_set=pa.array([left_type, right_type]))
         b = batch.filter(mask)
         side = pc.cast(pc.equal(b["event_type"], right_type), pa.int8())
+        u = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": b["event_id"],
             "user_id": b["user_id"],
@@ -336,11 +348,13 @@ def asof_join_events(ds, left_type: str = "purchase",
                 np.rint(b["value"].to_numpy(zero_copy_only=False)
                         * 1_000_000).astype(np.int64), pa.int64()),
             "side": side,
+            "part": pa.array(u % n_parts, pa.int64()),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0].sort_values(["ts_micros", "event_id"])
-        b = g[g["side"] == 1]
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g[g["side"] == 0]
+             .sort_values(["ts_micros", "event_id"], kind="stable")
+             .reset_index(drop=True))
         n = len(a)
         if n == 0:
             # typed empty: object-dtype empties poison the block schema
@@ -349,18 +363,23 @@ def asof_join_events(ds, left_type: str = "purchase",
             return pd.DataFrame({"event_id": z, "user_id": z,
                                  "ts_micros": z, "right_ts_micros": z,
                                  "right_value_micros": z})
+        b = g[g["side"] == 1]
         right_ts = np.full(n, -1, dtype=np.int64)
         right_val = np.full(n, -1, dtype=np.int64)
         if len(b):
-            bb = (b.groupby("ts_micros", as_index=False)["value_micros"]
-                  .max().sort_values("ts_micros"))
-            bts = bb["ts_micros"].to_numpy()
-            bval = bb["value_micros"].to_numpy()
-            idx = np.searchsorted(bts, a["ts_micros"].to_numpy(),
-                                  side="right") - 1
-            hit = idx >= 0
-            right_ts[hit] = bts[idx[hit]]
-            right_val[hit] = bval[idx[hit]]
+            bb = (b.groupby(["user_id", "ts_micros"],
+                            as_index=False)["value_micros"].max()
+                  .sort_values("ts_micros", kind="stable")
+                  .reset_index(drop=True))
+            bb["right_ts_micros"] = bb["ts_micros"]
+            m = pd.merge_asof(
+                a[["user_id", "ts_micros"]], bb,
+                on="ts_micros", by="user_id", direction="backward")
+            hit = m["right_ts_micros"].notna().to_numpy()
+            right_ts[hit] = m["right_ts_micros"].to_numpy()[
+                hit].astype(np.int64)
+            right_val[hit] = m["value_micros"].to_numpy()[
+                hit].astype(np.int64)
         return pd.DataFrame({
             "event_id": a["event_id"].to_numpy(),
             "user_id": a["user_id"].to_numpy(),
@@ -370,8 +389,8 @@ def asof_join_events(ds, left_type: str = "purchase",
         })
 
     return (ds.map_batches(narrow, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(per_part, batch_format="pandas"))
 
 
 # deterministic maintenance-window intervals for range_join_events:
