@@ -394,6 +394,14 @@ def _q_quality_filter(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_pii_scrub(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import pii_scrub
+
+    return pii_scrub(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_bigram_fluency(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         bigram_fluency,
@@ -864,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "incremental_dedup": _q_incremental_dedup,
         "bigram_fluency": _q_bigram_fluency,
+        "pii_scrub": _q_pii_scrub,
         "pricing_summary": _q_pricing_summary,
         "pack_offsets": _q_pack_offsets,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -960,6 +969,33 @@ def _bpe_sql() -> str:
     rx = BPE_TOKEN_RE.replace("'", "''")
     return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{rx}')) "
             "AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
+def _pii_scrub_sql() -> str:
+    """Mirrors text_analysis.pii_scrub_batch kernel-for-kernel (same
+    RE2 patterns, same order: url -> email -> phone)."""
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        _PII_EMAIL,
+        _PII_PHONE,
+        _PII_URL,
+    )
+
+    return (
+        "WITH s1 AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) "
+        "AS n_urls, "
+        f"regexp_replace(text, '{_PII_URL}', '<url>', 'g') AS t "
+        "FROM documents), "
+        "s2 AS (SELECT doc_id, n_urls, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) "
+        "AS n_emails, "
+        f"regexp_replace(t, '{_PII_EMAIL}', '<email>', 'g') AS t "
+        "FROM s1) "
+        "SELECT doc_id, "
+        f"regexp_replace(t, '{_PII_PHONE}', '<phone>', 'g') "
+        "AS scrubbed_text, n_urls, n_emails, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) "
+        "AS n_phones FROM s2")
 
 
 def _dataset_split_sql() -> str:
@@ -1318,6 +1354,9 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 17 <> 0"),
+        # PII masking: patterns imported from the pipeline module so
+        # the oracle can never drift
+        "pii_scrub": _pii_scrub_sql(),
         # mean corpus-wide bigram count per doc (integer sums, one
         # double division — bit-exact)
         "bigram_fluency": (

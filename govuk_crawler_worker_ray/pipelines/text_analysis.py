@@ -258,6 +258,39 @@ def normalize_texts(ds):
     return ds.map_batches(normalize_batch, batch_format="pyarrow")
 
 
+# PII/scrub patterns (RE2-safe: no lookbehind; identical engine in
+# pyarrow and DuckDB so the SQL oracle matches byte-for-byte)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """C4/CCNet-style PII masking: emails -> ``<email>``, URLs ->
+    ``<url>``, phone-like digit runs -> ``<phone>``, with per-doc mask
+    counts (the audit column every scrub pass ships with).  Pure RE2
+    kernel chain — zero Python per row; order matters (URLs first so
+    an address inside a URL doesn't double-mask)."""
+    t = batch["text"]
+    n_url = pc.count_substring_regex(t, _PII_URL)
+    t = pc.replace_substring_regex(t, _PII_URL, "<url>")
+    n_email = pc.count_substring_regex(t, _PII_EMAIL)
+    t = pc.replace_substring_regex(t, _PII_EMAIL, "<email>")
+    n_phone = pc.count_substring_regex(t, _PII_PHONE)
+    t = pc.replace_substring_regex(t, _PII_PHONE, "<phone>")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "scrubbed_text": t,
+        "n_urls": pc.cast(n_url, pa.int64()),
+        "n_emails": pc.cast(n_email, pa.int64()),
+        "n_phones": pc.cast(n_phone, pa.int64()),
+    })
+
+
+def pii_scrub(ds):
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
 # GPT-2-family pretokenizer shape (public: Radford et al. 2019 release):
 # contraction suffixes, letter runs, digit runs, punctuation runs,
 # whitespace — RE2-compatible (no lookahead), identical counts in

@@ -64,7 +64,7 @@ ORACLE_KEYS = [
     "pricing_summary", "semantic_dedup", "pack_offsets",
     "distinctive_terms", "quality_filter", "heavy_hitters",
     "dataset_split", "incremental_dedup", "bigram_fluency",
-    "deterministic_shuffle",
+    "deterministic_shuffle", "pii_scrub",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

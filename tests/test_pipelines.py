@@ -734,3 +734,39 @@ def test_distinctive_terms_paths_agree(ray_session):
     b = (distinctive_terms(ds, distributed=True).to_pandas()[key]
          .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_pii_scrub_masks_planted_pii(ray_session):
+    """The fixture corpus has no PII (vacuous-but-exact oracle), so pin
+    the non-vacuous behavior here: the engine kernel must mask planted
+    emails/URLs/phones exactly like the same RE2 chain run in DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        pii_scrub_batch,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at bob.smith+x@gov.uk today",
+            "see https://example.com/a?b=1 and +44 (0)20 7946 0958 ok",
+            "plain text only",
+            "two mails a@b.io c@d.org and http://x.y plus 0123456789",
+        ], pa.string()),
+    })
+    got = pii_scrub_batch(tbl).to_pandas()
+    assert got["n_emails"].sum() >= 3
+    assert got["n_urls"].sum() >= 2
+    assert got["n_phones"].sum() >= 2
+    assert "<email>" in got["scrubbed_text"][0]
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.sql(entrymod.oracle_sql()["pii_scrub"]).df()
+    key = ["doc_id", "scrubbed_text", "n_urls", "n_emails", "n_phones"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values("doc_id").reset_index(drop=True),
+        want[key].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
