@@ -770,3 +770,90 @@ def test_pii_scrub_masks_planted_pii(ray_session):
         got[key].sort_values("doc_id").reset_index(drop=True),
         want[key].sort_values("doc_id").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_pack_offsets_is_exclusive_prefix_sum(ray_session):
+    """Random corpus incl. empty docs, multiple buckets: tok_start must
+    be the exclusive cumsum of token counts in doc_id order, and the
+    sequence span must cover exactly ceil(total/B) sequences."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.packing import pack_offsets
+
+    rng = np.random.default_rng(13)
+    texts = []
+    for i in range(300):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(
+            rng.choice(["a", "bb", "ccc", "dd"], size=n)) if n else "")
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (pack_offsets(rd.from_arrow(tbl).repartition(7),
+                        seq_tokens=16, bucket_docs=32)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    n_tok = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    assert (out["n_tokens"].to_numpy() == n_tok).all()
+    want_start = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    assert (out["tok_start"].to_numpy() == want_start).all()
+    assert (out["seq_first"].to_numpy() == want_start // 16).all()
+    occ = np.maximum(n_tok, 1)
+    assert (out["seq_last"].to_numpy()
+            == (want_start + occ - 1) // 16).all()
+
+
+def test_chunk_dedup_matches_bruteforce(ray_session):
+    """Random corpus with planted duplicated chunks: the distributed
+    result equals a sequential first-occurrence reimplementation."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import chunk_dedup
+
+    rng = np.random.default_rng(21)
+    vocab = ["w%d" % i for i in range(12)]
+    texts = []
+    for i in range(120):
+        toks = list(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        texts.append(" ".join(toks))
+    # plant exact chunk repeats: doc 100.. copy earlier docs
+    for i in range(100, 120):
+        texts[i] = texts[i - 100]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (chunk_dedup(rd.from_arrow(tbl).repartition(5),
+                       chunk_tokens=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # sequential truth
+    seen, want = set(), {}
+    for d, t in enumerate(texts):
+        toks = t.split()
+        kept = []
+        for c in range(0, len(toks), 4):
+            ch = " ".join(toks[c:c + 4])
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        if kept:
+            want[d] = (" ".join(kept), len(kept))
+    assert list(got["doc_id"]) == sorted(want)
+    for _, r in got.iterrows():
+        wt, wn = want[r["doc_id"]]
+        assert r["kept_text"] == wt and r["n_kept"] == wn
+
+
+def test_deterministic_shuffle_is_stable_permutation(ray_session):
+    """shuffle_pos must be a permutation of 0..N-1 and identical across
+    different input partitionings."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.packing import (
+        deterministic_shuffle,
+    )
+
+    tbl = pa.table({"doc_id": pa.array(range(777), pa.int64())})
+    a = (deterministic_shuffle(rd.from_arrow(tbl).repartition(3))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (deterministic_shuffle(rd.from_arrow(tbl).repartition(11))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert sorted(a["shuffle_pos"]) == list(range(777))
+    assert (a["shuffle_pos"].to_numpy()
+            == b["shuffle_pos"].to_numpy()).all()
