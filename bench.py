@@ -165,7 +165,9 @@ def bench_queries() -> dict:
              "asof_join", "sliding_window", "kmv_distinct", "token_df",
              # late-round-3 additions (same caveat)
              "chunk_dedup", "semantic_dedup", "repetition_stats",
-             "pricing_summary", "pack_offsets", "distinctive_terms"]
+             "pricing_summary", "pack_offsets", "distinctive_terms",
+             "incremental_dedup", "deterministic_shuffle",
+             "bigram_fluency", "quality_filter", "pii_scrub"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
