@@ -1118,6 +1118,11 @@ def oracle_sql() -> dict[str, str]:
     gmed = write_media_goldens(
         os.path.join(oracle_sf, "documents.parquet"),
         "/tmp/gcw_goldens")
+    from govuk_crawler_worker_ray.goldens import write_minhash_goldens
+
+    gmh = write_minhash_goldens(
+        os.path.join(oracle_sf, "documents.parquet"),
+        "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
     go = os.path.join(d, "golden_crawl_order.parquet")
     gs = os.path.join(d, "golden_seen.parquet")
@@ -1622,8 +1627,15 @@ def oracle_sql() -> dict[str, str]:
         # the whole curation handoff is SQL-expressible over the crawl's
         # own parquet output (span unnest + string_agg + winner join)
         "curate_crawl": _curate_oracle_sql(),
-        # minhash_neardup / neardup_components: non-SQL-expressible
-        # (banding + iterative label propagation over a hash family) —
-        # rows-only checks; pinned by the planted-fixture pair/component
-        # tests instead.
+        # minhash-LSH pairs + components: scalar-twin goldens (pure
+        # Python int re-implementation of the banding spec + union-find
+        # vs the engine's vectorized numpy path and distributed
+        # min-label propagation — goldens.py, same two-implementations
+        # pattern as simhash/ann_lsh)
+        "minhash_neardup": (
+            "SELECT doc_a, doc_b, jaccard FROM "
+            f"read_parquet('{gmh['minhash_neardup']}')"),
+        "neardup_components": (
+            "SELECT doc_id, component FROM "
+            f"read_parquet('{gmh['neardup_components']}')"),
     }

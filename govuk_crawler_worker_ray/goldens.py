@@ -457,3 +457,166 @@ def write_media_goldens(documents_path: str, out_dir: str) -> dict:
     with open(marker, "w") as f:
         f.write(mtime)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# minhash-LSH near-dup + components scalar twins
+# ---------------------------------------------------------------------------
+# Independent pure-Python-int re-implementation of the minhash_neardup
+# contract (pipelines/dedup.py docstrings state the spec): whitespace
+# tokens -> per-token 64-bit blake2b -> k-word shingle hash as a
+# degree-k polynomial in base P with uint64 WRAPAROUND arithmetic ->
+# 64 permutations (a*x+b, products/sums wrapping mod 2^64, reduced mod
+# the Mersenne prime 2^61-1) with per-doc minima -> 16 bands x 4 rows
+# folded through a splitmix64 finalizer -> bucket by band key -> exact
+# Jaccard (over shingle-hash sets) >= threshold within collided
+# buckets.  The permutation constants are contract constants generated
+# by numpy default_rng(12345) exactly as the ann_lsh hyperplanes are;
+# every arithmetic step here is plain Python int, no shared kernel
+# code with the vectorized engine path.
+
+_MH_P = 1099511628211
+_MH_M61 = (1 << 61) - 1
+_MH_PERM = 64
+_MH_BANDS = 16
+_MH_ROWS = _MH_PERM // _MH_BANDS
+
+
+def _mh_constants() -> tuple[list[int], list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.integers(1, np.uint64(_MH_M61), size=_MH_PERM,
+                     dtype=np.uint64)
+    b = rng.integers(0, np.uint64(_MH_M61), size=_MH_PERM,
+                     dtype=np.uint64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def _mh_mix64(x: int) -> int:
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _mh_shingles(text: str, k: int = 5) -> list[int]:
+    toks = text.split()
+    if not toks:
+        return []
+    th = [int.from_bytes(
+        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+        "big") for t in toks]
+    kk = min(k, len(toks))
+    pows = [pow(_MH_P, kk - 1 - j, 1 << 64) for j in range(kk)]
+    out = []
+    for i in range(len(th) - kk + 1):
+        s = 0
+        for j in range(kk):
+            s += th[i + j] * pows[j]
+        out.append(s & _MASK64)
+    return out
+
+
+def minhash_pairs_scalar(ids: list[int], texts: list[str],
+                         threshold: float = 0.8,
+                         k: int = 5) -> "pa.Table":
+    a_const, b_const = _mh_constants()
+    sets: list[set] = []
+    buckets: dict[int, list[int]] = {}
+    for idx, text in enumerate(texts):
+        sh = _mh_shingles(text, k)
+        sets.append(set(sh))
+        sig = []
+        for p in range(_MH_PERM):
+            ap, bp = a_const[p], b_const[p]
+            if sh:
+                m = min(((ap * x + bp) & _MASK64) % _MH_M61 for x in sh)
+            else:
+                m = 0
+            sig.append(m)
+        for band in range(_MH_BANDS):
+            acc = (0x9E3779B97F4A7C15 + 2654435761 * band) & _MASK64
+            for r in range(_MH_ROWS):
+                acc = _mh_mix64(acc ^ sig[band * _MH_ROWS + r])
+            buckets.setdefault(acc >> 1, []).append(idx)
+    pairs: dict[tuple[int, int], float] = {}
+    for rows in buckets.values():
+        if len(rows) < 2:
+            continue
+        rows = sorted(rows, key=lambda i: ids[i])
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                da, db = ids[rows[x]], ids[rows[y]]
+                if (da, db) in pairs:
+                    continue
+                sa, sb = sets[rows[x]], sets[rows[y]]
+                if not sa and not sb:
+                    j = 1.0
+                elif not sa or not sb:
+                    j = 0.0
+                else:
+                    j = len(sa & sb) / len(sa | sb)
+                if j >= threshold:
+                    pairs[(da, db)] = round(j, 6)
+    keys = sorted(pairs)
+    return pa.table({
+        "doc_a": pa.array([p[0] for p in keys], pa.int64()),
+        "doc_b": pa.array([p[1] for p in keys], pa.int64()),
+        "jaccard": pa.array([pairs[p] for p in keys], pa.float64()),
+    })
+
+
+def neardup_components_scalar(pairs: "pa.Table") -> "pa.Table":
+    """Union-find twin of the engine's distributed min-label
+    propagation: component = min doc_id reachable from the node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"].to_pylist(),
+                    pairs["doc_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((d, find(d)) for d in parent)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "component": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def write_minhash_goldens(documents_path: str, out_dir: str) -> dict:
+    """Persist minhash_neardup + neardup_components scalar-twin
+    goldens (threshold 0.8, k=5 — the queries' contract constants);
+    idempotent via source mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "minhash_neardup": os.path.join(
+            out_dir, "golden_minhash_pairs.parquet"),
+        "neardup_components": os.path.join(
+            out_dir, "golden_neardup_components.parquet"),
+    }
+    marker = os.path.join(out_dir, "golden_minhash_mtime")
+    mtime = str(os.path.getmtime(documents_path))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == mtime and all(os.path.exists(p)
+                                         for p in paths.values()):
+                return paths
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    pairs = minhash_pairs_scalar(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist())
+    pq.write_table(pairs, paths["minhash_neardup"])
+    pq.write_table(neardup_components_scalar(pairs),
+                   paths["neardup_components"])
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return paths

@@ -65,6 +65,7 @@ ORACLE_KEYS = [
     "distinctive_terms", "quality_filter", "heavy_hitters",
     "dataset_split", "incremental_dedup", "bigram_fluency",
     "deterministic_shuffle", "pii_scrub",
+    "minhash_neardup", "neardup_components",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
@@ -85,7 +86,7 @@ def test_query_matches_oracle(harness, name):
 
 
 ROWS_ONLY_KEYS = ["fingerprint", "ann_lsh", "embedding_neardup",
-                  "minhash_neardup", "simhash", "curate_crawl"]
+                  "simhash", "curate_crawl"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)

@@ -58,6 +58,30 @@ def test_minhash_neardup(docs_ds):
     assert cd[0] == cd[1] == cd[5] == 0
 
 
+def test_minhash_scalar_twin_matches_engine(docs_ds):
+    """The pure-Python scalar twin (goldens.py — the oracle for
+    minhash_neardup / neardup_components) must match the engine's
+    vectorized numpy path bit-for-bit: same pairs, same float jaccard,
+    same components."""
+    from govuk_crawler_worker_ray.goldens import (
+        minhash_pairs_scalar,
+        neardup_components_scalar,
+    )
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    t = _docs_table()
+    for thr in (0.5, 0.8):
+        eng = minhash_lsh_dedup(docs_ds, threshold=thr)
+        twin = minhash_pairs_scalar(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist(), threshold=thr)
+        assert eng.to_pydict() == twin.to_pydict()
+        assert (connected_components(eng).to_pydict()
+                == neardup_components_scalar(twin).to_pydict())
+
+
 def test_minhash_distributed_equals_broadcast(docs_ds):
     """The join shape (no driver collection; ROADMAP #3) must produce
     the exact pair set of the broadcast shape."""
