@@ -835,6 +835,67 @@ def _q_pages_by_host(sf_dir: str):
     return count_by_host_salted(ds)
 
 
+def _q_priority_sample(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sampling import priority_sample
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return priority_sample(docs)
+
+
+def _q_tfidf_rank(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import tfidf_rank
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return tfidf_rank(docs)
+
+
+def _q_embedding_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        embedding_stats,
+    )
+
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    return embedding_stats(emb)
+
+
+def _q_label_centroids(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        label_centroids,
+    )
+
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding", "label"])
+    return label_centroids(emb)
+
+
+def _q_semi_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customers_with_orders,
+    )
+
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name"])
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    return customers_with_orders(cust, orders)
+
+
+def _q_left_outer_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customer_order_details,
+    )
+
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name"])
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+    return customer_order_details(cust, orders)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -894,6 +955,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
         "quantize_embeddings": _q_quantize_embeddings,
+        "priority_sample": _q_priority_sample,
+        "tfidf_rank": _q_tfidf_rank,
+        "embedding_stats": _q_embedding_stats,
+        "label_centroids": _q_label_centroids,
+        "semi_join": _q_semi_join,
+        "left_outer_join": _q_left_outer_join,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1548,6 +1615,71 @@ def oracle_sql() -> dict[str, str]:
             "floor(abs(127 * x / m) + 0.5) * "
             "(CASE WHEN x < 0 THEN -1 ELSE 1 END) END AS BIGINT)), ',') "
             "AS qvec_csv FROM m"),
+        # integer-exact priority sampling (Duffield-Lund-Thorup): same
+        # clamp, same 43-bit hash fraction, same int64 division
+        "priority_sample": (
+            "SELECT doc_id, priority FROM (SELECT doc_id, "
+            "(least(length(text) + 1, 524287) * (1::BIGINT << 43)) // "
+            "CAST(1 + (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+            "16))::UBIGINT >> 21) AS BIGINT) AS priority FROM documents) "
+            "ORDER BY priority DESC, doc_id LIMIT 25"),
+        # integer-scaled tf-idf: token-exact tf via split + equality,
+        # idf = (N << 20) // df — no ln, so the BIGINT scores compare
+        # exactly
+        "tfidf_rank": (
+            "WITH tf AS (SELECT doc_id, "
+            r"len(list_filter(string_split_regex(text, '\s+'), "
+            "x -> x = 'table')) AS t1, "
+            r"len(list_filter(string_split_regex(text, '\s+'), "
+            "x -> x = 'hash')) AS t2, "
+            r"len(list_filter(string_split_regex(text, '\s+'), "
+            "x -> x = 'merge')) AS t3 FROM documents), "
+            "c AS (SELECT count(*) AS n, "
+            "count(*) FILTER (WHERE t1 > 0) AS d1, "
+            "count(*) FILTER (WHERE t2 > 0) AS d2, "
+            "count(*) FILTER (WHERE t3 > 0) AS d3 FROM tf) "
+            "SELECT doc_id, "
+            "t1 * (CASE WHEN d1 = 0 THEN 0 ELSE (n * 1048576) // d1 END) "
+            "+ t2 * (CASE WHEN d2 = 0 THEN 0 ELSE (n * 1048576) // d2 END) "
+            "+ t3 * (CASE WHEN d3 = 0 THEN 0 ELSE (n * 1048576) // d3 END) "
+            "AS score FROM tf, c ORDER BY score DESC, doc_id LIMIT 25"),
+        # per-dim moments over the int8 codes (same quantization
+        # expression the quantize_embeddings oracle pins): integer sums
+        # are order-independent, the mean/var doubles are one exact-int
+        # division each
+        "embedding_stats": (
+            "WITH m AS (SELECT CAST(embedding AS DOUBLE[]) AS v, "
+            "list_max(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> abs(x))) AS mx FROM embeddings), "
+            "q AS (SELECT d.i AS dim, CASE WHEN mx = 0 THEN 0 ELSE "
+            "CAST(floor(abs(127 * v[d.i + 1] / mx) + 0.5) * "
+            "(CASE WHEN v[d.i + 1] < 0 THEN -1 ELSE 1 END) AS BIGINT) "
+            "END AS qv FROM m, range(64) d(i)) "
+            "SELECT dim, count(*) AS n_vecs, sum(qv) AS sum_q, "
+            "CAST(sum(qv) AS DOUBLE) / count(*) AS mean_q, "
+            "CAST(count(*) * sum(qv * qv) - sum(qv) * sum(qv) AS DOUBLE)"
+            " / (count(*) * count(*)) AS var_q FROM q GROUP BY dim"),
+        "label_centroids": (
+            "WITH m AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(embedding AS DOUBLE[]) AS v, "
+            "list_max(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> abs(x))) AS mx FROM embeddings), "
+            "q AS (SELECT label, d.i AS dim, CASE WHEN mx = 0 THEN 0 "
+            "ELSE CAST(floor(abs(127 * v[d.i + 1] / mx) + 0.5) * "
+            "(CASE WHEN v[d.i + 1] < 0 THEN -1 ELSE 1 END) AS BIGINT) "
+            "END AS qv FROM m, range(64) d(i)) "
+            "SELECT label, dim, count(*) AS n_vecs, "
+            "CAST(sum(qv) AS DOUBLE) / count(*) AS centroid_q "
+            "FROM q GROUP BY label, dim"),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_totalprice >= 450000.0)"),
+        "left_outer_join": (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
+            "FROM customer c LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_totalprice >= 450000.0) o "
+            "ON c.c_custkey = o.o_custkey"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

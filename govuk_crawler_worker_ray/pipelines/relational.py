@@ -794,3 +794,58 @@ def events_pivot(ds):
     # detail outgrows one batch
     return detail.repartition(1).map_batches(
         widen, batch_format="pyarrow", batch_size=None)
+
+
+HIGH_VALUE_ORDER = 450000.0
+
+
+def customers_with_orders(customer_ds, orders_ds,
+                          min_total: float = HIGH_VALUE_ORDER,
+                          num_partitions: int = 8):
+    """SEMI join: customers having at least one high-value order —
+    SQL's EXISTS, via Ray Data's native ``join_type="left_semi"``.
+    The probe side is predicate-filtered AND projected to the single
+    int64 key column inside ``map_batches`` BEFORE the exchange (only
+    qualifying keys shuffle), the partitioned complement of the
+    broadcast semi-join used when the probe set is small enough to
+    ``ray.put``.  Output: (c_custkey, c_name)."""
+    left = customer_ds.map_batches(
+        lambda b: b.select(["c_custkey", "c_name"]),
+        batch_format="pyarrow")
+
+    def keys(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["o_totalprice"], min_total)
+        return pa.table({"o_custkey": b.filter(keep)["o_custkey"]})
+
+    return left.join(orders_ds.map_batches(keys, batch_format="pyarrow"),
+                     "left_semi", num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+def customer_order_details(customer_ds, orders_ds,
+                           min_total: float = HIGH_VALUE_ORDER,
+                           num_partitions: int = 8):
+    """LEFT OUTER join: every customer with each of their high-value
+    orders, NULL order columns for customers with none — the
+    null-preserving enrichment join (native ``join_type="left_outer"``
+    hash exchange; the filter runs pre-shuffle and the non-key columns
+    pass through untouched, so value parity is exact with no
+    arithmetic involved).  Output: (c_custkey, c_name, o_orderkey,
+    o_totalprice)."""
+    left = customer_ds.map_batches(
+        lambda b: b.select(["c_custkey", "c_name"]),
+        batch_format="pyarrow")
+
+    def right_side(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["o_totalprice"], min_total)
+        return b.filter(keep).select(["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+
+    right = orders_ds.map_batches(right_side, batch_format="pyarrow")
+    joined = left.join(right, "left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    return joined.map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "o_orderkey",
+                            "o_totalprice"]),
+        batch_format="pyarrow")

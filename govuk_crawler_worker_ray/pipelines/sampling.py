@@ -101,3 +101,56 @@ def dataset_split(ds, splits=DEFAULT_SPLITS):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def priority_sample(ds, k: int = 25):
+    """Deterministic weight-proportional priority sample (Duffield,
+    Lund & Thorup, JACM 2007): each doc gets priority = w / u with
+    weight w = n_chars + 1 and u a hash-uniform in (0, 1]; the k
+    largest priorities form the sample.  Keyed on md5(doc_id) like
+    ``stratified_sample``, so the sample is identical under any
+    re-partitioning, resume, or cluster size — the reproducible
+    "sample 1M docs weighted by length" primitive.
+
+    Integer-exact contract so the DuckDB oracle hashes bit-for-bit:
+    u is the top 43 bits of md5(doc_id) and priority is the int64
+    (w << 43) // (1 + u)  (max ~2^50 for document-scale weights, no
+    overflow).  Output (doc_id, priority), priority desc / doc_id asc.
+
+    Plan shape: pure per-row scoring in ``map_batches`` + per-batch
+    partial top-k + driver merge of k rows/batch — no Sort operator,
+    no shuffle (the top_docs_by_length pattern)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    shift = np.int64(1 << 43)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "priority": pa.array([], pa.int64())})
+        # clamp so (w << 43) stays below 2^62 — same clamp in the SQL
+        w = np.minimum(
+            pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy() + 1,
+            (1 << 19) - 1)
+        u = np.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[:16], 16) >> 21
+             for d in ids], dtype=np.int64)
+        prio = (w * shift) // (1 + u)
+        order = np.lexsort((ids, -prio))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "priority": pa.array(prio[order], pa.int64())})
+
+    parts = [b for b in (ds.map_batches(partial, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))
+             if b.num_rows]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "priority": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts)
+    ids = allp["doc_id"].to_numpy()
+    prio = allp["priority"].to_numpy()
+    order = np.lexsort((ids, -prio))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "priority": pa.array(prio[order], pa.int64())})

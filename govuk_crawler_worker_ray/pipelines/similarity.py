@@ -544,6 +544,30 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95) -> pa.Table:
                                         pa.float64())})
 
 
+def _quantize_codes(col) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Shared int8-quantization kernel over an Arrow list<float>
+    column: returns (q_flat int64 codes, offsets, lens, scale) — the
+    exact arithmetic the quantize_embeddings oracle pins (float64
+    127*x/max|x|, half-away-from-zero rounding, zero-vector guard)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    lens = np.diff(offs)
+    n = len(lens)
+    starts = offs[:-1]
+    m = np.zeros(n, dtype=np.float64)
+    ne = lens > 0
+    if ne.any():
+        m[ne] = np.maximum.reduceat(np.abs(flat), starts[ne])
+    mrep = np.repeat(np.where(m == 0, 1.0, m), lens)
+    scaled = 127.0 * flat / mrep
+    q = (np.sign(scaled)
+         * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    q[np.repeat(m == 0, lens)] = 0
+    return q, offs, lens, m
+
+
 def quantize_embeddings(ds):
     """int8 scalar quantization per vector — the storage/bandwidth path
     for ANN at 10^10 vectors (4 bytes -> 1 byte per dim; IVF/LSH probe
@@ -558,21 +582,8 @@ def quantize_embeddings(ds):
     Zero vectors quantize to zeros (scale 0 guarded identically on
     both sides)."""
     def qb(batch: pa.Table) -> pa.Table:
-        arr = batch["embedding"].combine_chunks()
-        offs = arr.offsets.to_numpy().astype(np.int64)
-        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        lens = np.diff(offs)
-        n = len(lens)
+        q, offs, lens, m = _quantize_codes(batch["embedding"])
         starts = offs[:-1]
-        m = np.zeros(n, dtype=np.float64)
-        ne = lens > 0
-        if ne.any():
-            m[ne] = np.maximum.reduceat(np.abs(flat), starts[ne])
-        mrep = np.repeat(np.where(m == 0, 1.0, m), lens)
-        scaled = 127.0 * flat / mrep
-        q = (np.sign(scaled)
-             * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
-        q[np.repeat(m == 0, lens)] = 0
         csv = [",".join(map(str, q[s:s + ln]))
                for s, ln in zip(starts, lens)]
         return pa.table({
@@ -582,6 +593,111 @@ def quantize_embeddings(ds):
         })
 
     return ds.map_batches(qb, batch_format="pyarrow")
+
+
+def embedding_stats(ds):
+    """Per-dimension corpus moments over the int8-quantized codes:
+    (dim, n_vecs, sum_q, mean_q, var_q) — the single-pass profile every
+    embedding-table health check needs (dead dims, scale drift) and the
+    k-means/PCA building block.
+
+    Quantized codes make the moments INTEGER-exact and therefore
+    order-independent: float sums differ by partition order, int sums
+    never do, so the result is reproducible at any cluster size and
+    SQL-oracle-able.  Plan: per-batch partial (dim, n, sum, sumsq) —
+    64 rows per batch regardless of batch size (np.add.reduceat over
+    the flattened codes) — ONE tiny groupby(dim), then a final map
+    derives mean/var doubles from the exact integers (single division
+    each, deterministic)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        q, offs, lens, _ = _quantize_codes(b["embedding"])
+        if len(lens) == 0 or lens.max() == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_s": pa.array([], pa.int64()),
+                             "p_ss": pa.array([], pa.int64())})
+        d = int(lens.max())
+        # uniform-length vectors: reshape is the vectorized per-dim sum
+        qm = q.reshape(-1, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "p_n": pa.array(np.full(d, qm.shape[0], dtype=np.int64)),
+            "p_s": pa.array(qm.sum(axis=0, dtype=np.int64)),
+            "p_ss": pa.array((qm * qm).sum(axis=0, dtype=np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("p_n", alias_name="n_vecs"),
+                      Sum("p_s", alias_name="sum_q"),
+                      Sum("p_ss", alias_name="sumsq_q")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_vecs"].to_numpy()
+        s = b["sum_q"].to_numpy()
+        ss = b["sumsq_q"].to_numpy()
+        return pa.table({
+            "dim": b["dim"],
+            "n_vecs": b["n_vecs"],
+            "sum_q": b["sum_q"],
+            "mean_q": pa.array(s / n, pa.float64()),
+            "var_q": pa.array((n * ss - s * s) / (n * n), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def label_centroids(ds):
+    """Per-label centroid over the int8-quantized codes: (label, dim,
+    n_vecs, centroid_q) — the k-means E/M-step shape (and the class-
+    prototype primitive for embedding-based curation).
+
+    Same integer-exact combiner story as ``embedding_stats``: each
+    batch reduces to |labels in batch| x d partial-sum rows via a
+    vectorized np.add.at scatter, one groupby((label, dim)) merges
+    them, and the centroid double is a single exact-int division."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        q, offs, lens, _ = _quantize_codes(b["embedding"])
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lens) == 0 or lens.max() == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_s": pa.array([], pa.int64())})
+        d = int(lens.max())
+        qm = q.reshape(-1, d)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, qm)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "p_n": pa.array(np.repeat(cnt, d)),
+            "p_s": pa.array(sums.ravel()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("p_n", alias_name="n_vecs"),
+                      Sum("p_s", alias_name="sum_q")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_vecs"].to_numpy()
+        s = b["sum_q"].to_numpy()
+        return pa.table({
+            "label": b["label"],
+            "dim": b["dim"],
+            "n_vecs": b["n_vecs"],
+            "centroid_q": pa.array(s / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

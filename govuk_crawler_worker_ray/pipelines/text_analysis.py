@@ -698,3 +698,99 @@ def length_histogram(ds):
             .groupby("bucket")
             .aggregate(Sum("partial_n", alias_name="n_docs"),
                        Sum("partial_c", alias_name="sum_chars")))
+
+
+# ---------------------------------------------------------------------------
+# sparse retrieval: integer-scaled tf-idf ranking against a fixed query
+# ---------------------------------------------------------------------------
+
+TFIDF_QUERY = ("table", "hash", "merge")
+_IDF_SCALE = 1 << 20
+
+
+def tfidf_rank(ds, terms: tuple[str, ...] = TFIDF_QUERY, k: int = 25):
+    """Top-k documents for a bag-of-words query by integer-scaled
+    tf-idf — the sparse-retrieval primitive (quality-classifier seed
+    selection, contamination probes, BM25's exact-arithmetic cousin).
+
+    score(d) = sum_t  tf(t, d) * ((N << 20) // df(t))  over the query
+    terms, with whitespace-token-exact tf (split + equality count, the
+    same integers DuckDB's string_split_regex + list_filter produce);
+    integer throughout so the oracle hashes bit-for-bit (ln-based idf
+    is not reproducible across math libraries).
+
+    Two-phase broadcast plan — the shape that holds at 10^10 docs:
+      1. df pass: per-batch partial (term -> [0/1 per doc] sums) via
+         vectorized split/flatten/reduceat, ONE tiny groupby (|terms|
+         rows), driver computes the |terms| integer idfs and
+         ``ray.put``s them;
+      2. score pass: per-batch tf x broadcast idf + partial top-k,
+         driver merges k rows/batch.  No all-to-all anywhere.
+    Output (doc_id, score), score desc / doc_id asc."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tf_counts(col: pa.ChunkedArray | pa.Array,
+                  term: str) -> np.ndarray:
+        toks = pc.split_pattern_regex(col, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        eq = pc.cast(pc.equal(toks.values, term),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        eq = np.nan_to_num(eq).astype(np.int64)
+        out = np.zeros(len(toks), dtype=np.int64)
+        lens = np.diff(offs)
+        ne = lens > 0
+        if ne.any():
+            out[ne] = np.add.reduceat(eq, offs[:-1][ne])
+        return out
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for t in terms:
+            nz = int((tf_counts(b["text"], t) > 0).sum())
+            rows.append((t, nz, len(b)))
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "p_df": pa.array([r[1] for r in rows], pa.int64()),
+            "p_n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    dft = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("p_df", alias_name="df"),
+                      Sum("p_n", alias_name="n")))
+    dfd = {r["term"]: (int(r["df"]), int(r["n"]))
+           for r in dft.iter_rows()}
+    n_docs = next(iter(dfd.values()))[1] if dfd else 0
+    idf = {t: ((n_docs * _IDF_SCALE) // df if df else 0)
+           for t, (df, _) in dfd.items()}
+    idf_ref = ray.put(idf)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        idf_ = ray.get(idf_ref)
+        ids = b["doc_id"].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        score = np.zeros(len(ids), dtype=np.int64)
+        for t in terms:
+            score += tf_counts(b["text"], t) * idf_[t]
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.int64())})
+
+    parts = [b for b in (ds.map_batches(score_partial,
+                                        batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))
+             if b.num_rows]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts)
+    ids = allp["doc_id"].to_numpy()
+    score = allp["score"].to_numpy()
+    order = np.lexsort((ids, -score))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(score[order], pa.int64())})

@@ -66,6 +66,8 @@ ORACLE_KEYS = [
     "dataset_split", "incremental_dedup", "bigram_fluency",
     "deterministic_shuffle", "pii_scrub",
     "minhash_neardup", "neardup_components",
+    "priority_sample", "tfidf_rank", "embedding_stats",
+    "label_centroids", "semi_join", "left_outer_join",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

@@ -881,3 +881,128 @@ def test_deterministic_shuffle_is_stable_permutation(ray_session):
     assert sorted(a["shuffle_pos"]) == list(range(777))
     assert (a["shuffle_pos"].to_numpy()
             == b["shuffle_pos"].to_numpy()).all()
+
+
+def test_priority_sample_exact_and_partition_stable(ray_session):
+    """priority_sample must equal the scalar priority formula computed
+    sequentially, and be identical under any re-partitioning."""
+    import hashlib
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sampling import priority_sample
+
+    texts = [("w" * ((i * 37) % 200 + 1)) for i in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = priority_sample(rd.from_arrow(tbl).repartition(7), k=10)
+    got2 = priority_sample(rd.from_arrow(tbl).repartition(2), k=10)
+    assert got.to_pydict() == got2.to_pydict()
+    # sequential truth
+    want = []
+    for d, t in enumerate(texts):
+        w = min(len(t) + 1, (1 << 19) - 1)
+        u = int(hashlib.md5(str(d).encode()).hexdigest()[:16], 16) >> 21
+        want.append((-((w * (1 << 43)) // (1 + u)), d))
+    want = sorted(want)[:10]
+    assert got["doc_id"].to_pylist() == [d for _, d in want]
+    assert got["priority"].to_pylist() == [-p for p, _ in want]
+
+
+def test_tfidf_rank_matches_sequential(docs_ds):
+    """tfidf_rank's integer scores must equal the sequential
+    formula (token-exact tf, idf = (N << 20) // df)."""
+    from govuk_crawler_worker_ray.pipelines.text_analysis import tfidf_rank
+
+    terms = ("the", "fox", "casa")
+    t = _docs_table()
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    df = {q: sum(1 for x in texts if q in x.split()) for q in terms}
+    idf = {q: (n << 20) // df[q] if df[q] else 0 for q in terms}
+    want = sorted(
+        ((-sum(x.split().count(q) * idf[q] for q in terms), d)
+         for d, x in enumerate(texts)))[:4]
+    got = tfidf_rank(docs_ds, terms=terms, k=4)
+    assert got["doc_id"].to_pylist() == [d for _, d in want]
+    assert got["score"].to_pylist() == [-s for s, _ in want]
+
+
+def _emb_table():
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[3] = 0.0  # zero-vector guard path
+    return pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(40)], pa.int32()),
+    })
+
+
+def test_embedding_stats_and_centroids(ray_session):
+    """Moments/centroids over the int8 codes must equal the sequential
+    quantize-then-sum truth, independent of partitioning."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        embedding_stats,
+        label_centroids,
+    )
+
+    t = _emb_table()
+    # sequential quantization twin
+    q = []
+    for v in t["embedding"].to_pylist():
+        m = max(abs(x) for x in v)
+        if m == 0:
+            q.append([0] * len(v))
+        else:
+            q.append([int(np.floor(abs(127 * float(x) / m) + 0.5)
+                          * (1 if x >= 0 else -1)) for x in v])
+    qm = np.array(q, dtype=np.int64)
+    ds = rd.from_arrow(t).repartition(5)
+    st = embedding_stats(ds).to_pandas().sort_values("dim")
+    assert (st["sum_q"].to_numpy() == qm.sum(axis=0)).all()
+    assert (st["n_vecs"] == 40).all()
+    assert np.array_equal(st["mean_q"].to_numpy(), qm.sum(axis=0) / 40)
+    var = (40 * (qm * qm).sum(axis=0) - qm.sum(axis=0) ** 2) / 1600
+    assert np.array_equal(st["var_q"].to_numpy(), var)
+
+    cen = (label_centroids(ds).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    labels = np.array([i % 3 for i in range(40)])
+    for lab in (0, 1, 2):
+        sub = qm[labels == lab]
+        rows = cen[cen["label"] == lab]
+        assert (rows["n_vecs"] == len(sub)).all()
+        assert np.array_equal(rows["centroid_q"].to_numpy(),
+                              sub.sum(axis=0) / len(sub))
+
+
+def test_semi_and_left_outer_join(ray_session):
+    """left_semi keeps exactly the matched customers; left_outer emits
+    NULL order columns for unmatched ones."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customer_order_details,
+        customers_with_orders,
+    )
+
+    cust = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"], pa.string())}))
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 3, 9], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_totalprice": pa.array([500000.0, 100.0, 600000.0, 700000.0],
+                                 pa.float64())}))
+    semi = customers_with_orders(cust, orders, num_partitions=2
+                                 ).to_pandas().sort_values("c_custkey")
+    assert semi["c_custkey"].tolist() == [1, 3]
+    lo = (customer_order_details(cust, orders, num_partitions=2)
+          .to_pandas().sort_values(["c_custkey", "o_orderkey"]))
+    assert lo["c_custkey"].tolist() == [1, 2, 3, 4]
+    assert lo["o_orderkey"].tolist()[0] == 10
+    assert lo["o_orderkey"].isna().tolist() == [False, True, False, True]
