@@ -896,6 +896,37 @@ def _q_left_outer_join(sf_dir: str):
     return customer_order_details(cust, orders)
 
 
+def _q_full_outer_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customer_activity,
+    )
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return customer_activity(orders, events)
+
+
+def _q_upsert_latest(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import upsert_latest
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type", "value"])
+    return upsert_latest(events)
+
+
+def _q_token_windows(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        token_windows,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return token_windows(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -961,6 +992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "semi_join": _q_semi_join,
         "left_outer_join": _q_left_outer_join,
+        "full_outer_join": _q_full_outer_join,
+        "upsert_latest": _q_upsert_latest,
+        "token_windows": _q_token_windows,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1680,6 +1714,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN "
             "(SELECT * FROM orders WHERE o_totalprice >= 450000.0) o "
             "ON c.c_custkey = o.o_custkey"),
+        # full outer over two pre-aggregated sides; spend in integer
+        # cents (floor(x*100+0.5)) because double sums are
+        # order-dependent.  coalesce mirrors Ray's merged key column.
+        "full_outer_join": (
+            "WITH o AS (SELECT o_custkey, count(*) AS order_cnt, "
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS spend_cents FROM orders GROUP BY o_custkey), "
+            "e AS (SELECT user_id, count(*) AS event_cnt FROM events "
+            "GROUP BY user_id) "
+            "SELECT coalesce(o.o_custkey, e.user_id) AS o_custkey, "
+            "o.order_cnt, o.spend_cents, e.event_cnt "
+            "FROM o FULL JOIN e ON o.o_custkey = e.user_id"),
+        # latest record per key, (ts, event_id) tiebreak — the
+        # recrawl-merge shape
+        "upsert_latest": (
+            "SELECT user_id, event_id, ts, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"),
+        # fixed 32-token tiling windows; token lists must match the
+        # engine's whitespace split exactly (regex \s+, empties dropped)
+        "token_windows": (
+            r"WITH t AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "w AS (SELECT doc_id, toks, len(toks) AS n, "
+            "CAST(ceil(greatest(len(toks) - 32, 0) / 32.0) AS BIGINT) "
+            "+ 1 AS nw FROM t WHERE len(toks) > 0), "
+            "x AS (SELECT doc_id, unnest(range(nw)) AS win_idx, n, "
+            "toks FROM w) "
+            "SELECT doc_id, win_idx, "
+            "least(n - win_idx * 32, 32) AS n_tokens, "
+            "array_to_string(toks[win_idx * 32 + 1 : "
+            "least(n, win_idx * 32 + 32)], ' ') AS win_text FROM x"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

@@ -167,7 +167,11 @@ def bench_queries() -> dict:
              "chunk_dedup", "semantic_dedup", "repetition_stats",
              "pricing_summary", "pack_offsets", "distinctive_terms",
              "incremental_dedup", "deterministic_shuffle",
-             "bigram_fluency", "quality_filter", "pii_scrub"]
+             "bigram_fluency", "quality_filter", "pii_scrub",
+             # final-round-3 additions (same caveat)
+             "tfidf_rank", "priority_sample", "embedding_stats",
+             "semi_join", "full_outer_join", "upsert_latest",
+             "token_windows"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -849,3 +849,94 @@ def customer_order_details(customer_ds, orders_ds,
         lambda b: b.select(["c_custkey", "c_name", "o_orderkey",
                             "o_totalprice"]),
         batch_format="pyarrow")
+
+
+def upsert_latest(ds, num_partitions: int | None = None):
+    """Latest record per key — the recrawl-merge / snapshot-upsert
+    primitive (a 100 TB recrawl is "new fetch of the same URL wins";
+    the reference gets this for free from filesystem overwrite,
+    workflow.go:183 — here it is a first-class distributed operator).
+    Over ``events``: the newest event per user_id, ordered by
+    (ts, event_id) so ties break deterministically.
+
+    Plan (one narrow shuffle):
+      1. per-batch COMBINER: keep only each key's latest row within
+         the batch (vectorized pandas sort + tail(1)), so at most
+         |distinct keys in batch| rows leave the map stage;
+      2. hash-partition by key (key % P, P ~ 2x CPUs) and run ONE
+         vectorized reduce per partition — not one map_groups dispatch
+         per key (~1 ms x n_keys, the distinctive_terms lesson).
+    Non-key columns ride along untouched, so value parity with the
+    SQL row_number() oracle is exact (no arithmetic).
+    Output (user_id, event_id, ts, event_type, value)."""
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.groupby("user_id", sort=False).tail(1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = latest(b.select(cols).to_pandas())
+        df["part"] = (df["user_id"].to_numpy().astype(np.int64)
+                      % num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        return latest(g)[cols]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(reduce_part, batch_format="pandas"))
+
+
+def customer_activity(orders_ds, events_ds, num_partitions: int = 8):
+    """FULL OUTER join of two independently pre-aggregated fact
+    tables: per-customer order spend vs per-customer event counts —
+    the coverage-reconciliation shape ("which keys exist on only one
+    side?") that completes the join family (inner / broadcast /
+    left_semi / left_anti / left_outer / full_outer all first-class).
+
+    Both sides collapse to one row per key BEFORE the exchange
+    (per-batch pandas combiner -> groupby Sum), so the full_outer hash
+    join moves |keys| rows, not |facts|.  Spend travels as integer
+    cents (floor(x*100 + 0.5), positive prices) because double sums
+    are order-dependent and would never hash-match the oracle.
+    Output (o_custkey, order_cnt, spend_cents, user_id, event_cnt)
+    with NULLs marking the side a key is missing from."""
+    from ray.data.aggregate import Sum
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        df = (pd.DataFrame({"o_custkey": k, "p_n": 1, "p_c": cents})
+              .groupby("o_custkey", as_index=False)
+              .agg(p_n=("p_n", "sum"), p_c=("p_c", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def e_partial(b: pa.Table) -> pa.Table:
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"user_id": k, "p_n": 1})
+              .groupby("user_id", as_index=False)
+              .agg(p_n=("p_n", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    left = (orders_ds.map_batches(o_partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("p_n", alias_name="order_cnt"),
+                       Sum("p_c", alias_name="spend_cents")))
+    right = (events_ds.map_batches(e_partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Sum("p_n", alias_name="event_cnt")))
+    return left.join(right, "full_outer",
+                     num_partitions=num_partitions,
+                     on=("o_custkey",), right_on=("user_id",))

@@ -794,3 +794,86 @@ def tfidf_rank(ds, terms: tuple[str, ...] = TFIDF_QUERY, k: int = 25):
     order = np.lexsort((ids, -score))[:k]
     return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
                      "score": pa.array(score[order], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# token windows: fixed-size chunking for training-shard layout
+# ---------------------------------------------------------------------------
+
+
+def token_windows(ds, window: int = 32, stride: int | None = None):
+    """Split every document into fixed-size whitespace-token windows —
+    the "pack long docs into model-context-sized chunks" primitive
+    (the step between curation and ``pack_offsets``; overlap via
+    ``stride`` < ``window`` gives the RoBERTa-style sliding chunks).
+    Output (doc_id, win_idx, n_tokens, win_text); empty docs emit
+    nothing.
+
+    Pure per-batch flat_map — no shuffle, no state: one Arrow
+    whitespace split per batch, window membership computed as numpy
+    index arithmetic over the flattened token stream, and one C-level
+    pandas group-join builds the window texts (the chunk_dedup explode
+    shape).  Window count per doc is 1 + ceil(max(n - window, 0) /
+    stride), the standard sliding-window count."""
+    import pandas as pd
+
+    if stride is None:
+        stride = window
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        # gaps (stride > window) would make the last-window count
+        # formula emit starts past the end of short docs
+        raise ValueError("stride must be <= window (tiling or overlap)")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "win_idx": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "win_text": pa.array([], pa.string())})
+        n_docs = batch.num_rows
+        if not n_docs:
+            return empty
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_pos = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pandas()[keep].to_numpy()
+        d = doc_pos[keep]
+        if not len(d):
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(d, minlength=n_docs)  # tokens per doc
+        # windows per doc (0 for empty docs)
+        n_win = np.where(
+            n_tok > 0,
+            1 + np.ceil(np.maximum(n_tok - window, 0) / stride
+                        ).astype(np.int64),
+            0)
+        tok_start = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        # one row per (doc, window): gather [win_start, win_end) token
+        # index ranges, then repeat into a flat gather index
+        wdoc = np.repeat(np.arange(n_docs), n_win)
+        wstart_doc = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+        widx = np.arange(int(n_win.sum())) - wstart_doc[wdoc]
+        ws = widx * stride
+        we = np.minimum(ws + window, n_tok[wdoc])
+        wlen = we - ws
+        # flat token gather: for each window, tokens
+        # [tok_start[doc]+ws, tok_start[doc]+we)
+        total = int(wlen.sum())
+        wrow = np.repeat(np.arange(len(wdoc)), wlen)
+        out_start = np.concatenate(([0], np.cumsum(wlen)[:-1]))
+        gather = (np.repeat(tok_start[wdoc] + ws, wlen)
+                  + (np.arange(total) - out_start[wrow]))
+        g = (pd.DataFrame({"row": wrow, "tok": words[gather]})
+             .groupby("row", sort=False)["tok"].agg(" ".join))
+        return pa.table({
+            "doc_id": pa.array(ids[wdoc], pa.int64()),
+            "win_idx": pa.array(widx, pa.int64()),
+            "n_tokens": pa.array(wlen, pa.int64()),
+            "win_text": pa.array(g.to_numpy(), pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

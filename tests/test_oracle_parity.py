@@ -68,6 +68,7 @@ ORACLE_KEYS = [
     "minhash_neardup", "neardup_components",
     "priority_sample", "tfidf_rank", "embedding_stats",
     "label_centroids", "semi_join", "left_outer_join",
+    "full_outer_join", "upsert_latest", "token_windows",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

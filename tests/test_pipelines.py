@@ -1006,3 +1006,84 @@ def test_semi_and_left_outer_join(ray_session):
     assert lo["c_custkey"].tolist() == [1, 2, 3, 4]
     assert lo["o_orderkey"].tolist()[0] == 10
     assert lo["o_orderkey"].isna().tolist() == [False, True, False, True]
+
+
+def test_upsert_latest_ties_and_partition_stable(ray_session):
+    """Latest-per-key must break ts ties by event_id and be identical
+    under any re-partitioning (the recrawl-merge contract)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import upsert_latest
+
+    ts = pa.array([100, 300, 300, 200, 50, 50], pa.timestamp("us"))
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20, 30, 31], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(list("abcdef"), pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+    })
+    got = (upsert_latest(rd.from_arrow(tbl).repartition(4),
+                         num_partitions=3)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # user 1: ts tie at 300 -> event_id 12 wins; user 3: tie at 50 -> 31
+    assert got["event_id"].tolist() == [12, 20, 31]
+    assert got["event_type"].tolist() == ["c", "d", "f"]
+    got2 = (upsert_latest(rd.from_arrow(tbl).repartition(1),
+                          num_partitions=1)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got.equals(got2)
+
+
+def test_customer_activity_full_outer_both_sides(ray_session):
+    """full_outer must surface keys unique to EITHER side with NULLs
+    on the other, and exact integer-cents spend on matches."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customer_activity,
+    )
+
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_totalprice": pa.array([10.005, 20.0, 5.5], pa.float64())}))
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([2, 2, 9], pa.int64())}))
+    got = (customer_activity(orders, events, num_partitions=2)
+           .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+    assert got["o_custkey"].tolist() == [1, 2, 9]
+    # key 1: orders only; key 9: events only; key 2: both
+    assert got["order_cnt"].fillna(-1).tolist() == [2, 1, -1]
+    assert got["event_cnt"].fillna(-1).tolist() == [-1, 2, 1]
+    # floor(10.005*100+0.5)=1001 (double 10.005 is 10.00499..), +2000
+    assert got["spend_cents"].fillna(-1).tolist() == [3001, 550, -1]
+
+
+def test_token_windows_overlap_and_edges(ray_session):
+    """Sliding windows: exact token slices at stride < window, tiling
+    at stride == window, empty docs emit nothing, bad stride raises."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        token_windows,
+    )
+
+    texts = ["a b c d e f g", "  ", "x y z"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(2)
+    got = (token_windows(ds, window=4, stride=2).to_pandas()
+           .sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+    # doc 0 (7 tokens, w=4, s=2): 1+ceil(3/2)=3 windows
+    assert got[got.doc_id == 0]["win_text"].tolist() == [
+        "a b c d", "c d e f", "e f g"]
+    assert got[got.doc_id == 0]["n_tokens"].tolist() == [4, 4, 3]
+    assert (got.doc_id == 1).sum() == 0  # whitespace-only doc
+    assert got[got.doc_id == 2]["win_text"].tolist() == ["x y z"]
+    tiled = (token_windows(ds, window=2).to_pandas()
+             .sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+    assert tiled[tiled.doc_id == 0]["win_text"].tolist() == [
+        "a b", "c d", "e f", "g"]
+    with _pytest.raises(ValueError):
+        token_windows(ds, window=2, stride=3)
