@@ -927,6 +927,36 @@ def _q_token_windows(sf_dir: str):
     return token_windows(docs)
 
 
+def _q_running_total(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import running_total
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return running_total(events)
+
+
+def _q_html_extract(sf_dir: str):
+    """HTML -> text over the fixture crawl corpus (the only HTML in
+    the testdata); filtered to text/html at the read."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        html_extract_text,
+    )
+
+    import pyarrow.compute as pc
+
+    d = _fixture()
+    pages = rd.read_parquet(os.path.join(d, "corpus.parquet"),
+                            columns=["url", "content_type", "body"])
+    html = pages.map_batches(
+        lambda b: b.filter(pc.starts_with(b["content_type"],
+                                          "text/html"))
+        .select(["url", "body"]),
+        batch_format="pyarrow")
+    return html_extract_text(html)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -995,6 +1025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": _q_full_outer_join,
         "upsert_latest": _q_upsert_latest,
         "token_windows": _q_token_windows,
+        "html_extract": _q_html_extract,
+        "running_total": _q_running_total,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1748,6 +1780,31 @@ def oracle_sql() -> dict[str, str]:
             "least(n - win_idx * 32, 32) AS n_tokens, "
             "array_to_string(toks[win_idx * 32 + 1 : "
             "least(n, win_idx * 32 + 32)], ' ') AS win_text FROM x"),
+        # the WHOLE html->text transform in SQL: DuckDB's
+        # regexp_replace is RE2, the engine's pc.replace_substring_
+        # regex is RE2 — same patterns, byte-identical output (entity
+        # decode order matters: &amp; last, both sides)
+        "html_extract": (
+            "SELECT url, text, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM (SELECT url, trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(body, '(?is)<script\\b.*?</script>', ' ', "
+            "'g'), '(?is)<style\\b.*?</style>', ' ', 'g'), "
+            "'(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+            "'\\s+', ' ', 'g')) AS text "
+            f"FROM read_parquet('{corp}') "
+            "WHERE content_type LIKE 'text/html%')"),
+        # running cumulative sum per key, (ts, event_id) frame order,
+        # integer micros (the events_hourly convention)
+        "running_total": (
+            "SELECT user_id, event_id, ts, "
+            "sum(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_value_micros FROM events"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

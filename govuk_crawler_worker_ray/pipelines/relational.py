@@ -940,3 +940,49 @@ def customer_activity(orders_ds, events_ds, num_partitions: int = 8):
     return left.join(right, "full_outer",
                      num_partitions=num_partitions,
                      on=("o_custkey",), right_on=("user_id",))
+
+
+def running_total(ds, num_partitions: int | None = None):
+    """Per-key cumulative sum over time — the running-balance /
+    tokens-so-far window (SQL's ``SUM() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``), completing the
+    window family next to LAG-gap / NTILE / RANGE-frame sliding.
+
+    Values travel as integer micros (the events_hourly convention) so
+    the running sums are order-independent integers and hash-match the
+    oracle.  Keys hash to ~2x-CPU partitions; each partition does ONE
+    vectorized pandas sort + groupby.cumsum — a cumulative sum needs
+    every row of its key in one place, so the shuffle is inherent, but
+    nothing else moves and no per-key dispatch happens.
+    Output (user_id, event_id, ts, cum_value_micros)."""
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+
+    def tag(b: pa.Table) -> pa.Table:
+        micros = np.rint(b["value"].to_numpy() * 1_000_000
+                         ).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "micros": pa.array(micros, pa.int64()),
+            "part": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False)
+                % num_partitions, pa.int64()),
+        })
+
+    def cum_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["cum_value_micros"] = (g.groupby("user_id", sort=False)
+                                 ["micros"].cumsum())
+        return g[["user_id", "event_id", "ts", "cum_value_micros"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(cum_part, batch_format="pandas"))

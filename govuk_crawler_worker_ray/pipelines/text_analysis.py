@@ -877,3 +877,56 @@ def token_windows(ds, window: int = 32, stride: int | None = None):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (crawler handoff to the training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_HTML_STRIP = (
+    (r"(?is)<script\b.*?</script>", " "),
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+# order matters: &amp; LAST (single-pass decode; the SQL oracle uses
+# the same order)
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def html_to_text_kernel(col):
+    """Vectorized HTML -> plain-text kernel over an Arrow string
+    column: strip script/style/comments/tags, decode the common
+    entities, collapse whitespace.  Pure RE2 (`pc.replace_substring_
+    regex`) — the same engine DuckDB's regexp_replace uses, so the SQL
+    oracle is the WHOLE transform in SQL, byte-for-byte (no golden
+    needed).  The boilerplate heuristics real extractors add (text
+    density, link ratio) would layer on top of this kernel."""
+    x = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    for pat, rep in _HTML_STRIP:
+        x = pc.replace_substring_regex(x, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        x = pc.replace_substring(x, ent, ch)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def html_extract_text(ds):
+    """HTML -> text over a crawled-page Dataset (url, body): the step
+    that turns the reference's mirrored HTML (workflow.go:153-216
+    writes raw bytes) into training-pipeline documents.  Per-batch RE2
+    kernel chain, no shuffle, no state.  Output (url, text, n_chars);
+    callers filter to HTML content types at the read (the
+    content-type gate is AcceptedContentType's job, not this op's)."""
+    def xb(batch: pa.Table) -> pa.Table:
+        txt = html_to_text_kernel(batch["body"])
+        return pa.table({
+            "url": batch["url"],
+            "text": txt,
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    return ds.map_batches(xb, batch_format="pyarrow")

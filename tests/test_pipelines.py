@@ -1087,3 +1087,57 @@ def test_token_windows_overlap_and_edges(ray_session):
         "a b", "c d", "e f", "g"]
     with _pytest.raises(ValueError):
         token_windows(ds, window=2, stride=3)
+
+
+def test_html_extract_text_planted(ray_session):
+    """The RE2 kernel chain must strip script/style/comments/tags,
+    decode entities in single-pass order (&amp; last), and collapse
+    whitespace."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        html_extract_text,
+    )
+
+    bodies = [
+        "<html><head><script>var x = '<p>no</p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- hidden --><h1>Title</h1>\n<p>a &amp;lt; b "
+        "&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body>",
+        "plain, no tags",
+        "",
+    ]
+    tbl = pa.table({"url": pa.array(["u1", "u2", "u3"], pa.string()),
+                    "body": pa.array(bodies, pa.string())})
+    got = (html_extract_text(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    # single-pass decode: "&amp;lt;" contains no literal "&lt;"
+    # substring, so only the final &amp; pass touches it -> "&lt;"
+    # stays encoded (the HTML-correct result)
+    assert got["text"][0] == ("Title a &lt; b <tag> \"q\" 's' end")
+    assert got["text"][1] == "plain, no tags"
+    assert got["text"][2] == ""
+    assert got["n_chars"].tolist() == [len(got["text"][0]), 14, 0]
+
+
+def test_running_total_matches_sequential(ray_session):
+    """Cumulative per-key sums must equal the sequential prefix sums
+    in (ts, event_id) order, under any partitioning."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import running_total
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([11, 10, 12, 20, 21], pa.int64()),
+        "ts": pa.array([200, 200, 100, 50, 40], pa.timestamp("us")),
+        "value": pa.array([1.5, 2.0, 0.25, 10.0, 4.0], pa.float64()),
+    })
+    got = (running_total(rd.from_arrow(tbl).repartition(3),
+                         num_partitions=2)
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    # user 1 order: (100,12)=0.25 -> (200,10)+2.0 -> (200,11)+1.5
+    assert got["event_id"].tolist() == [12, 10, 11, 21, 20]
+    assert got["cum_value_micros"].tolist() == [
+        250000, 2250000, 3750000, 4000000, 14000000]
