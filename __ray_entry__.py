@@ -927,6 +927,16 @@ def _q_token_windows(sf_dir: str):
     return token_windows(docs)
 
 
+def _q_json_extract_agg(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        json_field_agg,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    return json_field_agg(events)
+
+
 def _q_running_total(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import running_total
 
@@ -1027,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_windows": _q_token_windows,
         "html_extract": _q_html_extract,
         "running_total": _q_running_total,
+        "json_extract_agg": _q_json_extract_agg,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1805,6 +1816,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "AS cum_value_micros FROM events"),
+        # real json_extract on the oracle side proves the engine's
+        # RE2 flat-field fast path agrees with a full JSON parser
+        "json_extract_agg": (
+            "SELECT event_type, count(*) AS n_events, "
+            "sum(coalesce(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT), 0)) AS sum_k FROM events GROUP BY event_type"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

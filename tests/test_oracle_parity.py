@@ -69,7 +69,7 @@ ORACLE_KEYS = [
     "priority_sample", "tfidf_rank", "embedding_stats",
     "label_centroids", "semi_join", "left_outer_join",
     "full_outer_join", "upsert_latest", "token_windows",
-    "html_extract", "running_total",
+    "html_extract", "running_total", "json_extract_agg",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

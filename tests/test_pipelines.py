@@ -1141,3 +1141,33 @@ def test_running_total_matches_sequential(ray_session):
     assert got["event_id"].tolist() == [12, 10, 11, 21, 20]
     assert got["cum_value_micros"].tolist() == [
         250000, 2250000, 3750000, 4000000, 14000000]
+
+
+def test_json_field_agg_edges(ray_session):
+    """The flat-field RE2 extract must handle spacing, negatives, and
+    missing keys (-> 0), matching what a real JSON parser returns on
+    this shape."""
+    import json
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        json_field_agg,
+    )
+
+    props = ['{"k": 5}', '{"k":-3}', '{ "k" : 12 }', '{"other": 9}',
+             '{}', '{"k": 7, "j": 1}']
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b", "b", "a"],
+                               pa.string()),
+        "props": pa.array(props, pa.string())})
+    got = (json_field_agg(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    # truth via a real parser
+    want = {}
+    for et, p in zip(tbl["event_type"].to_pylist(), props):
+        d = json.loads(p)
+        n, k = want.get(et, (0, 0))
+        want[et] = (n + 1, k + int(d.get("k", 0)))
+    assert got["n_events"].tolist() == [want["a"][0], want["b"][0]]
+    assert got["sum_k"].tolist() == [want["a"][1], want["b"][1]]
