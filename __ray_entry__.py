@@ -927,6 +927,18 @@ def _q_token_windows(sf_dir: str):
     return token_windows(docs)
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name"])
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    return bloom_semi_join(cust, orders)
+
+
 def _q_json_extract_agg(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         json_field_agg,
@@ -1038,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _q_html_extract,
         "running_total": _q_running_total,
         "json_extract_agg": _q_json_extract_agg,
+        "bloom_semi_join": _q_bloom_semi_join,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1822,6 +1835,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_events, "
             "sum(coalesce(CAST(json_extract_string(props, '$.k') "
             "AS BIGINT), 0)) AS sum_k FROM events GROUP BY event_type"),
+        # bloom prefilter + exact verify == plain EXISTS (no false
+        # negatives; the exact join removes false positives)
+        "bloom_semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_totalprice >= 450000.0)"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

@@ -171,7 +171,8 @@ def bench_queries() -> dict:
              # final-round-3 additions (same caveat)
              "tfidf_rank", "priority_sample", "embedding_stats",
              "semi_join", "full_outer_join", "upsert_latest",
-             "token_windows", "running_total", "json_extract_agg"]
+             "token_windows", "running_total", "json_extract_agg",
+             "bloom_semi_join"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -1027,3 +1027,62 @@ def json_field_agg(ds, key: str = "k"):
             .groupby("event_type")
             .aggregate(Sum("p_n", alias_name="n_events"),
                        Sum("p_k", alias_name="sum_k")))
+
+
+def bloom_semi_join(customer_ds, orders_ds,
+                    min_total: float = HIGH_VALUE_ORDER,
+                    bloom_bits: int = 1 << 20,
+                    num_partitions: int = 8):
+    """Bloom-prefiltered semi join — the 100 TB shape for "probe side
+    too big to broadcast exactly, build side too big to shuffle whole":
+    identical OUTPUT to ``customers_with_orders`` (the exact join
+    removes bloom false positives; blooms have no false negatives), but
+    the all-to-all exchange only ever sees left rows that PASS the
+    bloom, and driver memory is the CONSTANT filter size (128 KiB at
+    the default 2^20 bits), never the key set.
+
+      1. build: per-batch partial Bloom over the qualifying right keys
+         (one fixed-size binary row per batch); the driver OR-merges
+         those segments streaming — bytes held = one filter, not keys;
+      2. prefilter: ``ray.put`` the merged bits once; left batches
+         drop non-members before the exchange;
+      3. verify: native left_semi on the survivors gives exactness.
+    At 10 bits/key the filter prunes ~99% of non-matching left rows
+    from the shuffle; sizing follows state/bloom.py's arithmetic."""
+    import ray
+
+    from govuk_crawler_worker_ray.state.bloom import BloomFilter
+
+    # k tuned for ~10 bits/key occupancy (state/bloom.py arithmetic)
+    num_hashes = BloomFilter(expected_keys=max(bloom_bits // 10, 1)
+                             ).num_hashes
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter.empty(bloom_bits, num_hashes)
+        keep = pc.greater_equal(b["o_totalprice"], min_total)
+        keys = (b.filter(keep)["o_custkey"]
+                .to_numpy(zero_copy_only=False).astype(np.uint64))
+        bf.add_many(keys)
+        return pa.table({"bloom": pa.array([bf.bits.tobytes()],
+                                           pa.binary())})
+
+    merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
+    for seg in (orders_ds.map_batches(build_partial,
+                                      batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        for row in seg["bloom"].to_pylist():
+            merged |= np.frombuffer(row, dtype=np.uint64)
+    bits_ref = ray.put(merged)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bits(ray.get(bits_ref), num_hashes)
+        keys = (b["c_custkey"].to_numpy(zero_copy_only=False)
+                .astype(np.uint64))
+        mask = bf.contains_many(keys)
+        return b.filter(pa.array(mask)).select(["c_custkey", "c_name"])
+
+    survivors = customer_ds.map_batches(prefilter,
+                                        batch_format="pyarrow")
+    return customers_with_orders(survivors, orders_ds,
+                                 min_total=min_total,
+                                 num_partitions=num_partitions)

@@ -89,3 +89,22 @@ class BloomFilter:
     @property
     def nbytes(self) -> int:
         return self.bits.nbytes
+
+    @classmethod
+    def from_bits(cls, bits: np.ndarray, num_hashes: int) -> "BloomFilter":
+        """Wrap an existing pow2-sized bit array (e.g. an OR-merge of
+        per-batch partial filters — blooms with identical geometry merge
+        by bitwise OR, which is what makes them a distributable
+        combiner)."""
+        bf = cls.__new__(cls)
+        bf.num_bits = len(bits) * 64
+        assert bf.num_bits & (bf.num_bits - 1) == 0, "bits must be pow2"
+        bf.num_hashes = num_hashes
+        bf.bits = bits
+        bf._mask = np.uint64(bf.num_bits - 1)
+        return bf
+
+    @classmethod
+    def empty(cls, num_bits: int, num_hashes: int) -> "BloomFilter":
+        return cls.from_bits(np.zeros(num_bits // 64, dtype=np.uint64),
+                             num_hashes)

@@ -1171,3 +1171,57 @@ def test_json_field_agg_edges(ray_session):
         want[et] = (n + 1, k + int(d.get("k", 0)))
     assert got["n_events"].tolist() == [want["a"][0], want["b"][0]]
     assert got["sum_k"].tolist() == [want["a"][1], want["b"][1]]
+
+
+def test_bloom_semi_join_exact_and_prunes(ray_session):
+    """bloom_semi_join must return exactly the left_semi result (false
+    positives removed by the verify join), and its prefilter must
+    actually drop definite non-members before the exchange."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        bloom_semi_join,
+        customers_with_orders,
+    )
+    from govuk_crawler_worker_ray.state.bloom import BloomFilter
+
+    n = 500
+    cust = rd.from_arrow(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(n)], pa.string())}))
+    # only keys 0..49 qualify
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array(range(50), pa.int64()),
+        "o_totalprice": pa.array([500000.0] * 50, pa.float64())}))
+    got = (bloom_semi_join(cust, orders, num_partitions=2)
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    want = (customers_with_orders(cust, orders, num_partitions=2)
+            .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert got.equals(want)
+    assert got["c_custkey"].tolist() == list(range(50))
+    # the prefilter itself: a 2^20-bit bloom over 50 keys passes all
+    # members and (with overwhelming margin) far fewer than all 500
+    bf = BloomFilter.empty(1 << 20, 7)
+    bf.add_many(np.arange(50, dtype=np.uint64))
+    mask = bf.contains_many(np.arange(n, dtype=np.uint64))
+    assert mask[:50].all()
+    assert mask.sum() < 100  # ~50 expected; fpp at this load is ~0
+
+
+def test_bloom_from_bits_merge_is_union(ray_session):
+    """OR-merging per-batch partial blooms must behave as one filter
+    built over the union of keys (the combiner property the
+    distributed build relies on)."""
+    from govuk_crawler_worker_ray.state.bloom import BloomFilter
+
+    a = BloomFilter.empty(1 << 16, 5)
+    b = BloomFilter.empty(1 << 16, 5)
+    ka = np.array([1, 2, 3, 1000], dtype=np.uint64)
+    kb = np.array([7, 8, 2000], dtype=np.uint64)
+    a.add_many(ka)
+    b.add_many(kb)
+    merged = BloomFilter.from_bits(a.bits | b.bits, 5)
+    both = BloomFilter.empty(1 << 16, 5)
+    both.add_many(np.concatenate([ka, kb]))
+    assert (merged.bits == both.bits).all()
+    assert merged.contains_many(np.concatenate([ka, kb])).all()
