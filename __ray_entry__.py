@@ -927,6 +927,16 @@ def _q_token_windows(sf_dir: str):
     return token_windows(docs)
 
 
+def _q_user_retention(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        user_retention,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return user_retention(events)
+
+
 def _q_bloom_semi_join(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         bloom_semi_join,
@@ -1051,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": _q_running_total,
         "json_extract_agg": _q_json_extract_agg,
         "bloom_semi_join": _q_bloom_semi_join,
+        "user_retention": _q_user_retention,
         "pagerank": _q_pagerank,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
@@ -1841,6 +1852,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders "
             "WHERE o_totalprice >= 450000.0)"),
+        # daily active/new/retained/churned; churn is relative to the
+        # previous PRESENT day (both sides lag over the same rows)
+        "user_retention": (
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day "
+            "FROM events), "
+            "l AS (SELECT user_id, day, "
+            "min(day) OVER (PARTITION BY user_id) AS first_day, "
+            "lag(day) OVER (PARTITION BY user_id ORDER BY day) "
+            "AS prev_day FROM a), "
+            "d AS (SELECT day, count(*) AS n_active, "
+            "sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) "
+            "AS n_new, "
+            "sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) "
+            "AS n_retained FROM l GROUP BY day) "
+            "SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(n_retained AS BIGINT) AS n_retained, "
+            "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
+            "- n_retained AS BIGINT) AS n_churned FROM d"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

@@ -1086,3 +1086,84 @@ def bloom_semi_join(customer_ds, orders_ds,
     return customers_with_orders(survivors, orders_ds,
                                  min_total=min_total,
                                  num_partitions=num_partitions)
+
+
+def user_retention(ds, num_partitions: int | None = None):
+    """Daily retention ladder over the events table: per day,
+    (n_active, n_new, n_retained, n_churned) — active = distinct users
+    that day, new = first-ever active day, retained = also active the
+    previous calendar day, churned = previous PRESENT day's actives
+    minus that day's retained (days with zero activity don't emit
+    rows, so churn is relative to the previous day that exists — both
+    sides compute it identically over the same present days).
+
+    Plan: per-batch partial distinct (user, day) -> ONE hash exchange
+    on user (each user's full day history must co-locate; first/prev
+    are per-user sequences) -> per-partition vectorized pandas
+    dedup + min/shift -> per-day integer partials -> tiny groupby(day)
+    -> single-batch final pass derives churn from the lagged active
+    counts (the events_pivot repartition(1) shape: |days| rows).
+    All-integer output, so parity with the SQL window oracle is
+    exact."""
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = (b["ts"].cast(pa.int64()).to_numpy()
+                // (86400 * 1_000_000))
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"user_id": users, "day": days})
+              .drop_duplicates())
+        df["part"] = (df["user_id"].to_numpy().astype(np.int64)
+                      % num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        grp = g.groupby("user_id", sort=False)
+        first = grp["day"].transform("min")
+        prev = grp["day"].shift()
+        out = pd.DataFrame({
+            "day": g["day"],
+            "p_active": 1,
+            "p_new": (g["day"] == first).astype(np.int64),
+            "p_retained": (g["day"] == prev + 1).astype(np.int64),
+        })
+        return (out.groupby("day", as_index=False)
+                .agg(p_active=("p_active", "sum"),
+                     p_new=("p_new", "sum"),
+                     p_retained=("p_retained", "sum")))
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(per_user, batch_format="pandas")
+             .groupby("day")
+             .aggregate(Sum("p_active", alias_name="n_active"),
+                        Sum("p_new", alias_name="n_new"),
+                        Sum("p_retained", alias_name="n_retained")))
+
+    def churn(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b["day"])
+        b = b.take(order)
+        act = b["n_active"].to_numpy()
+        ret = b["n_retained"].to_numpy()
+        prev_act = np.concatenate(([0], act[:-1]))
+        return pa.table({
+            "day": b["day"], "n_active": b["n_active"],
+            "n_new": b["n_new"], "n_retained": b["n_retained"],
+            "n_churned": pa.array(prev_act - ret, pa.int64()),
+        })
+
+    # |distinct days| rows — single batch is the right final shape
+    return daily.repartition(1).map_batches(churn,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

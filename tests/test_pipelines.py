@@ -1225,3 +1225,32 @@ def test_bloom_from_bits_merge_is_union(ray_session):
     both.add_many(np.concatenate([ka, kb]))
     assert (merged.bits == both.bits).all()
     assert merged.contains_many(np.concatenate([ka, kb])).all()
+
+
+def test_user_retention_matches_sequential(ray_session):
+    """Daily active/new/retained/churned must equal the sequential
+    truth on a hand-built activity pattern (gaps, multi-events/day,
+    users starting on different days)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        user_retention,
+    )
+
+    day_us = 86400 * 1_000_000
+    # (user, day) activity: u1 days 0,1,3; u2 days 1,2; u3 day 3
+    pairs = [(1, 0), (1, 0), (1, 1), (1, 3), (2, 1), (2, 2), (3, 3)]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in pairs], pa.int64()),
+        "ts": pa.array([d * day_us + 123 for _, d in pairs],
+                       pa.timestamp("us")),
+    })
+    got = (user_retention(rd.from_arrow(tbl).repartition(3),
+                          num_partitions=2)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert got["day"].tolist() == [0, 1, 2, 3]
+    assert got["n_active"].tolist() == [1, 2, 1, 2]
+    assert got["n_new"].tolist() == [1, 1, 0, 1]      # u1@0, u2@1, u3@3
+    assert got["n_retained"].tolist() == [0, 1, 1, 0]  # u1@1, u2@2
+    # churn(d) = active(prev present day) - retained(d)
+    assert got["n_churned"].tolist() == [0, 0, 1, 1]
