@@ -9,6 +9,8 @@ identically (double accumulation order is not associative).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1042,8 +1044,9 @@ def bloom_semi_join(customer_ds, orders_ds,
     the default 2^20 bits), never the key set.
 
       1. build: per-batch partial Bloom over the qualifying right keys
-         (one fixed-size binary row per batch); the driver OR-merges
-         those segments streaming — bytes held = one filter, not keys;
+         (one fixed-size binary row per batch); segments OR-merge
+         DISTRIBUTED down to <= 32 rows, then the driver ORs those —
+         bytes held = one filter, bytes pulled = bounded, never keys;
       2. prefilter: ``ray.put`` the merged bits once; left batches
          drop non-members before the exchange;
       3. verify: native left_semi on the survivors gives exactness.
@@ -1066,9 +1069,27 @@ def bloom_semi_join(customer_ds, orders_ds,
         return pa.table({"bloom": pa.array([bf.bits.tobytes()],
                                            pa.binary())})
 
+    # two-level OR-merge: partial segments first combine DISTRIBUTED
+    # (content-hashed into <= 32 groups, one OR per group inside
+    # map_groups), so the driver pulls a bounded ~32 x 128 KiB no
+    # matter how many build batches ran — at 10^6 batches a flat
+    # driver merge would stream ~128 GB through one socket
+    def tag(b: pa.Table) -> pa.Table:
+        part = [zlib.crc32(x) % 32 for x in b["bloom"].to_pylist()]
+        return b.append_column("part", pa.array(part, pa.int64()))
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        for row in g["bloom"]:
+            acc |= np.frombuffer(row, dtype=np.uint64)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
     merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
     for seg in (orders_ds.map_batches(build_partial,
                                       batch_format="pyarrow")
+                .map_batches(tag, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(or_group, batch_format="pandas")
                 .iter_batches(batch_format="pyarrow")):
         for row in seg["bloom"].to_pylist():
             merged |= np.frombuffer(row, dtype=np.uint64)
