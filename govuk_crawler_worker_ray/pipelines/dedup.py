@@ -711,7 +711,7 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
 
     def prefix_rows(b: pa.Table) -> pa.Table:
         sg, sc = ray.get(df_ref)
-        grams_out, docs_out, sz_out = [], [], []
+        grams_out, docs_out, sz_out, pos_out = [], [], [], []
         for did, text in zip(b["doc_id"].to_numpy(),
                              b["text"].to_pylist()):
             g = _gram_ids(text, n)
@@ -727,20 +727,30 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
             dfs = sc[pos]
             order = np.lexsort((g, dfs))[:p]
             take = g[order]
-            take = take[dfs[order] > 1]
+            # position of each prefix gram in the doc's FULL df-ordered
+            # gram list — the PPJoin positional filter's input (the
+            # suffix beyond position i holds at most sz - i - 1 more
+            # shared grams)
+            ppos = np.arange(len(order), dtype=np.int64)
+            keep2 = dfs[order] > 1
+            take = take[keep2]
+            ppos = ppos[keep2]
             if not len(take):
                 continue
             grams_out.append(take)
             docs_out.append(np.full(len(take), did, np.int64))
             sz_out.append(np.full(len(take), sz, np.int64))
+            pos_out.append(ppos)
         if not grams_out:
             return pa.table({"gram": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64()),
-                             "sz": pa.array([], pa.int64())})
+                             "sz": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         return pa.table({
             "gram": pa.array(np.concatenate(grams_out), pa.uint64()),
             "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
             "sz": pa.array(np.concatenate(sz_out), pa.int64()),
+            "pos": pa.array(np.concatenate(pos_out), pa.int64()),
         })
 
     rows = (cpu_split(ds).map_batches(prefix_rows,
@@ -748,7 +758,7 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
             .materialize())
     right = rows.map_batches(
         lambda b: pa.table({"gram": b["gram"], "doc_b": b["doc_id"],
-                            "sz_b": b["sz"]}),
+                            "sz_b": b["sz"], "pos_b": b["pos"]}),
         batch_format="pyarrow")
     joined = rows.join(right, "inner",
                        num_partitions=_join_partitions(), on=("gram",))
@@ -760,6 +770,20 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
         sb = b["sz_b"].to_numpy()
         # doc_a < doc_b + PPJoin size filter: J >= t => t*|A| <= |B|
         keep = (a < bb) & (threshold * sa <= sb) & (threshold * sb <= sa)
+        # PPJoin POSITIONAL filter (Xiao et al. 2008): this row's gram
+        # sits at df-order position i in A and j in B, so shared grams
+        # number at most 1 + min(sz_a-i-1, sz_b-j-1); J >= t needs
+        # overlap >= t*(sz_a+sz_b)/(1+t).  A qualifying pair always
+        # passes on its FIRST shared prefix gram's row (later rows may
+        # fail — the pair-set union keeps it), so dropping rows below
+        # the bound loses nothing.  Epsilon on the KEEP side: a float
+        # tie must never drop a true pair (verify removes any false
+        # positive anyway).
+        pa_ = b["pos"].to_numpy()
+        pb_ = b["pos_b"].to_numpy()
+        ubound = 1 + np.minimum(sa - pa_ - 1, sb - pb_ - 1)
+        keep &= (ubound * (1.0 + threshold)
+                 >= threshold * (sa + sb) - 1e-9)
         return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
                          "doc_b": pa.array(bb[keep], pa.int64())})
 

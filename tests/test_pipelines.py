@@ -1254,3 +1254,38 @@ def test_user_retention_matches_sequential(ray_session):
     assert got["n_retained"].tolist() == [0, 1, 1, 0]  # u1@1, u2@2
     # churn(d) = active(prev present day) - retained(d)
     assert got["n_churned"].tolist() == [0, 0, 1, 1]
+
+
+def test_ngram_positional_filter_end_to_end_random(ray_session):
+    """The PPJoin positional filter must lose NO qualifying pair: the
+    full prefix-mode pipeline equals the all-pairs bruteforce on a
+    randomized mutation-dense corpus at several thresholds."""
+    import random
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        ngram_jaccard_bruteforce,
+        ngram_jaccard_dedup,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdef "
+    base = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(5, 50)))
+            for _ in range(10)]
+    texts = list(base)
+    for b in base:  # insertions + suffixes = many true near-pairs
+        i = rng.randrange(max(len(b), 1))
+        texts.append(b[:i] + rng.choice(alphabet) + b[i:])
+        texts.append(b + rng.choice(alphabet))
+    tmap = dict(enumerate(texts))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    for t in (0.35, 0.6, 0.85):
+        out = ngram_jaccard_dedup(ds, threshold=t, n=3, mode="prefix")
+        got = list(zip(out["doc_a"].to_pylist(),
+                       out["doc_b"].to_pylist(),
+                       out["jaccard"].to_pylist()))
+        assert got == ngram_jaccard_bruteforce(tmap, t, 3), t
