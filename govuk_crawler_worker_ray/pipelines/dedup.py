@@ -644,7 +644,9 @@ def _ngram_allpairs_dense(ds, threshold: float, n: int,
 
 
 def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
-                        mode: str = "auto"):
+                        mode: str = "auto",
+                        distributed: bool | None = None,
+                        broadcast_limit: int = 2_000_000):
     """EXACT character-n-gram Jaccard near-dup pairs: (doc_a < doc_b,
     jaccard >= threshold), jaccard = |A∩B| / |A∪B| over distinct
     n-grams — the exact counterpart of ``minhash_lsh_dedup`` (which
@@ -664,12 +666,18 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
          are dropped outright (nothing to collide with);
       3. candidate pairs: vectorized SELF-JOIN of the prefix rows on
          gram (``Dataset.join``) + doc_a < doc_b + the PPJoin size
-         filter t*|A| <= |B| (J >= t forces it), deduped driver-side
-         (candidate sets are prefix-filtered small);
-      4. exact verify inside ``map_batches``: candidate docs' gram
-         arrays broadcast once (``ray.put``; bounded by the candidate
-         count — same bound and same ROADMAP join-shape escape hatch
-         as minhash), per-pair ``np.intersect1d`` of sorted ids.
+         filter t*|A| <= |B| (J >= t forces it) + the PPJoin
+         POSITIONAL filter on the df-order positions;
+      4. exact verify inside ``map_batches`` — two shapes, mirroring
+         ``minhash_lsh_dedup``: ``distributed=False`` (default below
+         ``broadcast_limit`` candidate pairs) broadcasts the deduped
+         pair set + gram arrays via ``ray.put`` (driver bounded by the
+         explicit limit); ``distributed=True`` (auto above it) attaches
+         each side's gram array to the raw candidate rows via
+         ``Dataset.join`` (duplicates re-verify behind a per-worker
+         memo and collapse in a keep-first tail dedup) — nothing
+         reaches the driver but verified pairs.  Per-pair
+         ``np.intersect1d`` of sorted ids either way.
     Returns a sorted pyarrow Table.  The jaccard column is the raw
     float64 quotient of exact integers, so it is bit-identical to the
     oracle's ``CAST(i AS DOUBLE) / (na + nb - i)``.
@@ -787,9 +795,108 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
         return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
                          "doc_b": pa.array(bb[keep], pa.int64())})
 
+    cand = joined.map_batches(pair_filter, batch_format="pyarrow")
+
+    if distributed is None:
+        # auto: the broadcast shape's driver bound is the candidate
+        # pair count (same contract as minhash_lsh_dedup's hot rows)
+        n_cand = cand.count()
+        distributed = n_cand > broadcast_limit
+
+    if distributed:
+        # join shape (the minhash ROADMAP #3 fix, same here): dedup the
+        # candidate pairs DISTRIBUTED, attach each side's gram array
+        # via Dataset.join — nothing reaches the driver but the
+        # verified pair set
+        npart = _join_partitions()
+
+        # candidates join the gram sides UN-deduped: a pre-join
+        # dedup needs a hash shuffle, and this Ray build's shuffle
+        # operators (groupby aggregate / map_groups) emit SCHEMA-LESS
+        # empty blocks that crash a downstream Acero join ("no match
+        # for key field reference") — empty blocks bypass map
+        # operators, so they cannot be laundered.  Duplicate pairs
+        # (one per extra shared prefix gram) re-verify behind a
+        # per-worker memo and collapse in the final keep-first dedup.
+        pair_ds = cand
+
+        def gram_rows(b: pa.Table) -> pa.Table:
+            # grams travel as raw uint64 BYTES: Acero's hash join
+            # rejects list<> payload columns but carries binary fine
+            gl = [_gram_ids(t, n).tobytes()
+                  for t in b["text"].to_pylist()]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "grams": pa.array(gl, pa.binary())})
+
+        grams_ds = cpu_split(ds).map_batches(
+            gram_rows, batch_format="pyarrow").materialize()
+        ga_side = grams_ds.map_batches(
+            lambda b: pa.table({"doc_a": b["doc_id"],
+                                "grams_a": b["grams"]}),
+            batch_format="pyarrow")
+        gb_side = grams_ds.map_batches(
+            lambda b: pa.table({"doc_b": b["doc_id"],
+                                "grams_b": b["grams"]}),
+            batch_format="pyarrow")
+        pair_full = (pair_ds
+                     .join(ga_side, "inner", num_partitions=npart,
+                           on=("doc_a",))
+                     .join(gb_side, "inner", num_partitions=npart,
+                           on=("doc_b",)))
+
+        def verify_joined(b: pa.Table) -> pa.Table:
+            if len(_WORKER_PAIR_MEMO) > _MEMO_CAP:
+                _WORKER_PAIR_MEMO.clear()
+            pmemo = _WORKER_PAIR_MEMO
+            ka, kb, kj = [], [], []
+            for a, bb, ga, gb in zip(b["doc_a"].to_pylist(),
+                                     b["doc_b"].to_pylist(),
+                                     b["grams_a"].to_pylist(),
+                                     b["grams_b"].to_pylist()):
+                key = ("ng", n, a, bb)
+                j = pmemo.get(key)
+                if j is None:
+                    ga = np.frombuffer(ga, dtype=np.uint64)
+                    gb = np.frombuffer(gb, dtype=np.uint64)
+                    inter = len(np.intersect1d(ga, gb,
+                                               assume_unique=True))
+                    union = len(ga) + len(gb) - inter
+                    j = inter / union if union else 0.0
+                    pmemo[key] = j
+                if j >= threshold:
+                    ka.append(a)
+                    kb.append(bb)
+                    kj.append(j)
+            return pa.table({"doc_a": pa.array(ka, pa.int64()),
+                             "doc_b": pa.array(kb, pa.int64()),
+                             "jaccard": pa.array(kj, pa.float64())})
+
+        parts = [b for b in pair_full.map_batches(
+            verify_joined, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow") if b.num_rows]
+        if not parts:
+            return _empty_pairs()
+        out = pa.concat_tables(parts)
+        a = out["doc_a"].to_numpy()
+        bb = out["doc_b"].to_numpy()
+        j = out["jaccard"].to_numpy()
+        # keep-first dedup of the verified set (duplicate candidates
+        # from multiple shared prefix grams) + stable output order
+        order = np.lexsort((bb, a))
+        a, bb, j = a[order], bb[order], j[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(bb[keep], pa.int64()),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    # broadcast shape (default below broadcast_limit): candidate pairs
+    # + their gram arrays via ray.put — ~seconds faster at bench scale
+    # (two Dataset.join hash exchanges have fixed cost), driver memory
+    # bounded by the explicit limit
     pairs: set = set()
-    for b in (joined.map_batches(pair_filter, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+    for b in cand.iter_batches(batch_format="pyarrow"):
         pairs.update(zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()))
     if not pairs:
         return _empty_pairs()

@@ -1289,3 +1289,24 @@ def test_ngram_positional_filter_end_to_end_random(ray_session):
                        out["doc_b"].to_pylist(),
                        out["jaccard"].to_pylist()))
         assert got == ngram_jaccard_bruteforce(tmap, t, 3), t
+
+
+def test_ngram_distributed_equals_broadcast(docs_ds):
+    """The ngram join shape (no driver pair/gram collection) must
+    produce the exact output of the broadcast shape, including the
+    float jaccard values."""
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        ngram_jaccard_dedup,
+    )
+
+    for t in (0.3, 0.8):
+        small = ngram_jaccard_dedup(docs_ds, threshold=t, n=3,
+                                    mode="prefix", distributed=False)
+        big = ngram_jaccard_dedup(docs_ds, threshold=t, n=3,
+                                  mode="prefix", distributed=True)
+        assert small.to_pydict() == big.to_pydict()
+    auto = ngram_jaccard_dedup(docs_ds, threshold=0.3, n=3,
+                               mode="prefix", broadcast_limit=0)
+    assert auto.to_pydict() == ngram_jaccard_dedup(
+        docs_ds, threshold=0.3, n=3, mode="prefix",
+        distributed=False).to_pydict()
