@@ -835,6 +835,42 @@ def _q_pages_by_host(sf_dir: str):
     return count_by_host_salted(ds)
 
 
+def _q_skew_join(sf_dir: str):
+    """Salted skew join of the mega-host-skewed fixture corpus (fact)
+    against a per-host dimension: www.gov.uk (~80% of rows) fans across
+    salts instead of landing on one join partition."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        salted_skew_join,
+    )
+
+    d = _fixture()
+    corp = os.path.join(d, "corpus.parquet")
+    fact = _read_sized(corp, columns=["url", "host"])
+    # dim build (query-level, not the operator): distinct hosts via a
+    # narrow per-batch unique + driver fold — bounded by host
+    # cardinality, which is the dim's own size by definition
+    hosts: set = set()
+    for b in fact.map_batches(
+            lambda t: pa.table({"host": pc.unique(t["host"])}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        hosts.update(b["host"].to_pylist())
+    hs = sorted(hosts)
+    import ray.data as _rd
+    dim = _rd.from_arrow(pa.table({
+        "host": pa.array(hs, pa.string()),
+        "host_group": pa.array(
+            [int(hashlib.md5(h.encode()).hexdigest()[:4], 16) % 8
+             for h in hs], pa.int64()),
+    }))
+    return salted_skew_join(fact, dim, on="host", spread_col="url",
+                            hot_frac=0.5)
+
+
 def _q_priority_sample(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sampling import priority_sample
 
@@ -1070,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "content_type_gate": _q_content_type_gate,
         "pages_by_host": _q_pages_by_host,
+        "skew_join": _q_skew_join,
         "curate_crawl": _q_curate,
     }
 
@@ -1908,6 +1945,16 @@ def oracle_sql() -> dict[str, str]:
         "pages_by_host": (
             "SELECT host, count(*) AS n_pages FROM "
             f"read_parquet('{corp}') GROUP BY host"),
+        # salted skew join: the salt is an engine-internal partitioning
+        # detail, so the oracle is the PLAIN join with the same
+        # md5-derived dim attribute (integer-exact both sides)
+        "skew_join": (
+            "WITH dim AS (SELECT host, CAST(('0x' || "
+            "substr(md5(host), 1, 4))::INTEGER % 8 AS BIGINT) "
+            "AS host_group FROM (SELECT DISTINCT host FROM "
+            f"read_parquet('{corp}'))) "
+            "SELECT c.url, c.host, d.host_group FROM "
+            f"read_parquet('{corp}') c JOIN dim d USING (host)"),
         # deterministic per-row hash ops: goldens from the independent
         # pure-Python scalar twins (goldens.py), hash-verified like the
         # crawl goldens

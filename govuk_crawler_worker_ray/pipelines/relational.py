@@ -1188,3 +1188,93 @@ def user_retention(ds, num_partitions: int | None = None):
     return daily.repartition(1).map_batches(churn,
                                             batch_format="pyarrow",
                                             batch_size=None)
+
+
+def salted_skew_join(fact_ds, dim_ds, on: str, spread_col: str,
+                     right_on: str | None = None, num_salts: int = 8,
+                     hot_frac: float = 0.05, num_partitions: int = 8):
+    """Skew-aware INNER equi-join of a hot-keyed fact table against a
+    dimension: the salted-key split the north rule names for mega-hosts
+    like www.gov.uk (reference: the worker fleet shares one queue, so
+    one hot host serializes it — workflow.go:57-151's per-item loop has
+    no skew story at all; here the skew treatment is explicit).
+
+    Mechanism (classic salted skew join, one pass over the fact side):
+      1. HOT-KEY CENSUS — exact per-key fact counts via a narrow
+         projected ``map_batches`` partial + one tiny ``groupby`` merge;
+         only keys holding >= ``hot_frac`` of the fact rows come back
+         to the driver (bounded by 1/hot_frac keys, NOT key
+         cardinality).
+      2. FACT SALT — hot-key fact rows get ``__gcw_salt`` =
+         crc32(spread_col) % num_salts (stable row-content hash, the
+         ``count_by_host_salted`` precedent), cold rows salt 0, so one
+         hot key fans across ``num_salts`` join partitions instead of
+         one.
+      3. DIM REPLICATE — hot-key dim rows are repeated once per salt
+         (|hot| x num_salts extra rows — tiny), cold dim rows salt 0.
+      4. ONE hash-shuffle ``Dataset.join`` on (key, salt); the salt
+         columns are dropped from the output.
+
+    Versus the hot/cold broadcast split, this keeps a SINGLE pass over
+    the fact lineage and a single exchange, and needs no driver copy of
+    any dim payload.  Output schema: fact columns ++ dim payload
+    columns (suffix "_r" on collisions)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        ks, cnt = np.unique(np.asarray(b[on].to_pylist(), dtype=object),
+                            return_counts=True)
+        return pa.table({"k": pa.array(list(ks)),
+                         "pn": pa.array(cnt, pa.int64())})
+
+    counts = (fact_ds.map_batches(key_partial, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("pn", alias_name="n")))
+    ct = pa.concat_tables(
+        b for b in counts.iter_batches(batch_format="pyarrow"))
+    total = pc.sum(ct["n"]).as_py() or 0
+    cut = max(1, int(hot_frac * total))
+    hot = set(ct.filter(pc.greater_equal(ct["n"], cut))["k"].to_pylist())
+    hot_ref = ray.put(hot)
+
+    def fact_salt(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = np.array([k in hs for k in b[on].to_pylist()], dtype=bool)
+        salt = np.zeros(len(b), dtype=np.int32)
+        if mask.any():
+            sp = b[spread_col].to_pylist()
+            salt[mask] = [zlib.crc32(str(sp[i]).encode()) % num_salts
+                          for i in np.flatnonzero(mask)]
+        return b.append_column("__gcw_salt",
+                               pa.array(salt, pa.int32()))
+
+    def dim_salt(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = np.array([k in hs for k in b[right_on].to_pylist()],
+                        dtype=bool)
+        reps = np.where(mask, num_salts, 1)
+        idx = np.repeat(np.arange(len(b)), reps)
+        # within each replicated run, salts 0..num_salts-1
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        salt = (np.arange(len(idx))
+                - np.repeat(starts, reps)).astype(np.int32)
+        out = b.take(pa.array(idx, pa.int64()))
+        return out.append_column("__gcw_salt_r",
+                                 pa.array(salt, pa.int32()))
+
+    fact = fact_ds.map_batches(fact_salt, batch_format="pyarrow")
+    dim = dim_ds.map_batches(dim_salt, batch_format="pyarrow")
+    joined = fact.join(dim, "inner", num_partitions=num_partitions,
+                       on=(on, "__gcw_salt"),
+                       right_on=(right_on, "__gcw_salt_r"),
+                       left_suffix="", right_suffix="_r")
+
+    def strip(b: pa.Table) -> pa.Table:
+        drop = [c for c in b.column_names
+                if c.startswith("__gcw_salt") or c == right_on + "_r"
+                or (right_on != on and c == right_on)]
+        return b.drop_columns(drop)
+
+    return joined.map_batches(strip, batch_format="pyarrow")

@@ -1310,3 +1310,47 @@ def test_ngram_distributed_equals_broadcast(docs_ds):
     assert auto.to_pydict() == ngram_jaccard_dedup(
         docs_ds, threshold=0.3, n=3, mode="prefix",
         distributed=False).to_pydict()
+
+
+def test_salted_skew_join_matches_plain_join(ray_session):
+    """salted_skew_join is semantically the plain inner join: the salt
+    fan-out/replication must be invisible in the output, for every
+    hot-set size (nothing hot, one mega-key hot, everything hot) and
+    for differently-named key columns."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        salted_skew_join,
+    )
+
+    rng = np.random.default_rng(7)
+    # mega-key 0 holds ~80% of fact rows; keys 1..9 share the rest
+    keys = np.where(rng.random(400) < 0.8, 0,
+                    rng.integers(1, 10, 400)).astype(np.int64)
+    fact = pa.table({
+        "k": pa.array(keys),
+        "row_id": pa.array(np.arange(400, dtype=np.int64)),
+    })
+    dim = pa.table({
+        "dk": pa.array(np.arange(10, dtype=np.int64)),
+        "payload": pa.array([f"p{i}" for i in range(10)]),
+    })
+    exp = (fact.to_pandas()
+           .merge(dim.to_pandas(), left_on="k", right_on="dk")
+           .drop(columns=["dk"])
+           .sort_values(["row_id"]).reset_index(drop=True))
+
+    for hot_frac in (0.5, 0.01, 0.999999):
+        out = salted_skew_join(
+            rd.from_arrow(fact).repartition(5), rd.from_arrow(dim),
+            on="k", right_on="dk", spread_col="row_id",
+            num_salts=4, hot_frac=hot_frac)
+        got = (pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow")).to_pandas()
+            .sort_values(["row_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "row_id", "payload"]],
+            exp[["k", "row_id", "payload"]], check_like=True)
