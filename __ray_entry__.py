@@ -484,6 +484,14 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct(events)
 
 
+def _q_hll_distinct(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sketches import hll_distinct
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return hll_distinct(events)
+
+
 def _q_media_features(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import media_features
 
@@ -1042,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "stratified_sample": _q_stratified_sample,
         "kmv_distinct": _q_kmv_distinct,
+        "hll_distinct": _q_hll_distinct,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
@@ -1154,6 +1163,12 @@ def _kmv_sql() -> str:
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_oracle_sql
 
     return kmv_oracle_sql()
+
+
+def _hll_sql() -> str:
+    from govuk_crawler_worker_ray.pipelines.sketches import hll_oracle_sql
+
+    return hll_oracle_sql()
 
 
 def _pagerank_sql(gl: str) -> str:
@@ -1440,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
             "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
         "kmv_distinct": _kmv_sql(),
+        "hll_distinct": _hll_sql(),
         "anti_join": (
             "SELECT o_orderkey FROM orders WHERE NOT EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "

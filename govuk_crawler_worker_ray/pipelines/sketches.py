@@ -83,3 +83,108 @@ def kmv_oracle_sql(key_col: str = "user_id",
         f"substr(hv, 1, {KMV_HEX_DIGITS}))::BIGINT, 1) "
         f"ELSE n END AS BIGINT) AS est_distinct FROM r "
         f"WHERE rn = CASE WHEN n >= {k} THEN {k} ELSE 1 END")
+
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 56                     # rho read from 56 post-bucket hash bits
+HLL_RMAX = HLL_W + 1           # all-zero suffix
+# alpha_64 = 0.7213 / (1 + 1.079/64) as the exact rational 70936/100000
+HLL_ALPHA_NUM = 70936
+HLL_ALPHA_DEN = 100000
+
+
+def _hll_rho(hex56: str) -> int:
+    """Position of the first 1-bit in the 56-bit value spelled by 14
+    hex digits (1-based); 57 when all zero.  Pure string/integer math so
+    the SQL twin (ltrim + digit CASE) reproduces it exactly."""
+    t = hex56.lstrip("0")
+    if not t:
+        return HLL_RMAX
+    z = len(hex56) - len(t)                  # leading zero hex digits
+    d = int(t[0], 16)
+    inbit = 0 if d >= 8 else (1 if d >= 4 else (2 if d >= 2 else 3))
+    return 4 * z + inbit + 1
+
+
+def hll_distinct(ds, key_col: str = "user_id",
+                 group_col: str = "event_type"):
+    """Approximate COUNT(DISTINCT key) per group via a HyperLogLog
+    sketch (Flajolet et al. 2007) — the register-array counterpart of
+    ``kmv_distinct``: md5(key) supplies 8 bits of bucket index (mod 64)
+    and 56 bits whose first-1-bit position is the register value; a
+    group's estimate is alpha_m * m^2 / sum_b 2^-rho_b.
+
+    Shape: per-batch partial registers (<= 64 rows per group leave each
+    batch regardless of batch size) -> ONE groupby(group) merge taking
+    the per-bucket MAX and folding the estimate — shuffle volume is
+    O(groups x 64 x batches) at any key cardinality, the whole point at
+    10^10 keys.
+
+    Determinism contract (the kmv_distinct precedent): rho and the
+    denominator are pure integers (sum of 2^(57-rho) with empty buckets
+    contributing 2^57), and the estimate is the floor division
+    (70936 * 64^2 * 2^57) // (100000 * D) — alpha as an exact rational,
+    no float anywhere, so DuckDB HUGEINT arithmetic agrees
+    bit-for-bit.  RAW estimator only: the linear-counting small-range
+    correction needs a float log, and the regime this sketch exists for
+    (key cardinality >> 2.5m = 160) never takes it; below that range
+    use the exact ``distinct_users_daily`` / KMV instead."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pylist(),
+            "key": batch[key_col].to_pylist(),
+        }).drop_duplicates()
+        hv = [hashlib.md5(str(x).encode()).hexdigest()
+              for x in df["key"]]
+        df["bucket"] = np.array([int(h[:2], 16) % HLL_M for h in hv],
+                                dtype=np.int32)
+        df["rho"] = np.array([_hll_rho(h[2:2 + 14]) for h in hv],
+                             dtype=np.int32)
+        g = df.groupby(["g", "bucket"], as_index=False)["rho"].max()
+        return pa.table({group_col: pa.array(g["g"], pa.string()),
+                         "bucket": pa.array(g["bucket"], pa.int32()),
+                         "rho": pa.array(g["rho"], pa.int32())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = g.groupby("bucket")["rho"].max()
+        top = 1 << HLL_RMAX
+        d = int(sum(top >> int(r) for r in regs))        # present
+        d += (HLL_M - len(regs)) * top                   # empty: 2^57
+        est = (HLL_ALPHA_NUM * HLL_M * HLL_M * top) // (HLL_ALPHA_DEN
+                                                        * d)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "est_distinct": [est]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pandas"))
+
+
+def hll_oracle_sql(key_col: str = "user_id",
+                   group_col: str = "event_type",
+                   table: str = "events") -> str:
+    """ANSI-SQL twin of hll_distinct — same md5 bucket/rho extraction
+    (ltrim leading-zero count + first-digit CASE), same HUGEINT
+    denominator and floor-divided estimate."""
+    top = f"(CAST(1 AS HUGEINT) << {HLL_RMAX})"
+    num = (f"(CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M} "
+           f"* {top})")
+    return (
+        f"WITH h AS (SELECT DISTINCT {group_col} AS g, "
+        f"md5(CAST({key_col} AS VARCHAR)) AS hv FROM {table}), "
+        f"d AS (SELECT g, ('0x' || substr(hv, 1, 2))::INTEGER "
+        f"% {HLL_M} AS bucket, substr(hv, 3, 14) AS s FROM h), "
+        f"r AS (SELECT g, bucket, CASE WHEN ltrim(s, '0') = '' "
+        f"THEN {HLL_RMAX} ELSE 4 * (14 - length(ltrim(s, '0'))) "
+        f"+ CASE WHEN ('0x' || substr(ltrim(s, '0'), 1, 1))::INTEGER "
+        f">= 8 THEN 0 WHEN ('0x' || substr(ltrim(s, '0'), 1, "
+        f"1))::INTEGER >= 4 THEN 1 WHEN ('0x' || substr(ltrim(s, "
+        f"'0'), 1, 1))::INTEGER >= 2 THEN 2 ELSE 3 END + 1 END "
+        f"AS rho FROM d), "
+        f"regs AS (SELECT g, bucket, MAX(rho) AS rho FROM r "
+        f"GROUP BY g, bucket), "
+        f"den AS (SELECT g, SUM({top} >> rho) "
+        f"+ ({HLL_M} - COUNT(*)) * {top} AS dd FROM regs GROUP BY g) "
+        f"SELECT g AS {group_col}, CAST({num} // "
+        f"({HLL_ALPHA_DEN} * dd) AS BIGINT) AS est_distinct FROM den")

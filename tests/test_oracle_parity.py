@@ -70,7 +70,7 @@ ORACLE_KEYS = [
     "label_centroids", "semi_join", "left_outer_join",
     "full_outer_join", "upsert_latest", "token_windows",
     "html_extract", "running_total", "json_extract_agg",
-    "bloom_semi_join", "user_retention",
+    "bloom_semi_join", "user_retention", "skew_join", "hll_distinct",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

@@ -1354,3 +1354,44 @@ def test_salted_skew_join_matches_plain_join(ray_session):
         pd.testing.assert_frame_equal(
             got[["k", "row_id", "payload"]],
             exp[["k", "row_id", "payload"]], check_like=True)
+
+
+def test_hll_sketch(ray_session):
+    """HLL estimate is within the m=64 error envelope in the raw-
+    estimator regime, block-layout invariant (mergeable registers),
+    and the rho extraction matches a direct bit count."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        _hll_rho,
+        hll_distinct,
+    )
+
+    # rho spec: first 1-bit position in the 56-bit hex suffix
+    assert _hll_rho("f" + "0" * 13) == 1
+    assert _hll_rho("8" + "0" * 13) == 1
+    assert _hll_rho("4" + "0" * 13) == 2
+    assert _hll_rho("1" + "0" * 13) == 4
+    assert _hll_rho("01" + "0" * 12) == 8
+    assert _hll_rho("0" * 14) == 57
+    for h in ("a3f0c2d4e5b697a1", "0007fc31ab02de44"):
+        v = int(h[:14], 16)
+        assert _hll_rho(h[:14]) == 57 - v.bit_length()
+
+    n = 6000
+    t = pa.table({
+        "event_type": pa.array(["a"] * n + ["b"] * n, pa.string()),
+        "user_id": pa.array([i % 3000 for i in range(n)]
+                            + [i % 900 for i in range(n)], pa.int64()),
+    })
+    first = None
+    for blocks in (1, 7):
+        out = (hll_distinct(rd.from_arrow(t).repartition(blocks))
+               .to_pandas().set_index("event_type")["est_distinct"])
+        # stderr ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+        assert abs(out["a"] - 3000) / 3000 < 0.4
+        assert abs(out["b"] - 900) / 900 < 0.4
+        if first is None:
+            first = dict(out)
+        else:
+            assert dict(out) == first  # mergeability
