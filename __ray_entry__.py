@@ -492,6 +492,14 @@ def _q_hll_distinct(sf_dir: str):
     return hll_distinct(events)
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_docs(sf_dir))
+
+
 def _q_media_features(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import media_features
 
@@ -1051,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "kmv_distinct": _q_kmv_distinct,
         "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
@@ -1169,6 +1178,12 @@ def _hll_sql() -> str:
     from govuk_crawler_worker_ray.pipelines.sketches import hll_oracle_sql
 
     return hll_oracle_sql()
+
+
+def _cms_sql() -> str:
+    from govuk_crawler_worker_ray.pipelines.sketches import cms_oracle_sql
+
+    return cms_oracle_sql()
 
 
 def _pagerank_sql(gl: str) -> str:
@@ -1456,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)"),
         "kmv_distinct": _kmv_sql(),
         "hll_distinct": _hll_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "anti_join": (
             "SELECT o_orderkey FROM orders WHERE NOT EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "

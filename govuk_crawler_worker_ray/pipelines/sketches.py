@@ -188,3 +188,125 @@ def hll_oracle_sql(key_col: str = "user_id",
         f"+ ({HLL_M} - COUNT(*)) * {top} AS dd FROM regs GROUP BY g) "
         f"SELECT g AS {group_col}, CAST({num} // "
         f"({HLL_ALPHA_DEN} * dd) AS BIGINT) AS est_distinct FROM den")
+
+
+CMS_D = 4                      # hash rows (salts "0".."3")
+CMS_W = 512                    # buckets per row
+CMS_SALTS = tuple(str(i) for i in range(CMS_D))
+
+
+def _cms_bucket(salt: str, token: str) -> int:
+    return int(hashlib.md5((salt + token).encode()
+                           ).hexdigest()[:4], 16) % CMS_W
+
+
+def cms_heavy_hitters(ds, pct: int = 1, text_col: str = "text"):
+    """Count-min-sketch frequent tokens (Cormode & Muthukrishnan
+    2005): every token whose CMS-ESTIMATED count exceeds ``pct``
+    percent of all tokens, with that estimate — a guaranteed SUPERSET
+    of the exact ``heavy_hitters`` output (CMS error is one-sided:
+    est >= true always), which is the property a curation pipeline
+    needs when the sketch gates an expensive exact second pass.
+
+    Same whitespace tokenization as heavy_hitters
+    (``pc.utf8_split_whitespace`` == regexp ``\\S+``).
+
+    Shape: pass 1 builds the sketch — per-batch (salt, bucket) partial
+    counts (<= d*w = 2048 rows per batch at ANY vocabulary size) ->
+    one tiny groupby sum -> the 2048-cell table broadcast via
+    ``ray.put``; the corpus token total is exactly the sum of one salt
+    row.  Pass 2 re-scans, estimates each batch's distinct tokens
+    against the broadcast cells (min over salts), and a final
+    vocabulary groupby collapses cross-batch repeats (the estimate is
+    global, so MIN==MAX==the value).  Nothing driver-side scales with
+    the vocabulary.
+
+    Determinism contract: buckets from md5 hex (the kmv precedent),
+    counts and the 100*est > pct*total gate all integers, so the
+    DuckDB twin hashes bit-for-bit."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    def cells_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            batch[text_col].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        s = pd.Series(flat.to_pandas()[keep].to_numpy())
+        vc = s.value_counts()
+        toks_u = vc.index.to_numpy()
+        cnts = vc.to_numpy().astype(np.int64)
+        out_s, out_b, out_c = [], [], []
+        for salt in CMS_SALTS:
+            bucket = np.array([_cms_bucket(salt, t) for t in toks_u],
+                              dtype=np.int32)
+            agg = pd.DataFrame({"b": bucket, "c": cnts}).groupby(
+                "b", as_index=False)["c"].sum()
+            out_s.extend([salt] * len(agg))
+            out_b.extend(agg["b"].tolist())
+            out_c.extend(agg["c"].tolist())
+        return pa.table({"salt": pa.array(out_s, pa.string()),
+                         "bucket": pa.array(out_b, pa.int32()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    cells_tbl = pa.concat_tables(
+        b for b in (ds.map_batches(cells_partial, batch_format="pyarrow")
+                    .groupby(["salt", "bucket"])
+                    .aggregate(Sum("c", alias_name="n"))
+                    .iter_batches(batch_format="pyarrow")))
+    sketch = {}
+    for salt, bucket, n in zip(cells_tbl["salt"].to_pylist(),
+                               cells_tbl["bucket"].to_pylist(),
+                               cells_tbl["n"].to_pylist()):
+        sketch[(salt, bucket)] = n
+    total = sum(v for (s, _), v in sketch.items() if s == CMS_SALTS[0])
+    ref = ray.put(sketch)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sk = ray.get(ref)
+        toks = pc.utf8_split_whitespace(
+            batch[text_col].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        uniq = np.unique(flat.to_pandas()[keep].to_numpy())
+        out_t, out_e = [], []
+        for t in uniq:
+            est = min(sk[(salt, _cms_bucket(salt, t))]
+                      for salt in CMS_SALTS)
+            if 100 * est > pct * total:
+                out_t.append(t)
+                out_e.append(est)
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "est_count": pa.array(out_e, pa.int64())})
+
+    # cross-batch repeats carry the identical global estimate; one
+    # candidate-sized groupby collapses them
+    return (ds.map_batches(estimate, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Min("est_count", alias_name="est_count")))
+
+
+def cms_oracle_sql(pct: int = 1, table: str = "documents",
+                   text_col: str = "text") -> str:
+    """ANSI-SQL twin of cms_heavy_hitters — same md5 buckets, same
+    min-over-salts estimate, same integer threshold gate."""
+    salts = ", ".join(f"'{s}'" for s in CMS_SALTS)
+    bexpr = ("('0x' || substr(md5(salt || token), 1, 4))::INTEGER "
+             f"% {CMS_W}")
+    return (
+        f"WITH toks AS (SELECT unnest(regexp_extract_all({text_col}, "
+        f"'\\S+')) AS token FROM {table}), "
+        f"tot AS (SELECT count(*) AS n FROM toks), "
+        f"salts AS (SELECT unnest([{salts}]) AS salt), "
+        f"cells AS (SELECT salt, {bexpr} AS bucket, count(*) AS c "
+        f"FROM toks CROSS JOIN salts GROUP BY salt, bucket), "
+        f"cand AS (SELECT DISTINCT token FROM toks), "
+        f"tb AS (SELECT token, salt, {bexpr} AS bucket "
+        f"FROM cand CROSS JOIN salts), "
+        f"est AS (SELECT token, MIN(c) AS est_count FROM tb "
+        f"JOIN cells USING (salt, bucket) GROUP BY token) "
+        f"SELECT token, CAST(est_count AS BIGINT) AS est_count "
+        f"FROM est, tot WHERE 100 * est_count > {pct} * tot.n")

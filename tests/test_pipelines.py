@@ -1395,3 +1395,31 @@ def test_hll_sketch(ray_session):
             first = dict(out)
         else:
             assert dict(out) == first  # mergeability
+
+
+def test_cms_heavy_hitters(docs_ds):
+    """CMS candidate set is a superset of the exact heavy hitters
+    (one-sided error), every estimate >= the true count, and the
+    output is block-layout invariant (mergeable cells)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        cms_heavy_hitters,
+    )
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        heavy_hitters,
+    )
+
+    exact = heavy_hitters(docs_ds, pct=1).to_pandas()
+    base = (cms_heavy_hitters(docs_ds, pct=1).to_pandas()
+            .sort_values("token").reset_index(drop=True))
+    assert set(exact["token"]) <= set(base["token"])
+    truth = dict(zip(exact["token"], exact["n_occurrences"]))
+    for t, est in zip(base["token"], base["est_count"]):
+        if t in truth:
+            assert est >= truth[t]
+    reblocked = (cms_heavy_hitters(docs_ds.repartition(5), pct=1)
+                 .to_pandas().sort_values("token")
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, reblocked)
