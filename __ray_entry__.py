@@ -492,6 +492,14 @@ def _q_hll_distinct(sf_dir: str):
     return hll_distinct(events)
 
 
+def _q_inverted_index(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        inverted_index,
+    )
+
+    return inverted_index(_docs(sf_dir))
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sketches import (
         cms_heavy_hitters,
@@ -1060,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "inverted_index": _q_inverted_index,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
@@ -1472,6 +1481,17 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_sql(),
         "hll_distinct": _hll_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        # postings assembled doc_id-ascending; engine and SQL both
+        # order by the integer doc_id, so the strings compare exact
+        "inverted_index": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT token, doc_id, count(*) AS tf FROM tok "
+            "GROUP BY token, doc_id) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) "
+            "AS postings FROM tf GROUP BY token"),
         "anti_join": (
             "SELECT o_orderkey FROM orders WHERE NOT EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "

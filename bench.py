@@ -172,7 +172,9 @@ def bench_queries() -> dict:
              "tfidf_rank", "priority_sample", "embedding_stats",
              "semi_join", "full_outer_join", "upsert_latest",
              "token_windows", "running_total", "json_extract_agg",
-             "bloom_semi_join", "user_retention"]
+             "bloom_semi_join", "user_retention",
+             # closing-session additions (same caveat)
+             "skew_join", "hll_distinct", "cms_heavy_hitters"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -930,3 +930,48 @@ def html_extract_text(ds):
         })
 
     return ds.map_batches(xb, batch_format="pyarrow")
+
+
+def inverted_index(ds):
+    """Distributed inverted-index build: (token, df, postings) where
+    postings is the doc_id-ascending list "doc:tf,doc:tf,..." — the
+    retrieval-index layout behind BM25/tf-idf serving (token_df gives
+    only the DF side; this materializes the posting payload).
+
+    Shape: per-batch exact (token, doc_id, tf) partials — a document
+    lives wholly in one row, so per-doc tf is final at batch level and
+    the wide exchange moves one row per (token, doc), never per
+    occurrence — then ONE vocabulary groupby assembles each token's
+    postings.  Hot tokens ("the") make long posting rows, not hot
+    shuffle keys: the exchange key is the token, one output row each.
+    At serving scale the same rows would land in token-hash-partitioned
+    parquet (the resumable-output layout); the query returns them
+    inline."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        text = batch["text"].combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": flat.to_pandas()[keep],
+                           "doc_id": doc_ids[keep]})
+        g = (df.groupby(["token", "doc_id"], as_index=False)
+             .size().rename(columns={"size": "tf"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        postings = ",".join(f"{d}:{t}" for d, t in
+                            zip(g["doc_id"], g["tf"]))
+        return pd.DataFrame({"token": [g["token"].iloc[0]],
+                             "df": np.array([len(g)], dtype=np.int64),
+                             "postings": [postings]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token")
+            .map_groups(assemble, batch_format="pandas"))

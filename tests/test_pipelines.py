@@ -1423,3 +1423,35 @@ def test_cms_heavy_hitters(docs_ds):
                  .to_pandas().sort_values("token")
                  .reset_index(drop=True))
     pd.testing.assert_frame_equal(base, reblocked)
+
+
+def test_inverted_index(docs_ds):
+    """Postings reconstruct exact per-doc term frequencies, df matches
+    the posting length, order is doc_id-ascending, and the build is
+    block-layout invariant."""
+    import pandas as pd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        inverted_index,
+    )
+
+    base = (inverted_index(docs_ds).to_pandas()
+            .sort_values("token").reset_index(drop=True))
+    docs = pa.concat_tables(
+        docs_ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    truth: dict = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for tok in text.split():
+            truth[(tok, did)] = truth.get((tok, did), 0) + 1
+    for _, row in base.iterrows():
+        entries = [e.split(":") for e in row["postings"].split(",")]
+        dids = [int(d) for d, _ in entries]
+        assert dids == sorted(dids)
+        assert row["df"] == len(entries)
+        for d, tf in entries:
+            assert truth[(row["token"], int(d))] == int(tf)
+    n_pairs = sum(1 for _ in truth)
+    assert int(base["df"].sum()) == n_pairs
+    reblocked = (inverted_index(docs_ds.repartition(5)).to_pandas()
+                 .sort_values("token").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, reblocked)
