@@ -500,6 +500,15 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir))
 
 
+def _q_hard_negatives(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        hard_negatives,
+    )
+
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
+    return hard_negatives(emb)
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sketches import (
         cms_heavy_hitters,
@@ -1069,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "inverted_index": _q_inverted_index,
+        "hard_negatives": _q_hard_negatives,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
@@ -1807,6 +1817,27 @@ def oracle_sql() -> dict[str, str]:
             "AS qvec_csv FROM m"),
         # integer-exact priority sampling (Duffield-Lund-Thorup): same
         # clamp, same 43-bit hash fraction, same int64 division
+        # integer dot products over the SAME int8 quantization as
+        # quantize_embeddings: top-k membership, tie order and scores
+        # are all exact
+        "hard_negatives": (
+            "WITH b AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "m AS (SELECT vec_id, label, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS m FROM b), "
+            "q AS (SELECT vec_id, label, list_transform(v, x -> "
+            "CAST(CASE WHEN m = 0 THEN 0 ELSE floor(abs(127 * x / m) "
+            "+ 0.5) * (CASE WHEN x < 0 THEN -1 ELSE 1 END) END "
+            "AS BIGINT)) AS qv FROM m), "
+            "probes AS (SELECT * FROM q ORDER BY vec_id LIMIT 20), "
+            "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS "
+            "neighbor_id, CAST(list_dot_product(p.qv, c.qv) AS BIGINT) "
+            "AS dot, row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "list_dot_product(p.qv, c.qv) DESC, c.vec_id) AS rank "
+            "FROM probes p JOIN q c ON c.label <> p.label "
+            "AND c.vec_id <> p.vec_id) "
+            "SELECT probe_id, neighbor_id, dot, CAST(rank AS BIGINT) "
+            "AS rank FROM scored WHERE rank <= 5"),
         "priority_sample": (
             "SELECT doc_id, priority FROM (SELECT doc_id, "
             "(least(length(text) + 1, 524287) * (1::BIGINT << 43)) // "

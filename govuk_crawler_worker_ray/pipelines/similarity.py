@@ -790,3 +790,78 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+def hard_negatives(ds, n_probes: int = 20, k: int = 5):
+    """Hard-negative mining for contrastive training: for each of the
+    ``n_probes`` lowest-vec_id probe vectors, the ``k`` most similar
+    vectors carrying a DIFFERENT label — the near-misses a retrieval /
+    embedding trainer wants as negatives.
+
+    Similarity is the INTEGER dot product of the int8-quantized codes
+    (the ``quantize_embeddings`` kernel): |q| <= 127 and dim 64 keep
+    every dot < 2^21, so scores, the (dot DESC, vec_id ASC) tie order,
+    and therefore the whole output are exact — float cosine would make
+    top-k membership rounding-dependent at the boundary.
+
+    Shape: probes resolve via per-batch min-k partials merged on the
+    driver (n_probes rows); their code matrix broadcasts once
+    (``ray.put``, n_probes x dim ints); each batch scores with one
+    integer matmul and ships only its per-probe top-k — k x probes
+    rows per batch, merged driver-side (ann_bruteforce precedent).
+    Output: (probe_id, neighbor_id, dot, rank)."""
+    import ray
+
+    def probe_partial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids)[:n_probes]
+        return b.take(pa.array(idx, pa.int64()))
+
+    cand = pa.concat_tables(
+        ds.map_batches(probe_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    order = np.argsort(cand["vec_id"].to_numpy(zero_copy_only=False))
+    probes = cand.take(pa.array(order[:n_probes], pa.int64()))
+    pq_codes, poffs, plens, _ = _quantize_codes(probes["embedding"])
+    dim = int(plens[0])
+    pmat = pq_codes.reshape(len(probes), dim)
+    pids = probes["vec_id"].to_numpy(zero_copy_only=False)
+    plabels = probes["label"].to_numpy(zero_copy_only=False)
+    ref = ray.put((pmat, pids, plabels))
+
+    def score(b: pa.Table) -> pa.Table:
+        pm, pi, pl = ray.get(ref)
+        q, offs, lens, _ = _quantize_codes(b["embedding"])
+        x = q.reshape(len(b), dim)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        dots = pm @ x.T                      # (P, nb) int64
+        out_p, out_n, out_d = [], [], []
+        for p in range(len(pi)):
+            ok = (labels != pl[p]) & (ids != pi[p])
+            if not ok.any():
+                continue
+            cand_ids = ids[ok]
+            cand_d = dots[p][ok]
+            top = np.lexsort((cand_ids, -cand_d))[:k]
+            out_p.extend([pi[p]] * len(top))
+            out_n.extend(cand_ids[top].tolist())
+            out_d.extend(cand_d[top].tolist())
+        return pa.table({"probe_id": pa.array(out_p, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    parts = pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    df = parts.to_pandas()
+    df = df.sort_values(["probe_id", "dot", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("probe_id", as_index=False).head(k)
+    df["rank"] = df.groupby("probe_id").cumcount() + 1
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False).cast(pa.schema([
+                                    ("probe_id", pa.int64()),
+                                    ("neighbor_id", pa.int64()),
+                                    ("dot", pa.int64()),
+                                    ("rank", pa.int64())]))

@@ -1455,3 +1455,45 @@ def test_inverted_index(docs_ds):
     reblocked = (inverted_index(docs_ds.repartition(5)).to_pandas()
                  .sort_values("token").reset_index(drop=True))
     pd.testing.assert_frame_equal(base, reblocked)
+
+
+def test_hard_negatives(ray_session):
+    """Top-k cross-label integer-dot neighbors match a pure-numpy
+    reference exactly (scores, membership, tie order) and are
+    block-layout invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import (
+        _quantize_codes,
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 4).astype(np.int32)),
+    })
+    q, _, _, _ = _quantize_codes(t["embedding"])
+    codes = q.reshape(n, dim)
+    labels = np.arange(n) % 4
+    rows = []
+    for p in range(8):
+        dots = codes[p] @ codes.T
+        ok = (labels != labels[p]) & (np.arange(n) != p)
+        cand = np.flatnonzero(ok)
+        top = cand[np.lexsort((cand, -dots[cand]))][:5]
+        for r, nb in enumerate(top, 1):
+            rows.append((p, int(nb), int(dots[nb]), r))
+    exp = pd.DataFrame(rows, columns=["probe_id", "neighbor_id",
+                                      "dot", "rank"])
+    for blocks in (1, 6):
+        got = (hard_negatives(rd.from_arrow(t).repartition(blocks),
+                              n_probes=8, k=5).to_pandas())
+        pd.testing.assert_frame_equal(
+            got.sort_values(["probe_id", "rank"]).reset_index(drop=True),
+            exp.astype(got.dtypes.to_dict()), check_dtype=False)
