@@ -509,6 +509,14 @@ def _q_hard_negatives(sf_dir: str):
     return hard_negatives(emb)
 
 
+def _q_vocab_encode(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        vocab_encode,
+    )
+
+    return vocab_encode(_docs(sf_dir))
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sketches import (
         cms_heavy_hitters,
@@ -1079,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "inverted_index": _q_inverted_index,
         "hard_negatives": _q_hard_negatives,
+        "vocab_encode": _q_vocab_encode,
         "anti_join": _q_anti_join,
         "group_topk": _q_group_topk,
         "bpe_token_count": _q_bpe_token_count,
@@ -1491,6 +1500,25 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_sql(),
         "hll_distinct": _hll_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        # rank order (count DESC, token ASC) is total, so the vocab ids
+        # and therefore the id sequences are deterministic both sides
+        "vocab_encode": (
+            "WITH cnt AS (SELECT token, count(*) AS n FROM (SELECT "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token FROM "
+            "documents) GROUP BY token), "
+            "vocab AS (SELECT token, id FROM (SELECT token, "
+            "row_number() OVER (ORDER BY n DESC, token) - 1 AS id "
+            "FROM cnt) WHERE id < 64), "
+            "tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
+            "AS ts FROM documents), "
+            "pos AS (SELECT doc_id, ts, "
+            "unnest(generate_series(1, len(ts))) AS i FROM tl), "
+            "enc AS (SELECT p.doc_id, p.i, COALESCE(v.id, -1) AS id "
+            "FROM pos p LEFT JOIN vocab v ON v.token = p.ts[p.i]), "
+            "agg AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), "
+            "',' ORDER BY i) AS ids_csv FROM enc GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.ids_csv, '') AS ids_csv "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"),
         # postings assembled doc_id-ascending; engine and SQL both
         # order by the integer doc_id, so the strings compare exact
         "inverted_index": (

@@ -975,3 +975,69 @@ def inverted_index(ds):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("token")
             .map_groups(assemble, batch_format="pandas"))
+
+
+def vocab_encode(ds, vocab_size: int = 64):
+    """Frequency-vocabulary build + corpus encode — the tokenizer-prep
+    step of a pretraining pipeline: the ``vocab_size`` most frequent
+    whitespace tokens get ids 0..V-1 (rank order: count DESC, token ASC
+    — fully deterministic), every other token becomes OOV id -1, and
+    each document encodes to its id sequence "i,i,i,...".
+
+    Shape: pass 1 is the skew-free vocabulary combiner (per-batch token
+    counts, ONE vocabulary-sized groupby) of which only the top-V rows
+    — per-batch partial top-V, driver merge of V x batches rows — come
+    back; the V-entry dict broadcasts via ``ray.put``; pass 2 encodes
+    per batch with a vectorized pandas map.  Nothing driver-side scales
+    with the vocabulary or the corpus.  Output: (doc_id, ids_csv)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        s = pd.Series(flat.to_pandas()[keep].to_numpy())
+        g = s.value_counts()
+        return pa.table({
+            "token": pa.array(g.index.to_numpy(), pa.string()),
+            "partial_n": pa.array(g.to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("partial_n", alias_name="n")))
+
+    def topv(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]).head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = pa.concat_tables(
+        counts.map_batches(topv, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    cand = cand.sort_values(["n", "token"],
+                            ascending=[False, True]).head(vocab_size)
+    vocab = {t: i for i, t in enumerate(cand["token"])}
+    ref = ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = (pd.Series(flat.to_pandas()).map(v).fillna(-1)
+               .astype(np.int64).to_numpy())
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        ids, doc_idx = ids[keep], doc_idx[keep]
+        csvs = []
+        bounds = np.searchsorted(doc_idx, np.arange(batch.num_rows + 1))
+        for r in range(batch.num_rows):
+            seg = ids[bounds[r]:bounds[r + 1]]
+            csvs.append(",".join(map(str, seg)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "ids_csv": pa.array(csvs, pa.string())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

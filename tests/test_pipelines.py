@@ -1497,3 +1497,38 @@ def test_hard_negatives(ray_session):
         pd.testing.assert_frame_equal(
             got.sort_values(["probe_id", "rank"]).reset_index(drop=True),
             exp.astype(got.dtypes.to_dict()), check_dtype=False)
+
+
+def test_vocab_encode(docs_ds):
+    """Encoded sequences decode back to the original token stream for
+    in-vocab tokens, OOV ids are exactly the non-top-V tokens, and the
+    encoding is block-layout invariant."""
+    import pandas as pd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        vocab_encode,
+    )
+
+    V = 8
+    base = (vocab_encode(docs_ds, vocab_size=V).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    docs = pa.concat_tables(
+        docs_ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    counts: dict = {}
+    for text in docs["text"]:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    rank = sorted(counts, key=lambda t: (-counts[t], t))[:V]
+    vocab = {t: i for i, t in enumerate(rank)}
+    by_doc = dict(zip(docs["doc_id"], docs["text"]))
+    for _, row in base.iterrows():
+        toks = by_doc[row["doc_id"]].split()
+        ids = [int(i) for i in row["ids_csv"].split(",")] if row[
+            "ids_csv"] else []
+        assert len(ids) == len(toks)
+        for t, i in zip(toks, ids):
+            assert i == vocab.get(t, -1)
+    reblocked = (vocab_encode(docs_ds.repartition(5), vocab_size=V)
+                 .to_pandas().sort_values("doc_id")
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, reblocked)
