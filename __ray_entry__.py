@@ -1066,6 +1066,57 @@ def _q_html_extract(sf_dir: str):
     return html_extract_text(html)
 
 
+def _q_degree_stats(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import degree_stats
+
+    d = _fixture()
+    links = rd.read_parquet(os.path.join(d, "golden_links.parquet"),
+                            columns=["doc_id", "link_url"])
+    edges = links.map_batches(
+        lambda b: pa.table({"src": b["doc_id"], "dst": b["link_url"]}),
+        batch_format="pyarrow")
+    return degree_stats(edges)
+
+
+def _q_global_rank(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import global_rank
+
+    return global_rank(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_pmi_collocations(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_length_outliers(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        length_outliers,
+    )
+
+    return length_outliers(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def _q_dup_spans(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import dup_spans
+
+    return dup_spans(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1145,6 +1196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "user_retention": _q_user_retention,
         "pagerank": _q_pagerank,
+        "degree_stats": _q_degree_stats,
+        "global_rank": _q_global_rank,
+        "pmi_collocations": _q_pmi_collocations,
+        "length_outliers": _q_length_outliers,
+        "dup_spans": _q_dup_spans,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -2049,6 +2105,75 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the same floor-arithmetic update
         # unrolled as chained CTEs (see pipelines/graph.py)
         "pagerank": _pagerank_sql(gl),
+        "degree_stats": (
+            "WITH e AS (SELECT doc_id AS src, link_url AS dst FROM "
+            f"read_parquet('{gl}')), "
+            "n AS (SELECT DISTINCT url FROM (SELECT src AS url FROM e "
+            "UNION ALL SELECT dst FROM e)), "
+            "o AS (SELECT src, count(*) AS od FROM e GROUP BY src), "
+            "i AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst) "
+            "SELECT n.url, CAST(COALESCE(o.od, 0) AS BIGINT) AS "
+            "out_degree, CAST(COALESCE(i.idg, 0) AS BIGINT) AS "
+            "in_degree FROM n LEFT JOIN o ON o.src = n.url "
+            "LEFT JOIN i ON i.dst = n.url"),
+        "global_rank": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "text, '\\S+')) AS BIGINT) AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, CAST(row_number() OVER "
+            "(ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS pos "
+            "FROM t"),
+        # integer-exact PMI argument: same floor-division order as the
+        # engine (see text_analysis.pmi_collocations)
+        "pmi_collocations": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(text, "
+            "'\\S+')) AS tok FROM documents), "
+            "tot AS (SELECT count(*) AS n_tok FROM toks), "
+            "uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "seq AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'\\S+')) AS tok, unnest(generate_series(1, "
+            "len(regexp_extract_all(text, '\\S+')))) AS p "
+            "FROM documents), "
+            "bi AS (SELECT tok AS w1, lead(tok) OVER (PARTITION BY "
+            "doc_id ORDER BY p) AS w2 FROM seq), "
+            "bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi "
+            "WHERE w2 IS NOT NULL GROUP BY w1, w2 "
+            "HAVING count(*) >= 5) "
+            "SELECT bc.w1, bc.w2, CAST(bc.c_xy AS BIGINT) AS c_xy, "
+            "CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y, "
+            "CAST(((bc.c_xy * 1000000) // u1.c) * tot.n_tok // u2.c "
+            "AS BIGINT) AS pmi_ratio_micros "
+            "FROM bc JOIN uni u1 ON u1.tok = bc.w1 "
+            "JOIN uni u2 ON u2.tok = bc.w2, tot"),
+        "length_outliers": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+            "q AS (SELECT quantile_disc(n_tokens, 0.25) AS q1, "
+            "quantile_disc(n_tokens, 0.75) AS q3 FROM t) "
+            "SELECT t.doc_id, t.n_tokens, "
+            "(2 * t.n_tokens < 2 * q.q1 - 3 * (q.q3 - q.q1) OR "
+            "2 * t.n_tokens > 2 * q.q3 + 3 * (q.q3 - q.q1)) "
+            "AS is_outlier FROM t, q"),
+        # 8-gram windows: the || chain nulls out (and so drops) every
+        # window crossing the doc end, mirroring the engine's same-doc
+        # mask
+        "dup_spans": (
+            "WITH seq AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "unnest(generate_series(1, len(regexp_extract_all(text, "
+            "'\\S+')))) AS p FROM documents), "
+            "g AS (SELECT doc_id, p, tok"
+            + "".join(f" || ' ' || lead(tok, {j}) OVER w"
+                      for j in range(1, 8)) +
+            " AS gram FROM seq WINDOW w AS "
+            "(PARTITION BY doc_id ORDER BY p)), "
+            "g2 AS (SELECT doc_id, p, gram FROM g "
+            "WHERE gram IS NOT NULL), "
+            "d AS (SELECT gram, count(DISTINCT doc_id) AS n_docs "
+            "FROM g2 GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT g2.doc_id, g2.p AS pos, "
+            "CAST(d.n_docs AS BIGINT) AS n_docs "
+            "FROM g2 JOIN d USING (gram)"),
         "content_type_gate": (
             "SELECT url, CASE WHEN lower(trim(split_part(content_type, "
             f"';', 1))) IN ({_ACCEPTED_SQL}) THEN true ELSE false END AS "

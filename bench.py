@@ -174,7 +174,11 @@ def bench_queries() -> dict:
              "token_windows", "running_total", "json_extract_agg",
              "bloom_semi_join", "user_retention",
              # closing-session additions (same caveat)
-             "skew_join", "hll_distinct", "cms_heavy_hitters"]
+             "skew_join", "hll_distinct", "cms_heavy_hitters",
+             "inverted_index", "hard_negatives", "vocab_encode",
+             # round-3 session-5 additions (same caveat)
+             "degree_stats", "global_rank", "pmi_collocations",
+             "length_outliers", "dup_spans"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -1251,3 +1251,77 @@ def normalized_dedup(ds):
             .groupby("norm_hash")
             .aggregate(Min("doc_id", alias_name="doc_id"),
                        Count(alias_name="n_dups")))
+
+
+def dup_spans(ds, n: int = 8, min_docs: int = 2):
+    """Duplicated-span detection — every position where a token
+    ``n``-gram recurs across >= ``min_docs`` DISTINCT documents (the
+    substring-dedup signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", public; fixed-width n-grams
+    stand in for the suffix-array substrings, the standard scalable
+    approximation).  Output (doc_id, pos, n_docs): 1-based token
+    position of each duplicated n-gram start and how many distinct
+    docs share it — the span list a downstream cut-and-reassemble pass
+    (``chunk_dedup``) consumes.
+
+    Plan (all narrow after the explode):
+      1. vectorized n-gram explode: one whitespace split per batch,
+         n-grams built by shifted-array joins (no per-row loop);
+      2. distinct (gram, doc_id) via ONE groupby count, re-grouped to
+         grams-with->=min_docs — almost all grams are unique, so this
+         table collapses by orders of magnitude;
+      3. ONE inner hash join of the occurrence rows against the small
+         duplicated-gram side.
+    Gram text shuffles as the key (the token_df/chunk_dedup contract —
+    exact and oracle-parity); the 10^10-doc swap is a 64-bit gram hash
+    in the same plan, trading an ~2^-40 collision rate for 8x narrower
+    exchanges."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_docs_b = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_pos = np.repeat(np.arange(n_docs_b), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_pandas()[keep].to_numpy()
+        d = doc_pos[keep]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d) < n:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        # within-doc token index (vectorized cumcount over sorted d)
+        starts = np.searchsorted(d, np.arange(n_docs_b))
+        tok_idx = np.arange(len(d)) - starts[d]
+        # a window starts at i iff the (n-1)-ahead token is same-doc
+        ok = d[: len(d) - n + 1] == d[n - 1:]
+        gram = pd.Series(w[: len(w) - n + 1], dtype=object)
+        for j in range(1, n):
+            gram = gram + " " + pd.Series(w[j: len(w) - n + 1 + j],
+                                          dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids[d[: len(d) - n + 1][ok]], pa.int64()),
+            "pos": pa.array(tok_idx[: len(d) - n + 1][ok] + 1, pa.int64()),
+            "gram": pa.array(gram.to_numpy()[ok], pa.string()),
+        })
+
+    grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_docs"], min_docs))
+
+    dup = (grams.groupby(["gram", "doc_id"])
+           .aggregate(Count(alias_name="_o"))
+           .drop_columns(["_o"])
+           .groupby("gram").aggregate(Count(alias_name="n_docs"))
+           .map_batches(only_dups, batch_format="pyarrow"))
+
+    try:
+        P = max(2, min(grams.num_blocks(), 16))
+    except Exception:
+        P = 8
+    joined = grams.join(dup, "inner", num_partitions=P, on=("gram",))
+    return joined.select_columns(["doc_id", "pos", "n_docs"])

@@ -99,6 +99,51 @@ def pagerank(edges_ds, iterations: int = 5):
     return ranks
 
 
+def degree_stats(edges_ds):
+    """edges (src: string, dst: string) -> (url, out_degree, in_degree)
+    for every node in the link graph (missing side = 0) — the standard
+    crawl-graph health signal (dangling pages have out_degree 0, orphan
+    pages in_degree 0; both feed curation filters alongside
+    ``pagerank``).
+
+    Shape for 10^10 edges: two pre-aggregable groupby counts (Ray Data
+    pushes Count partials into the map side) plus two narrow hash
+    joins on the node list — only (url, int64) rows shuffle, never the
+    page bodies the edges came from."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    P = _join_parts(edges_ds)
+    out_deg = (edges_ds.groupby("src")
+               .aggregate(Count(alias_name="out_degree")))
+    in_deg = (edges_ds.groupby("dst")
+              .aggregate(Count(alias_name="in_degree")))
+
+    def explode_nodes(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["src"].combine_chunks(),
+                              b["dst"].combine_chunks()])
+        return pa.table({"url": u})
+
+    nodes = (edges_ds.map_batches(explode_nodes, batch_format="pyarrow")
+             .groupby("url").aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"]))
+    merged = (nodes.join(out_deg, "left_outer", num_partitions=P,
+                         on=("url",), right_on=("src",))
+              .join(in_deg, "left_outer", num_partitions=P,
+                    on=("url",), right_on=("dst",)))
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"],
+            "out_degree": pc.fill_null(
+                pc.cast(b["out_degree"], pa.int64()), 0),
+            "in_degree": pc.fill_null(
+                pc.cast(b["in_degree"], pa.int64()), 0),
+        })
+
+    return merged.map_batches(fill, batch_format="pyarrow")
+
+
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
     """ANSI-SQL twin: the same integer update unrolled as chained CTEs
     over ``edges_sql`` (a SELECT yielding (src, dst))."""

@@ -308,6 +308,77 @@ def top_docs_by_length(ds, k: int = 25) -> pa.Table:
                      "n_chars": pa.array(n[order], pa.int64())})
 
 
+def global_rank(ds, num_partitions: int | None = None):
+    """Distributed global sort-rank: every document gets its dense
+    1-based position in (n_tokens DESC, doc_id ASC) order —
+    ``ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)`` as a
+    distributed operator.  Output (doc_id, n_tokens, rank).
+
+    Ray Data's native ``Dataset.sort`` range-partitions and orders the
+    blocks but exposes no global offsets, so rank is the same
+    two-phase scan as ``packing.pack_offsets`` (output column ``pos``):
+    the FIRST sort key is its own order-preserving bucket —
+
+      1. narrow (doc_id, n_tokens) projection;
+      2. per-n_tokens counts (map-side Count partials), driver
+         exclusive-scans them in DESC key order (distinct token counts
+         ~O(longest doc) — thousands, not corpus-sized) and broadcasts
+         the base-offset table once via ``ray.put``;
+      3. ONE shuffle hash-partitioned on n_tokens (whole keys
+         co-locate), vectorized in-partition lexsort + per-key
+         cumcount — no per-key map_groups dispatch (the chunk_dedup
+         lesson).
+
+    Only int64 triples shuffle; text never moves."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def narrow(b: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(b["text"], r"\S+"),
+                        pa.int64())
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "n_tokens": n_tok})
+
+    narrow_ds = ds.map_batches(narrow,
+                               batch_format="pyarrow").materialize()
+
+    counts = (narrow_ds.groupby("n_tokens")
+              .aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("n_tokens", ascending=False))
+    keys = counts["n_tokens"].to_numpy()
+    base = dict(zip(keys, np.concatenate(
+        ([0], np.cumsum(counts["n"].to_numpy())[:-1])).astype(np.int64)))
+    bref = ray.put(base)
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(2, min(narrow_ds.num_blocks(), 32))
+        except Exception:
+            num_partitions = 8
+
+    n_parts = num_partitions
+
+    def tag(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy()
+        return b.append_column(
+            "part", pa.array(nt % n_parts, pa.int64()))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        base_ = ray.get(bref)
+        g = g.sort_values(["n_tokens", "doc_id"])
+        within = g.groupby("n_tokens", sort=False).cumcount().to_numpy()
+        offs = g["n_tokens"].map(base_).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "pos": offs + within + 1,
+        })
+
+    return (narrow_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(rank_part,
+                                        batch_format="pandas"))
+
+
 def asof_join_events(ds, left_type: str = "purchase",
                      right_type: str = "click"):
     """AS-OF join over the events stream: for each LEFT-type event, the

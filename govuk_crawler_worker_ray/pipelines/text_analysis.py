@@ -1041,3 +1041,151 @@ def vocab_encode(ds, vocab_size: int = 64):
                          "ids_csv": pa.array(csvs, pa.string())})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pmi_collocations(ds, min_count: int = 5):
+    """Collocation extraction — bigrams ranked by pointwise mutual
+    information (Church & Hanks 1990, public), the classic corpus-
+    analysis step for multiword-expression vocab and tokenizer merges.
+
+    PMI = log(P(xy) / (P(x)P(y))); log is monotone, so ranking by the
+    ARGUMENT keeps the order while staying integer-exact for the SQL
+    twin (the pagerank/kmv precedent).  The statistic shipped is
+
+        pmi_ratio_micros = ((c_xy * 1_000_000) // c_x) * n_tok // c_y
+
+    with c_x/c_y unigram occurrence counts, n_tok the total token
+    count, floor-division in that exact order on both sides.  The
+    first factor is <= 1_000_000 (c_xy <= c_x), so the intermediate is
+    bounded by 1e6 * n_tok — int64-safe to ~9e12 tokens; past that,
+    drop SCALE to 1e3 (documented contract, same ordering).
+
+    Shape: two skew-free combiner passes (per-batch value_counts, one
+    vocabulary-sized groupby each) — unigrams broadcast once via
+    ``ray.put`` (vocab outgrowing a broadcast swaps to the
+    distinctive_terms join path), bigram counts stay a Dataset,
+    filtered to c_xy >= min_count BEFORE the lookup map.  Only
+    (w1, w2, int64) rows ever move."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        g = pd.Series(flat.to_pandas()[keep].to_numpy()).value_counts()
+        return pa.table({
+            "token": pa.array(g.index.to_numpy(), pa.string()),
+            "partial_n": pa.array(g.to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("partial_n", alias_name="n")).to_pandas())
+    n_tok = int(uni["n"].sum())
+    lut_ref = ray.put(pd.Series(uni["n"].to_numpy().astype(np.int64),
+                                index=uni["token"].to_numpy()))
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        toks = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_pandas()[keep].to_numpy()
+        d = doc_idx[keep]
+        if len(d) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        same = d[1:] == d[:-1]
+        df = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+        g = df.groupby(["w1", "w2"], as_index=False).size()
+        return pa.table({
+            "w1": pa.array(g["w1"].to_numpy(), pa.string()),
+            "w2": pa.array(g["w2"].to_numpy(), pa.string()),
+            "partial_n": pa.array(g["size"].to_numpy().astype(np.int64),
+                                  pa.int64())})
+
+    bi = (ds.map_batches(bi_partial, batch_format="pyarrow")
+          .groupby(["w1", "w2"])
+          .aggregate(Sum("partial_n", alias_name="c_xy")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        c_xy = batch["c_xy"].to_numpy()
+        m = c_xy >= min_count
+        if not m.any():
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], pa.int64()),
+                             "c_x": pa.array([], pa.int64()),
+                             "c_y": pa.array([], pa.int64()),
+                             "pmi_ratio_micros": pa.array([],
+                                                          pa.int64())})
+        w1 = batch["w1"].to_pandas().to_numpy()[m]
+        w2 = batch["w2"].to_pandas().to_numpy()[m]
+        c_xy = c_xy[m]
+        c_x = lut[w1].to_numpy()
+        c_y = lut[w2].to_numpy()
+        score = ((c_xy * 1_000_000) // c_x) * n_tok // c_y
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "c_xy": pa.array(c_xy, pa.int64()),
+            "c_x": pa.array(c_x, pa.int64()),
+            "c_y": pa.array(c_y, pa.int64()),
+            "pmi_ratio_micros": pa.array(score, pa.int64()),
+        })
+
+    return bi.map_batches(score, batch_format="pyarrow")
+
+
+def length_outliers(ds):
+    """Tukey-fence length-outlier flagging — the distribution-aware
+    companion to the fixed-threshold ``quality_filter``: a document is
+    an outlier when its token count falls outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] over the WHOLE corpus (Q1/Q3 exact
+    ``quantile_disc`` quantiles, the value_quantiles contract).
+
+    Fences stay integer-exact by comparing in half-units
+    (``2*n < 2*Q1 - 3*IQR``) instead of multiplying by 1.5.  Exact
+    global quantiles of a discrete column do NOT need the values in
+    one place: token counts have ~O(longest doc) distinct values, so
+    the plan is a per-value count histogram (map-side Count partials),
+    a driver-side cumulative scan over that tiny table, then ONE
+    stateless flagging pass — no sort, no big shuffle."""
+    from ray.data.aggregate import Count
+
+    def narrow(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                    pa.int64())
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "n_tokens": n})
+
+    narrow_ds = ds.map_batches(narrow,
+                               batch_format="pyarrow").materialize()
+    hist = (narrow_ds.groupby("n_tokens")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas().sort_values("n_tokens"))
+    vals = hist["n_tokens"].to_numpy()
+    cum = np.cumsum(hist["n"].to_numpy())
+    n_total = int(cum[-1]) if len(cum) else 0
+
+    def qdisc(q: float) -> int:
+        # element at index ceil(q*n)-1 of the sorted column
+        target = max(int(np.ceil(q * n_total)), 1)
+        return int(vals[np.searchsorted(cum, target, side="left")])
+
+    q1, q3 = qdisc(0.25), qdisc(0.75)
+    iqr = q3 - q1
+    lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+
+    def flag(b: pa.Table) -> pa.Table:
+        n2 = 2 * b["n_tokens"].to_numpy()
+        return b.append_column(
+            "is_outlier", pa.array((n2 < lo2) | (n2 > hi2), pa.bool_()))
+
+    return narrow_ds.map_batches(flag, batch_format="pyarrow")

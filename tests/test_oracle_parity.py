@@ -72,7 +72,8 @@ ORACLE_KEYS = [
     "html_extract", "running_total", "json_extract_agg",
     "bloom_semi_join", "user_retention", "skew_join", "hll_distinct",
     "cms_heavy_hitters", "inverted_index", "hard_negatives",
-    "vocab_encode",
+    "vocab_encode", "degree_stats", "global_rank", "pmi_collocations",
+    "length_outliers", "dup_spans",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

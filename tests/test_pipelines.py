@@ -1532,3 +1532,120 @@ def test_vocab_encode(docs_ds):
                  .to_pandas().sort_values("doc_id")
                  .reset_index(drop=True))
     pd.testing.assert_frame_equal(base, reblocked)
+
+
+def test_dup_spans_planted(ray_session):
+    """A planted 8-gram shared by two docs is reported at BOTH its
+    1-based positions with n_docs == 2; a third doc with no shared
+    8-gram yields nothing; block layout does not change the result."""
+    import pandas as pd
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import dup_spans
+
+    shared = "a b c d e f g h"            # the planted 8-gram
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"x1 x2 {shared} y1 y2",      # gram starts at token 3
+            f"{shared} z1",               # gram starts at token 1
+            "u1 u2 u3 u4 u5 u6 u7 u8 u9",  # unique tokens, no overlap
+        ], pa.string()),
+    })
+    out = (dup_spans(rd.from_arrow(tbl)).to_pandas()
+           .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "doc_id": [1, 2], "pos": [3, 1], "n_docs": [2, 2]}
+    reblocked = (dup_spans(rd.from_arrow(tbl).repartition(3)).to_pandas()
+                 .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, reblocked)
+
+
+def test_global_rank_matches_sequential(docs_ds):
+    """Distributed two-phase rank equals the driver-side
+    row_number() over (n_tokens DESC, doc_id ASC), is a dense 1..N
+    permutation, and is block-layout invariant."""
+    import pandas as pd
+
+    from govuk_crawler_worker_ray.pipelines.relational import global_rank
+
+    out = (global_rank(docs_ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = pa.concat_tables(
+        docs_ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    docs["n_tokens"] = [len(t.split()) for t in docs["text"]]
+    expected = docs.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]).reset_index()
+    exp_pos = {r["doc_id"]: i + 1 for i, r in expected.iterrows()}
+    assert sorted(out["pos"]) == list(range(1, len(docs) + 1))
+    for _, row in out.iterrows():
+        assert row["pos"] == exp_pos[row["doc_id"]]
+    reblocked = (global_rank(docs_ds.repartition(4)).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, reblocked)
+
+
+def test_length_outliers_fences(ray_session):
+    """Tukey fences with exact quantile_disc semantics: one extreme
+    doc among uniform lengths is flagged, the uniform ones are not."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        length_outliers,
+    )
+
+    texts = ["w " * 10] * 9 + ["w " * 500]   # nine 10-token, one 500
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string()),
+    })
+    out = length_outliers(rd.from_arrow(tbl)).to_pandas()
+    flagged = set(out[out["is_outlier"]]["doc_id"])
+    assert flagged == {9}
+
+
+def test_degree_stats_counts(ray_session):
+    """Out/in degrees over a tiny graph, zeros for one-sided nodes."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import degree_stats
+
+    edges = pa.table({
+        "src": pa.array(["a", "a", "b"], pa.string()),
+        "dst": pa.array(["b", "c", "c"], pa.string()),
+    })
+    out = (degree_stats(rd.from_arrow(edges)).to_pandas()
+           .set_index("url"))
+    assert out.loc["a", "out_degree"] == 2 and out.loc[
+        "a", "in_degree"] == 0
+    assert out.loc["b", "out_degree"] == 1 and out.loc[
+        "b", "in_degree"] == 1
+    assert out.loc["c", "out_degree"] == 0 and out.loc[
+        "c", "in_degree"] == 2
+
+
+def test_pmi_collocations_planted(ray_session):
+    """A bigram always occurring together scores the maximum PMI ratio
+    (c_xy == c_x == c_y  =>  score == SCALE * n_tok // c_y); a bigram
+    of two independently-frequent tokens scores lower."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        pmi_collocations,
+    )
+
+    # "hong kong" always adjacent (5x); "of the" from frequent parts
+    doc = ("hong kong . " * 5) + ("of x " * 10) + ("the y " * 10) + \
+          ("of the " * 5)
+    tbl = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([doc.strip()], pa.string()),
+    })
+    out = pmi_collocations(rd.from_arrow(tbl), min_count=5).to_pandas()
+    out = out.set_index(out["w1"] + " " + out["w2"])
+    hk = out.loc["hong kong"]
+    n_tok = int(out["c_x"].iloc[0] * 0 + sum(
+        len(t.split()) for t in [doc.strip()]))
+    assert hk["c_xy"] == hk["c_x"] == hk["c_y"] == 5
+    assert hk["pmi_ratio_micros"] == 1_000_000 * n_tok // 5
+    assert out.loc["of the", "pmi_ratio_micros"] < hk["pmi_ratio_micros"]
