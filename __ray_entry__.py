@@ -1117,6 +1117,28 @@ def _q_dup_spans(sf_dir: str):
         columns=["doc_id", "text"]))
 
 
+def _q_span_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import span_stats
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return span_stats(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
+def _q_media_manifest(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        media_manifest,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return media_manifest(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1201,6 +1223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "length_outliers": _q_length_outliers,
         "dup_spans": _q_dup_spans,
+        "span_stats": _q_span_stats,
+        "media_manifest": _q_media_manifest,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -1447,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
     gs = os.path.join(d, "golden_seen.parquet")
     gl = os.path.join(d, "golden_links.parquet")
     corp = os.path.join(d, "corpus.parquet")
+    fdoc = os.path.join(d, "documents.parquet")
     return {
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
@@ -2105,6 +2130,26 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the same floor-arithmetic update
         # unrolled as chained CTEs (see pipelines/graph.py)
         "pagerank": _pagerank_sql(gl),
+        # interleaved-span operators: DuckDB unnests the same nested
+        # list<struct> parquet the engine flattens zero-copy
+        "span_stats": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.kind AS kind, sp.text AS t, "
+            "sp.media_ref AS mr FROM s) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_text_spans, "
+            "CAST(sum(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_media_spans, "
+            "CAST(sum(COALESCE(len(t), 0)) AS BIGINT) AS text_chars "
+            "FROM f GROUP BY doc_id"),
+        "media_manifest": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')) "
+            "SELECT doc_id, CAST(sp.\"offset\" AS BIGINT) AS "
+            "span_offset, sp.kind AS kind, sp.media_ref AS media_ref "
+            "FROM s WHERE sp.media_ref IS NOT NULL"),
         "degree_stats": (
             "WITH e AS (SELECT doc_id AS src, link_url AS dst FROM "
             f"read_parquet('{gl}')), "

@@ -181,3 +181,73 @@ def video_frames(docs_ds, num_frames: int = 4, concurrency: int = 2):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
         num_cpus=1)
+
+
+def span_stats(ds):
+    """Per-document statistics over the INTERLEAVED span column — the
+    north-rule input shape (doc_id: string, spans:
+    list<struct<kind, text, media_ref, offset>>) consumed directly as
+    zero-copy Arrow: ``list_flatten`` + ``list_parent_indices`` turn
+    the nested column into flat child arrays without materializing a
+    single Python row.  Output (doc_id, n_spans, n_text_spans,
+    n_media_spans, text_chars): the text/media interleaving profile a
+    curation pass filters on (all-media docs, text-free boilerplate).
+    Stateless one-pass map — no shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp).to_numpy()
+        n = b.num_rows
+        n_spans = pc.list_value_length(sp).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_text = pc.equal(flat.field("kind"),
+                           "text").to_numpy(zero_copy_only=False)
+        has_media = pc.is_valid(flat.field("media_ref")).to_numpy(
+            zero_copy_only=False)
+        chars = pc.coalesce(
+            pc.cast(pc.utf8_length(flat.field("text")), pa.int64()),
+            pa.scalar(0, pa.int64())).to_numpy(zero_copy_only=False)
+        n_text = np.bincount(parent, weights=is_text,
+                             minlength=n).astype(np.int64)
+        n_media = np.bincount(parent, weights=has_media,
+                              minlength=n).astype(np.int64)
+        t_chars = np.bincount(parent, weights=chars,
+                              minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_text_spans": pa.array(n_text, pa.int64()),
+            "n_media_spans": pa.array(n_media, pa.int64()),
+            "text_chars": pa.array(t_chars, pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def media_manifest(ds):
+    """Flatten the interleaved span column to the ordered media-asset
+    manifest (doc_id, span_offset, kind, media_ref) — one row per span
+    carrying a media_ref, in document order.  This is the exact feed an
+    asset-fetch actor pool (`stages/fetch.py`) or the stubbed decoders
+    above consume; the span ``offset`` preserves the reference's
+    span-sequence order invariant (kind, text, media_ref, order).
+    Zero-copy flatten + one vectorized filter; no shuffle."""
+    import pyarrow.compute as pc
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp)
+        ids = pc.take(b["doc_id"].combine_chunks(), parent)
+        mask = pc.is_valid(flat.field("media_ref"))
+        return pa.table({
+            "doc_id": pc.filter(ids, mask),
+            "span_offset": pc.cast(pc.filter(flat.field("offset"), mask),
+                                   pa.int64()),
+            "kind": pc.filter(flat.field("kind"), mask),
+            "media_ref": pc.filter(flat.field("media_ref"), mask),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -73,7 +73,7 @@ ORACLE_KEYS = [
     "bloom_semi_join", "user_retention", "skew_join", "hll_distinct",
     "cms_heavy_hitters", "inverted_index", "hard_negatives",
     "vocab_encode", "degree_stats", "global_rank", "pmi_collocations",
-    "length_outliers", "dup_spans",
+    "length_outliers", "dup_spans", "span_stats", "media_manifest",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

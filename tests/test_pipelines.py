@@ -1649,3 +1649,64 @@ def test_pmi_collocations_planted(ray_session):
     assert hk["c_xy"] == hk["c_x"] == hk["c_y"] == 5
     assert hk["pmi_ratio_micros"] == 1_000_000 * n_tok // 5
     assert out.loc["of the", "pmi_ratio_micros"] < hk["pmi_ratio_micros"]
+
+
+def _spans_table():
+    sp_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    rows = [
+        [{"kind": "text", "text": "hello", "media_ref": None,
+          "offset": 0},
+         {"kind": "img", "text": "", "media_ref": "/a.png",
+          "offset": 1},
+         {"kind": "link", "text": "x", "media_ref": "/b",
+          "offset": 2}],
+        [],                                        # span-free doc
+        [{"kind": "text", "text": "ab", "media_ref": None,
+          "offset": 0}],
+    ]
+    return pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+        "spans": pa.array(rows, sp_type),
+    })
+
+
+def test_span_stats_interleaved(ray_session):
+    """Zero-copy span flatten: counts and text chars per doc, including
+    a span-free doc (all zeros) — and block-layout invariance."""
+    import pandas as pd
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import span_stats
+
+    out = (span_stats(rd.from_arrow(_spans_table())).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc["d1"].tolist() == [3, 1, 2, 6]   # 5+0+1 chars
+    assert out.loc["d2"].tolist() == [0, 0, 0, 0]
+    assert out.loc["d3"].tolist() == [1, 1, 0, 2]
+    reblocked = (span_stats(rd.from_arrow(_spans_table())
+                            .repartition(3)).to_pandas()
+                 .set_index("doc_id"))
+    pd.testing.assert_frame_equal(out.sort_index(),
+                                  reblocked.sort_index())
+
+
+def test_media_manifest_order_and_nulls(ray_session):
+    """Only media-carrying spans survive, with their original span
+    offsets (the reference's span-sequence order invariant)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        media_manifest,
+    )
+
+    out = (media_manifest(rd.from_arrow(_spans_table())).to_pandas()
+           .sort_values(["doc_id", "span_offset"])
+           .reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "doc_id": ["d1", "d1"],
+        "span_offset": [1, 2],
+        "kind": ["img", "link"],
+        "media_ref": ["/a.png", "/b"],
+    }
