@@ -1139,6 +1139,16 @@ def _q_media_manifest(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_span_text(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import span_text
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return span_text(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1225,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "span_stats": _q_span_stats,
         "media_manifest": _q_media_manifest,
+        "span_text": _q_span_text,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -2150,6 +2161,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sp.\"offset\" AS BIGINT) AS "
             "span_offset, sp.kind AS kind, sp.media_ref AS media_ref "
             "FROM s WHERE sp.media_ref IS NOT NULL"),
+        # interleaved -> plain text: ordered string_agg over non-empty
+        # span texts; the left join keeps text-free docs as ''
+        "span_text": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.\"offset\" AS o, sp.text AS t "
+            "FROM s WHERE COALESCE(len(sp.text), 0) > 0), "
+            "j AS (SELECT doc_id, string_agg(t, ' ' ORDER BY o) AS "
+            "text FROM f GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(j.text, '') AS text FROM "
+            f"read_parquet('{fdoc}') d LEFT JOIN j USING (doc_id)"),
         "degree_stats": (
             "WITH e AS (SELECT doc_id AS src, link_url AS dst FROM "
             f"read_parquet('{gl}')), "

@@ -251,3 +251,38 @@ def media_manifest(ds):
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def span_text(ds):
+    """Render an interleaved document to plain text: the non-empty
+    ``text`` fields of its spans joined by single spaces in ``offset``
+    order — the bridge from the north-rule nested shape to every text
+    operator above (token_count, dedup, quality all compose on the
+    output).  Spans live inside ONE row, so the whole transform is a
+    stateless per-batch map: zero-copy flatten, vectorized mask, one
+    C-level pandas group-join — docs whose spans carry no text yield
+    an empty string (kept, so row count is stable)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp).to_numpy()
+        txt = pc.fill_null(flat.field("text"), "")
+        keep = pc.greater(pc.utf8_length(txt),
+                          0).to_numpy(zero_copy_only=False)
+        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": parent[keep],
+                           "o": off[keep],
+                           "t": txt.to_pandas().to_numpy()[keep]})
+        joined = (df.sort_values(["p", "o"])
+                  .groupby("p", sort=True)["t"].agg(" ".join))
+        out = np.full(b.num_rows, "", dtype=object)
+        out[joined.index.to_numpy()] = joined.to_numpy()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array(out, pa.string()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -74,6 +74,7 @@ ORACLE_KEYS = [
     "cms_heavy_hitters", "inverted_index", "hard_negatives",
     "vocab_encode", "degree_stats", "global_rank", "pmi_collocations",
     "length_outliers", "dup_spans", "span_stats", "media_manifest",
+    "span_text",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

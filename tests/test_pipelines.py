@@ -1710,3 +1710,34 @@ def test_media_manifest_order_and_nulls(ray_session):
         "kind": ["img", "link"],
         "media_ref": ["/a.png", "/b"],
     }
+
+
+def test_span_text_reconstruction(ray_session):
+    """Interleaved -> plain text: non-empty span texts join in offset
+    order; a doc with no text spans keeps its row as ''."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import span_text
+
+    sp_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    rows = [
+        # offsets deliberately out of storage order
+        [{"kind": "text", "text": "world", "media_ref": None,
+          "offset": 2},
+         {"kind": "img", "text": "", "media_ref": "/a.png",
+          "offset": 1},
+         {"kind": "text", "text": "hello", "media_ref": None,
+          "offset": 0}],
+        [{"kind": "img", "text": "", "media_ref": "/b.png",
+          "offset": 0}],
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "spans": pa.array(rows, sp_type),
+    })
+    out = (span_text(rd.from_arrow(tbl)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc["d1", "text"] == "hello world"
+    assert out.loc["d2", "text"] == ""
