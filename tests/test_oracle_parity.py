@@ -72,7 +72,8 @@ ORACLE_KEYS = [
     "html_extract", "running_total", "json_extract_agg",
     "bloom_semi_join", "user_retention", "skew_join", "hll_distinct",
     "cms_heavy_hitters", "inverted_index", "hard_negatives",
-    "vocab_encode", "degree_stats", "global_rank", "pmi_collocations",
+    "vocab_encode", "ann_ivf", "revenue_by_nation_join",
+    "degree_stats", "global_rank", "pmi_collocations",
     "length_outliers", "dup_spans", "span_stats", "media_manifest",
     "span_text",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
@@ -111,3 +112,20 @@ def test_entry_smoke(harness):
     df = entrymod.entry()
     assert len(df) > 0
     assert list(df.columns) == ["round", "seq", "url"]
+
+
+def test_every_query_is_parity_covered(harness):
+    """Drift guard: every queries() entry must be exercised here —
+    either in ORACLE_KEYS (full hash parity) or ROWS_ONLY_KEYS
+    (smoke) — and every queries() entry must have an oracle_sql twin.
+    A new operator that forgets the parity row fails this test."""
+    entrymod, _ = harness
+    qs = set(entrymod.queries())
+    covered = set(ORACLE_KEYS) | set(ROWS_ONLY_KEYS)
+    assert qs - covered == set(), (
+        f"queries missing from parity suite: {sorted(qs - covered)}")
+    assert covered - qs == set(), (
+        f"stale parity keys: {sorted(covered - qs)}")
+    missing_oracle = qs - set(entrymod.oracle_sql())
+    assert missing_oracle == set(), (
+        f"queries without oracle_sql: {sorted(missing_oracle)}")
