@@ -1264,20 +1264,29 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
     docs share it — the span list a downstream cut-and-reassemble pass
     (``chunk_dedup``) consumes.
 
-    Plan (all narrow after the explode):
-      1. vectorized n-gram explode: one whitespace split per batch,
-         n-grams built by shifted-array joins (no per-row loop);
-      2. distinct (gram, doc_id) via ONE groupby count, re-grouped to
-         grams-with->=min_docs — almost all grams are unique, so this
-         table collapses by orders of magnitude;
-      3. ONE inner hash join of the occurrence rows against the small
-         duplicated-gram side.
-    Gram text shuffles as the key (the token_df/chunk_dedup contract —
-    exact and oracle-parity); the 10^10-doc swap is a 64-bit gram hash
-    in the same plan, trading an ~2^-40 collision rate for 8x narrower
-    exchanges."""
+    Plan — every exchanged row is pure int64; gram TEXT never leaves
+    the batch it was tokenized in:
+      1. vectorized n-gram explode to (doc_id, pos, ghash): per-token
+         64-bit hashes (``pd.util.hash_array``, one C pass) combined
+         into a positional polynomial over the window (8 shifted
+         uint64 multiply-adds — order-sensitive, so "a b" != "b a"),
+         then per-batch (ghash, doc) pair dedup as a combiner;
+      2. grams-with->=min_docs via ONE groupby(ghash) count over the
+         per-block-deduped pairs — a document's rows never split
+         across blocks (explode emits a doc's grams together and the
+         combiner runs on whole blocks), so block-local (ghash, doc)
+         dedup IS global dedup and the distinct-pair shuffle the first
+         version paid disappears;
+      3. ONE inner int64 hash join of the occurrence rows against the
+         small duplicated-gram side.
+    The 64-bit key makes a cross-doc false merge a birthday event at
+    ~2^-64 per pair (~1e-6 at 10M distinct grams, vanishing at test
+    scale); the first version shuffled the gram STRINGS twice and was
+    8-10x wider on the wire (16.2 s -> this plan at sf0.1)."""
     import pandas as pd
     from ray.data.aggregate import Count
+
+    _P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
     def explode(batch: pa.Table) -> pa.Table:
         n_docs_b = batch.num_rows
@@ -1289,39 +1298,84 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
         w = flat.to_pandas()[keep].to_numpy()
         d = doc_pos[keep]
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "ghash": pa.array([], pa.int64())})
         if len(d) < n:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
+            return empty
+        th = pd.util.hash_array(w).astype(np.uint64)
         # within-doc token index (vectorized cumcount over sorted d)
         starts = np.searchsorted(d, np.arange(n_docs_b))
         tok_idx = np.arange(len(d)) - starts[d]
         # a window starts at i iff the (n-1)-ahead token is same-doc
-        ok = d[: len(d) - n + 1] == d[n - 1:]
-        gram = pd.Series(w[: len(w) - n + 1], dtype=object)
-        for j in range(1, n):
-            gram = gram + " " + pd.Series(w[j: len(w) - n + 1 + j],
-                                          dtype=object)
+        m = len(d) - n + 1
+        ok = d[:m] == d[n - 1:]
+        with np.errstate(over="ignore"):
+            acc = th[:m].copy()
+            p = _P
+            for j in range(1, n):
+                acc += th[j:m + j] * p
+                p = p * _P
+        if not ok.any():
+            return empty
         return pa.table({
-            "doc_id": pa.array(ids[d[: len(d) - n + 1][ok]], pa.int64()),
-            "pos": pa.array(tok_idx[: len(d) - n + 1][ok] + 1, pa.int64()),
-            "gram": pa.array(gram.to_numpy()[ok], pa.string()),
+            "doc_id": pa.array(ids[d[:m][ok]], pa.int64()),
+            "pos": pa.array(tok_idx[:m][ok] + 1, pa.int64()),
+            "ghash": pa.array(acc[ok].view(np.int64), pa.int64()),
         })
 
     grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
+    def pair_combiner(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ghash": b["ghash"].to_numpy(zero_copy_only=False),
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        # explicit types: an empty pandas frame would otherwise emit
+        # null-typed columns and break the downstream int64 hash join
+        return pa.table({
+            "ghash": pa.array(df["ghash"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+        })
+
     def only_dups(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater_equal(b["n_docs"], min_docs))
 
-    dup = (grams.groupby(["gram", "doc_id"])
-           .aggregate(Count(alias_name="_o"))
-           .drop_columns(["_o"])
-           .groupby("gram").aggregate(Count(alias_name="n_docs"))
-           .map_batches(only_dups, batch_format="pyarrow"))
+    # batch_size=None => whole blocks, preserving the doc-locality the
+    # global-dedup argument above relies on.  Locality holds because an
+    # explode output batch (<=1024 docs x ~n_tokens rows, a few MB) is
+    # far below target_max_block_size (128 MB default) and so is never
+    # sliced across blocks; corpora with multi-MB single documents must
+    # lower the explode batch_size to keep that true.
+    dup = (grams.map_batches(pair_combiner, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("ghash").aggregate(Count(alias_name="n_docs"))
+           .map_batches(only_dups, batch_format="pyarrow")
+           .materialize())
 
+    # Ray quirk (ray 2.49 hash_shuffle.py:223,584): join-side schemas
+    # broadcast only with the FIRST dispatched block, and empty blocks
+    # short-circuit before broadcasting — an aggregate output whose
+    # first block is empty (most groupby partitions are) crashes the
+    # downstream join with "No match for FieldRef".  The dup side is
+    # duplicated-grams-sized (small), so compact it to provably
+    # non-empty blocks; a zero-dup corpus returns the empty schema
+    # directly.
+    n_dup = dup.count()
+    if n_dup == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64())}))
     try:
         P = max(2, min(grams.num_blocks(), 16))
     except Exception:
         P = 8
-    joined = grams.join(dup, "inner", num_partitions=P, on=("gram",))
+    dup = dup.repartition(max(1, min(P, (n_dup + 65535) // 65536)))
+
+    joined = grams.join(dup, "inner", num_partitions=P, on=("ghash",))
     return joined.select_columns(["doc_id", "pos", "n_docs"])

@@ -106,42 +106,35 @@ def degree_stats(edges_ds):
     pages in_degree 0; both feed curation filters alongside
     ``pagerank``).
 
-    Shape for 10^10 edges: two pre-aggregable groupby counts (Ray Data
-    pushes Count partials into the map side) plus two narrow hash
-    joins on the node list — only (url, int64) rows shuffle, never the
-    page bodies the edges came from."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    Shape for 10^10 edges: each edge explodes to two (url, out?, in?)
+    indicator rows — pre-aggregated per batch so the exchange is
+    node-sized, then ONE groupby(url) with two Sum partials.  No joins
+    at all (the first version paid two fixed-cost hash joins; an
+    indicator-sum over the exploded union is strictly narrower)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
 
-    P = _join_parts(edges_ds)
-    out_deg = (edges_ds.groupby("src")
-               .aggregate(Count(alias_name="out_degree")))
-    in_deg = (edges_ds.groupby("dst")
-              .aggregate(Count(alias_name="in_degree")))
-
-    def explode_nodes(b: pa.Table) -> pa.Table:
+    def explode_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         u = pa.concat_arrays([b["src"].combine_chunks(),
                               b["dst"].combine_chunks()])
-        return pa.table({"url": u})
-
-    nodes = (edges_ds.map_batches(explode_nodes, batch_format="pyarrow")
-             .groupby("url").aggregate(Count(alias_name="_n"))
-             .drop_columns(["_n"]))
-    merged = (nodes.join(out_deg, "left_outer", num_partitions=P,
-                         on=("url",), right_on=("src",))
-              .join(in_deg, "left_outer", num_partitions=P,
-                    on=("url",), right_on=("dst",)))
-
-    def fill(b: pa.Table) -> pa.Table:
+        o = np.concatenate([np.ones(n, np.int64),
+                            np.zeros(n, np.int64)])
+        df = pd.DataFrame({"url": u.to_pandas().to_numpy(), "o": o})
+        g = df.groupby("url", as_index=False).agg(
+            po=("o", "sum"), pn=("o", "size"))
         return pa.table({
-            "url": b["url"],
-            "out_degree": pc.fill_null(
-                pc.cast(b["out_degree"], pa.int64()), 0),
-            "in_degree": pc.fill_null(
-                pc.cast(b["in_degree"], pa.int64()), 0),
+            "url": pa.array(g["url"].to_numpy(), pa.string()),
+            "po": pa.array(g["po"].to_numpy().astype(np.int64),
+                           pa.int64()),
+            "pi": pa.array((g["pn"] - g["po"]).to_numpy()
+                           .astype(np.int64), pa.int64()),
         })
 
-    return merged.map_batches(fill, batch_format="pyarrow")
+    return (edges_ds.map_batches(explode_partial, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Sum("po", alias_name="out_degree"),
+                       Sum("pi", alias_name="in_degree")))
 
 
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
