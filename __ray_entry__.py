@@ -1149,6 +1149,48 @@ def _q_span_text(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_media_context(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        media_context,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return media_context(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
+def _q_media_dedup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import media_dedup
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return media_dedup(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
+def _q_knn_join(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.similarity import knn_join
+
+    return knn_join(_read_sized(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
+
+
+def _q_triangle_count(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.graph import triangle_count
+
+    d = _fixture()
+    edges = _read_sized(
+        os.path.join(d, "golden_links.parquet"),
+        columns=["doc_id", "link_url"]).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]),
+            batch_format="pyarrow")
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1236,6 +1278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "media_manifest": _q_media_manifest,
         "span_text": _q_span_text,
+        "media_context": _q_media_context,
+        "media_dedup": _q_media_dedup,
+        "knn_join": _q_knn_join,
+        "triangle_count": _q_triangle_count,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -2172,6 +2218,75 @@ def oracle_sql() -> dict[str, str]:
             "text FROM f GROUP BY doc_id) "
             "SELECT d.doc_id, COALESCE(j.text, '') AS text FROM "
             f"read_parquet('{fdoc}') d LEFT JOIN j USING (doc_id)"),
+        # caption mining: strictly-preceding/following non-empty
+        # text-kind span via IGNORE NULLS window fills — the same
+        # grouped ffill/bfill the engine vectorizes per batch
+        "media_context": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.\"offset\" AS o, sp.kind AS kind, "
+            "sp.text AS t, sp.media_ref AS mr FROM s), "
+            "w AS (SELECT doc_id, o, mr, "
+            "last_value(CASE WHEN kind = 'text' AND COALESCE(len(t), 0)"
+            " > 0 THEN t END IGNORE NULLS) OVER (PARTITION BY doc_id "
+            "ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING) AS pt, "
+            "first_value(CASE WHEN kind = 'text' AND COALESCE(len(t), "
+            "0) > 0 THEN t END IGNORE NULLS) OVER (PARTITION BY doc_id "
+            "ORDER BY o ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED "
+            "FOLLOWING) AS nt FROM f) "
+            "SELECT doc_id, CAST(o AS BIGINT) AS span_offset, "
+            "mr AS media_ref, COALESCE(pt, '') AS prev_text, "
+            "COALESCE(nt, '') AS next_text FROM w WHERE mr IS NOT NULL"),
+        # asset dedup: first occurrence by (doc_id, offset) through the
+        # same tab-separated zero-padded min key the engine exchanges
+        "media_dedup": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, CAST(sp.\"offset\" AS BIGINT) AS o, "
+            "sp.media_ref AS mr FROM s WHERE sp.media_ref IS NOT NULL), "
+            "k AS (SELECT mr, doc_id || chr(9) || "
+            "lpad(CAST(o AS VARCHAR), 12, '0') AS key FROM f) "
+            "SELECT mr AS media_ref, CAST(count(*) AS BIGINT) AS "
+            "n_refs, split_part(min(key), chr(9), 1) AS first_doc_id, "
+            "CAST(split_part(min(key), chr(9), 2) AS BIGINT) AS "
+            "first_offset FROM k GROUP BY mr"),
+        # full kNN self-join over the SAME int8 quantization as
+        # quantize_embeddings: integer dots, (dot DESC, id) tie order
+        "knn_join": (
+            "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS "
+            "v FROM embeddings), "
+            "m AS (SELECT vec_id, v, list_max(list_transform(v, "
+            "x -> abs(x))) AS m FROM b), "
+            "q AS (SELECT vec_id, list_transform(v, x -> "
+            "CAST(CASE WHEN m = 0 THEN 0 ELSE floor(abs(127 * x / m) "
+            "+ 0.5) * (CASE WHEN x < 0 THEN -1 ELSE 1 END) END "
+            "AS BIGINT)) AS qv FROM m), "
+            "scored AS (SELECT p.vec_id AS vec_id, c.vec_id AS "
+            "neighbor_id, CAST(list_dot_product(p.qv, c.qv) AS BIGINT) "
+            "AS dot, row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "list_dot_product(p.qv, c.qv) DESC, c.vec_id) AS rank "
+            "FROM q p JOIN q c ON c.vec_id <> p.vec_id) "
+            "SELECT vec_id, neighbor_id, dot, CAST(rank AS BIGINT) AS "
+            "rank FROM scored WHERE rank <= 5"),
+        # triangle census: same canonical a<b edge set, wedge total
+        # from degrees, triangles via the x<y<z two-join enumeration
+        "triangle_count": (
+            "WITH e AS (SELECT DISTINCT CASE WHEN doc_id < link_url "
+            "THEN doc_id ELSE link_url END AS a, CASE WHEN doc_id < "
+            "link_url THEN link_url ELSE doc_id END AS b FROM "
+            f"read_parquet('{gl}') WHERE doc_id <> link_url), "
+            "d AS (SELECT url, count(*) AS deg FROM (SELECT a AS url "
+            "FROM e UNION ALL SELECT b AS url FROM e) GROUP BY url), "
+            "w AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) "
+            "AS n_wedges FROM d), "
+            "t AS (SELECT count(*) AS n FROM e e1 JOIN e e2 ON "
+            "e2.a = e1.a AND e1.b < e2.b JOIN e e3 ON e3.a = e1.b "
+            "AND e3.b = e2.b) "
+            "SELECT w.n_wedges AS n_wedges, CAST(t.n AS BIGINT) AS "
+            "n_triangles, CAST(CASE WHEN w.n_wedges = 0 THEN 0 ELSE "
+            "(3000000 * t.n) // w.n_wedges END AS BIGINT) AS gcc_ppm "
+            "FROM w, t"),
         "degree_stats": (
             "WITH e AS (SELECT doc_id AS src, link_url AS dst FROM "
             f"read_parquet('{gl}')), "

@@ -178,7 +178,10 @@ def bench_queries() -> dict:
              "inverted_index", "hard_negatives", "vocab_encode",
              # round-3 session-5 additions (same caveat)
              "degree_stats", "global_rank", "pmi_collocations",
-             "length_outliers", "dup_spans"]
+             "length_outliers", "dup_spans",
+             # round-3 session-7 additions (same caveat)
+             "knn_join", "media_context", "media_dedup",
+             "triangle_count"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -137,6 +137,110 @@ def degree_stats(edges_ds):
                        Sum("pi", alias_name="in_degree")))
 
 
+def triangle_count(edges_ds):
+    """Global triangle census of the link graph (undirected): ONE row
+    (n_wedges, n_triangles, gcc_ppm) — wedge count, triangle count, and
+    the global clustering coefficient 3*T/W in exact parts-per-million
+    (integer floor division, so the approximate-looking ratio still
+    hash-matches the SQL twin).  Triangle density is the standard
+    link-farm / template-cluster signal for crawl curation.
+
+    Plan (node-ordered wedge enumeration, Schank & Wagner 2005):
+      1. canonicalize to distinct undirected edges (a < b, no self
+         loops) — per-batch Arrow dedup combiner, then ONE
+         groupby(a, b);
+      2. wedges centered at each edge's smaller endpoint via ONE
+         self-join on ``a`` (each triangle x<y<z enumerated exactly
+         once as wedge (y, z) centered at x), filtered to b < c;
+      3. closure check = ONE inner join of wedges against the edge
+         list on the composite (b, c) key, counted — never collected;
+      4. true wedge total from the degree table (degree_stats shape:
+         exploded indicator combiner + ONE groupby), summed per batch.
+    At 10^10 edges the id-orientation of step 2 inherits hub skew
+    (sum of out-deg^2); the documented fix is degree-orientation
+    (orient each edge toward the higher-(degree, id) endpoint), which
+    bounds wedge fan-out by O(m^1.5) at the price of one extra
+    degree join — same count either way."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks()
+        d = b["dst"].combine_chunks()
+        lt = pc.less(s, d)
+        t = pa.table({
+            "a": pc.if_else(lt, s, d),
+            "b": pc.if_else(lt, d, s),
+        }).filter(pc.invert(pc.equal(s, d)))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    P = _join_parts(edges)
+
+    # wedge total from degrees: sum over nodes of deg*(deg-1)//2
+    def explode_deg(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["a"].combine_chunks(),
+                              b["b"].combine_chunks()])
+        df = pd.DataFrame({"url": u.to_pandas().to_numpy()})
+        g = df.groupby("url", as_index=False).agg(c=("url", "size"))
+        return pa.table({
+            "url": pa.array(g["url"].to_numpy(), pa.string()),
+            "c": pa.array(g["c"].to_numpy().astype(np.int64),
+                          pa.int64()),
+        })
+
+    deg = (edges.map_batches(explode_deg, batch_format="pyarrow")
+           .groupby("url").aggregate(Sum("c", alias_name="deg")))
+
+    def wedge_partial(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy()
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wrows = deg.map_batches(wedge_partial,
+                            batch_format="pyarrow").aggregate(Sum("w"))
+    n_wedges = int(wrows["sum(w)"] or 0)
+
+    # wedges centered at the smaller endpoint: self-join on a, b < c
+    right = edges.map_batches(
+        lambda t: t.rename_columns(["a2", "c"]), batch_format="pyarrow")
+    wedges = (edges.join(right, "inner", num_partitions=P,
+                         on=("a",), right_on=("a2",))
+              .map_batches(
+                  lambda t: t.filter(pc.less(t["b"], t["c"]))
+                  .select(["b", "c"]),
+                  batch_format="pyarrow")
+              .materialize())
+    n_w = wedges.count()
+    if n_w == 0:
+        n_tri = 0
+    else:
+        # same ray 2.49 hash_shuffle quirk dup_spans documents: a
+        # join side whose FIRST dispatched block is empty never
+        # broadcasts its schema and the aggregator crashes — compact
+        # both sides to provably non-empty blocks (one extra narrow
+        # (b, c)-pair exchange; rows are 2 short strings)
+        wedges = wedges.repartition(
+            max(1, min(P, (n_w + 65535) // 65536)))
+        closure = (edges.map_batches(
+            lambda t: t.rename_columns(["x", "y"]),
+            batch_format="pyarrow")
+            .repartition(max(1, min(P, (edges.count() + 65535)
+                                    // 65536))))
+        closed = wedges.join(closure, "inner", num_partitions=P,
+                             on=("b", "c"), right_on=("x", "y"))
+        n_tri = closed.count()
+
+    gcc_ppm = (3_000_000 * n_tri) // n_wedges if n_wedges else 0
+    return pa.table({
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "gcc_ppm": pa.array([gcc_ppm], pa.int64()),
+    })
+
+
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
     """ANSI-SQL twin: the same integer update unrolled as chained CTEs
     over ``edges_sql`` (a SELECT yielding (src, dst))."""

@@ -253,6 +253,150 @@ def media_manifest(ds):
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+def media_context(ds):
+    """Caption/alt-text mining over the INTERLEAVED span column: for
+    each media span (``media_ref`` non-null) the nearest preceding and
+    nearest following NON-EMPTY text-kind span within its document, in
+    ``offset`` order — the text-media alignment a multimodal training
+    pipeline pairs with the decoded asset (reference parity: spans are
+    the same (kind, text, media_ref, order) sequence the crawl's
+    extract path walks, reference workflow.go:218-252).
+
+    Output (doc_id, span_offset, media_ref, prev_text, next_text);
+    ``''`` where no qualifying text span exists on that side.  Spans
+    live inside ONE row, so the whole transform is a stateless
+    per-batch map — zero-copy flatten, one lexsort, two C-level
+    grouped fills; no shuffle at any scale."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp).to_numpy()
+        n = len(parent)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "span_offset": pa.array([], pa.int64()),
+            "media_ref": pa.array([], pa.string()),
+            "prev_text": pa.array([], pa.string()),
+            "next_text": pa.array([], pa.string()),
+        })
+        if n == 0:
+            return empty
+        off = flat.field("offset").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        txt_arr = pc.fill_null(flat.field("text"), "")
+        tlen = pc.utf8_length(txt_arr).to_numpy(zero_copy_only=False)
+        has_m = pc.is_valid(flat.field("media_ref")).to_numpy(
+            zero_copy_only=False)
+        if not has_m.any():
+            return empty
+        txt = txt_arr.to_pandas().to_numpy()
+        mref = flat.field("media_ref").to_pandas().to_numpy()
+        ids = pc.take(b["doc_id"].combine_chunks(),
+                      pa.array(parent)).to_pandas().to_numpy()
+
+        order = np.lexsort((off, parent))
+        p = parent[order]
+        it = ((kind[order] == "text") & (tlen[order] > 0))
+        # index of the last/next qualifying text span, strictly
+        # before/after: grouped ffill/bfill of the own-index column,
+        # shifted by one for rows that are themselves text
+        ti = np.where(it, np.arange(n, dtype=np.float64), np.nan)
+        s = pd.Series(ti)
+        tf = s.groupby(p).ffill().to_numpy()
+        tb = s.groupby(p).bfill().to_numpy()
+        tf_prev = pd.Series(tf).groupby(p).shift(1).to_numpy()
+        tb_next = pd.Series(tb).groupby(p).shift(-1).to_numpy()
+        prev_idx = np.where(it, tf_prev, tf)
+        next_idx = np.where(it, tb_next, tb)
+
+        mask = has_m[order]
+        pi = prev_idx[mask]
+        ni = next_idx[mask]
+        ts = txt[order]
+        prev_t = np.where(np.isnan(pi), "",
+                          ts[np.nan_to_num(pi).astype(np.int64)])
+        next_t = np.where(np.isnan(ni), "",
+                          ts[np.nan_to_num(ni).astype(np.int64)])
+        return pa.table({
+            "doc_id": pa.array(ids[order][mask], pa.string()),
+            "span_offset": pa.array(off[order][mask], pa.int64()),
+            "media_ref": pa.array(mref[order][mask], pa.string()),
+            "prev_text": pa.array(prev_t, pa.string()),
+            "next_text": pa.array(next_t, pa.string()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def media_dedup(ds):
+    """Exact media-asset dedup across the corpus: group the interleaved
+    spans by ``media_ref`` and keep the FIRST occurrence by (doc_id,
+    span offset) — the asset-level analogue of ``dedup_exact`` (fetch
+    each shared stylesheet/image once, then reference-count it).
+
+    Output (media_ref, n_refs, first_doc_id, first_offset).
+
+    Plan for 10^10 spans: per-batch combiner collapses each block to
+    (media_ref, partial count, partial min key) rows, ONE
+    groupby(media_ref) with Sum+Min partials merges them, a final map
+    unpacks the key — only asset-sized rows shuffle, never the spans.
+    The min key is ``doc_id + '\\t' + zero-padded offset``: tab sorts
+    below every URL codepoint, so string min == (doc_id, offset)
+    lexicographic min (the round-2 '|'-separator lesson, ADVICE r2)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def combiner(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp)
+        mask = pc.is_valid(flat.field("media_ref"))
+        ids = pc.filter(pc.take(b["doc_id"].combine_chunks(), parent),
+                        mask).to_pandas().to_numpy()
+        mr = pc.filter(flat.field("media_ref"),
+                       mask).to_pandas().to_numpy()
+        off = pc.filter(flat.field("offset"), mask).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(mr) == 0:
+            return pa.table({"media_ref": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_k": pa.array([], pa.string())})
+        key = pd.Series(ids) + "\t" + pd.Series(off).astype(
+            str).str.zfill(12)
+        g = (pd.DataFrame({"media_ref": mr, "k": key.to_numpy()})
+             .groupby("media_ref", as_index=False)
+             .agg(p_n=("k", "size"), p_k=("k", "min")))
+        return pa.table({
+            "media_ref": pa.array(g["media_ref"].to_numpy(), pa.string()),
+            "p_n": pa.array(g["p_n"].to_numpy().astype(np.int64),
+                            pa.int64()),
+            "p_k": pa.array(g["p_k"].to_numpy(), pa.string()),
+        })
+
+    agg = (ds.map_batches(combiner, batch_format="pyarrow")
+           .groupby("media_ref")
+           .aggregate(Sum("p_n", alias_name="n_refs"),
+                      Min("p_k", alias_name="_k")))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["_k"].to_pandas()
+        parts = k.str.rsplit("\t", n=1, expand=True)
+        return pa.table({
+            "media_ref": b["media_ref"],
+            "n_refs": pc.cast(b["n_refs"], pa.int64()),
+            "first_doc_id": pa.array(parts[0].to_numpy(), pa.string()),
+            "first_offset": pa.array(
+                parts[1].astype(np.int64).to_numpy(), pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 def span_text(ds):
     """Render an interleaved document to plain text: the non-empty
     ``text`` fields of its spans joined by single spaces in ``offset``

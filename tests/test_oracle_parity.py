@@ -75,7 +75,8 @@ ORACLE_KEYS = [
     "vocab_encode", "ann_ivf", "revenue_by_nation_join",
     "degree_stats", "global_rank", "pmi_collocations",
     "length_outliers", "dup_spans", "span_stats", "media_manifest",
-    "span_text",
+    "span_text", "media_context", "media_dedup", "knn_join",
+    "triangle_count",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]

@@ -1741,3 +1741,137 @@ def test_span_text_reconstruction(ray_session):
            .set_index("doc_id"))
     assert out.loc["d1", "text"] == "hello world"
     assert out.loc["d2", "text"] == ""
+
+
+def test_media_context_planted(ray_session):
+    """Nearest strictly-preceding/following NON-EMPTY text-kind span
+    per media span; '' at document edges; non-text spans with text
+    (link anchors) never count as context."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        media_context,
+    )
+
+    sp_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    rows = [
+        # img at edge (no prev), link anchor text must NOT be context
+        [{"kind": "img", "text": "", "media_ref": "/a.png",
+          "offset": 0},
+         {"kind": "link", "text": "anchor", "media_ref": "/l",
+          "offset": 1},
+         {"kind": "text", "text": "cap1", "media_ref": None,
+          "offset": 2},
+         {"kind": "img", "text": "", "media_ref": "/b.png",
+          "offset": 3},
+         {"kind": "text", "text": "", "media_ref": None,
+          "offset": 4},                      # empty text: skipped
+         {"kind": "text", "text": "cap2", "media_ref": None,
+          "offset": 5}],
+        [],
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "spans": pa.array(rows, sp_type),
+    })
+    out = (media_context(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("span_offset").reset_index(drop=True))
+    assert out["media_ref"].tolist() == ["/a.png", "/l", "/b.png"]
+    assert out["prev_text"].tolist() == ["", "", "cap1"]
+    assert out["next_text"].tolist() == ["cap1", "cap1", "cap2"]
+
+
+def test_media_dedup_first_occurrence(ray_session):
+    """Asset groups count every reference and keep the (doc_id, offset)
+    lexicographic first — across blocks."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import media_dedup
+
+    sp_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    mk = lambda ref, off: {"kind": "img", "text": "",
+                           "media_ref": ref, "offset": off}
+    rows = [
+        [mk("/x.png", 5), mk("/y.png", 0)],
+        [mk("/x.png", 0)],
+        [mk("/x.png", 1)],
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "a2"], pa.string()),
+        "spans": pa.array(rows, sp_type),
+    })
+    out = (media_dedup(rd.from_arrow(tbl).repartition(3)).to_pandas()
+           .set_index("media_ref"))
+    assert int(out.loc["/x.png", "n_refs"]) == 3
+    # 'a' sorts before 'a2' and 'b'; within doc a, offset 5 is its only
+    assert out.loc["/x.png", "first_doc_id"] == "a"
+    assert int(out.loc["/x.png", "first_offset"]) == 5
+    assert out.loc["/y.png", "first_doc_id"] == "a"
+    assert int(out.loc["/y.png", "first_offset"]) == 0
+
+
+def test_knn_join_exact_ties(ray_session):
+    """Every vector gets exactly min(k, n-1) neighbors; never itself;
+    ties on equal dot break toward the smaller neighbor id; block
+    layout cannot change the result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.similarity import knn_join
+
+    rng = np.random.default_rng(7)
+    n, d = 40, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[3] = vecs[2]          # planted exact duplicate pair
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    out = knn_join(rd.from_arrow(tbl), k=5).to_pandas()
+    assert len(out) == n * 5
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    g = out.sort_values(["vec_id", "rank"]).groupby("vec_id")
+    # within each probe, dots non-increasing; equal dots => id ascending
+    for _, grp in g:
+        dd = grp["dot"].to_numpy()
+        assert (np.diff(dd) <= 0).all()
+        for i in range(len(dd) - 1):
+            if dd[i] == dd[i + 1]:
+                assert grp["neighbor_id"].iloc[i] < \
+                    grp["neighbor_id"].iloc[i + 1]
+    # the planted duplicate is its twin's rank-1 neighbor
+    top2 = out[(out["vec_id"] == 2) & (out["rank"] == 1)]
+    assert top2["neighbor_id"].iloc[0] == 3
+    re = (knn_join(rd.from_arrow(tbl).repartition(5), k=5)
+          .to_pandas().sort_values(["vec_id", "rank"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.sort_values(["vec_id", "rank"]).reset_index(drop=True), re)
+
+
+def test_triangle_count_planted(ray_session):
+    """Two triangles sharing an edge, plus a dangling edge: W and T are
+    hand-countable; duplicate/reversed/self edges collapse away."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import triangle_count
+
+    # K3 on {a,b,c} + K3 on {b,c,d} sharing edge (b,c); tail (d,e).
+    # Duplicates/reversals/self-loops must not change anything.
+    edges = pa.table({
+        "src": pa.array(["a", "b", "a", "b", "c", "d", "d", "c", "e",
+                         "a"], pa.string()),
+        "dst": pa.array(["b", "c", "c", "d", "d", "e", "b", "b", "d",
+                         "a"], pa.string()),
+    })
+    out = triangle_count(rd.from_arrow(edges).repartition(3)).to_pandas()
+    # distinct canonical edges: ab ac bc bd cd de; degrees a2 b3 c3
+    # d3 e1 -> wedges 1+3+3+3+0 = 10; triangles abc, bcd = 2
+    assert int(out["n_wedges"].iloc[0]) == 10
+    assert int(out["n_triangles"].iloc[0]) == 2
+    assert int(out["gcc_ppm"].iloc[0]) == (3_000_000 * 2) // 10
