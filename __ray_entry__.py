@@ -1161,6 +1161,16 @@ def _q_media_context(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_mm_pack(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.packing import mm_pack
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return mm_pack(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def _q_media_dedup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import media_dedup
     from govuk_crawler_worker_ray.sources.documents import read_documents
@@ -1279,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_manifest": _q_media_manifest,
         "span_text": _q_span_text,
         "media_context": _q_media_context,
+        "mm_pack": _q_mm_pack,
         "media_dedup": _q_media_dedup,
         "knn_join": _q_knn_join,
         "triangle_count": _q_triangle_count,
@@ -2271,6 +2282,32 @@ def oracle_sql() -> dict[str, str]:
             "rank FROM scored WHERE rank <= 5"),
         # triangle census: same canonical a<b edge set, wedge total
         # from degrees, triangles via the x<y<z two-join enumeration
+        # interleaved multimodal packing: per-doc cost = span-text
+        # tokens + 64 per media span, prefix-summed in deterministic
+        # shuffle order (md5(doc_id), doc_id), sliced into 2048-token
+        # sequences; docs with no spans cost 0 (point occupancy)
+        "mm_pack": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "COALESCE(sp.text, ''), '\\S+')) AS BIGINT) AS t, "
+            "CASE WHEN sp.media_ref IS NOT NULL THEN 1 ELSE 0 END "
+            "AS m FROM s), "
+            "a AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens, "
+            "CAST(sum(m) AS BIGINT) AS n_media FROM f GROUP BY doc_id), "
+            "j AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS "
+            "n_tokens, COALESCE(a.n_media, 0) AS n_media FROM "
+            f"read_parquet('{fdoc}') d LEFT JOIN a USING (doc_id)), "
+            "c AS (SELECT doc_id, n_tokens, n_media, "
+            "n_tokens + 64 * n_media AS cost, md5(doc_id) AS h FROM j), "
+            "sc AS (SELECT doc_id, n_tokens, n_media, cost, "
+            "CAST(COALESCE(sum(cost) OVER (ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS tok_start FROM c) "
+            "SELECT doc_id, n_tokens, n_media, cost, tok_start, "
+            "tok_start // 2048 AS seq_first, "
+            "(tok_start + greatest(cost, 1) - 1) // 2048 AS seq_last "
+            "FROM sc"),
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT CASE WHEN doc_id < link_url "
             "THEN doc_id ELSE link_url END AS a, CASE WHEN doc_id < "

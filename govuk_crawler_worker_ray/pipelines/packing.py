@@ -158,3 +158,93 @@ def deterministic_shuffle(ds):
 
     return (hashed_ds.groupby("bucket")
             .map_groups(rank_bucket, batch_format="pandas"))
+
+
+def mm_pack(ds, seq_tokens: int = 2048, media_tokens: int = 64):
+    """Interleaved-document packing layout: each doc's training cost is
+    its span-text token count plus a FIXED ``media_tokens`` budget per
+    media span (the image-patch / audio-frame placeholder budget every
+    interleaved multimodal pretraining recipe charges — public method:
+    Flamingo/MM1-style token accounting), packed in deterministic
+    shuffle order (ascending (md5(doc_id), doc_id), the
+    ``deterministic_shuffle`` contract) and sliced into ``seq_tokens``
+    sequences.
+
+    -> (doc_id, n_tokens, n_media, cost, tok_start, seq_first,
+    seq_last).  Same two-phase distributed prefix sum as
+    ``pack_offsets`` (256 order-preserving hash-prefix buckets, tiny
+    driver scan, in-bucket cumsum); the span column is consumed
+    zero-copy — flatten + bincount, never a Python row.  Zero-cost
+    docs occupy a point (seq_last == seq_first)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        sp = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        parent = pc.list_parent_indices(sp).to_numpy()
+        n = batch.num_rows
+        t_per_span = pc.cast(pc.count_substring_regex(
+            pc.fill_null(flat.field("text"), ""), TOKEN_RE),
+            pa.int64()).to_numpy()
+        m_per_span = pc.is_valid(flat.field("media_ref")).to_numpy(
+            zero_copy_only=False)
+        n_tok = np.bincount(parent, weights=t_per_span,
+                            minlength=n).astype(np.int64)
+        n_med = np.bincount(parent, weights=m_per_span,
+                            minlength=n).astype(np.int64)
+        ids = batch["doc_id"].to_pylist()
+        hs = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_media": pa.array(n_med, pa.int64()),
+            "cost": pa.array(n_tok + media_tokens * n_med, pa.int64()),
+            "h": pa.array(hs, pa.string()),
+            "bucket": pa.array([int(h[:2], 16) for h in hs],
+                               pa.int64()),
+        })
+
+    narrow_ds = ds.map_batches(narrow,
+                               batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        c = batch["cost"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(b, weights=c, minlength=256).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "p": pa.array(cnt[nz], pa.int64())})
+
+    sums = (narrow_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("p", alias_name="bucket_cost"))
+            .to_pandas().sort_values("bucket"))
+    base = dict(zip(
+        sums["bucket"].to_numpy(),
+        np.concatenate(([0], np.cumsum(
+            sums["bucket_cost"].to_numpy())[:-1])).astype(np.int64)))
+    bref = ray.put(base)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_ = ray.get(bref)
+        g = g.sort_values(["h", "doc_id"])
+        c = g["cost"].to_numpy()
+        start = (np.concatenate(([0], np.cumsum(c)[:-1]))
+                 + base_[int(g["bucket"].iloc[0])])
+        occ = np.maximum(c, 1)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "n_media": g["n_media"].to_numpy(),
+            "cost": c,
+            "tok_start": start,
+            "seq_first": start // seq_tokens,
+            "seq_last": (start + occ - 1) // seq_tokens,
+        })
+
+    return (narrow_ds.groupby("bucket")
+            .map_groups(scan_bucket, batch_format="pandas"))
