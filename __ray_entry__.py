@@ -1201,6 +1201,22 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_bfs_depth(sf_dir: str):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import bfs_depth
+
+    d = _fixture()
+    edges = _read_sized(
+        os.path.join(d, "golden_links.parquet"),
+        columns=["doc_id", "link_url"]).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]),
+            batch_format="pyarrow")
+    seeds = rd.read_parquet(os.path.join(d, "seeds.parquet"),
+                            columns=["url"])
+    return bfs_depth(edges, seeds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1293,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _q_media_dedup,
         "knn_join": _q_knn_join,
         "triangle_count": _q_triangle_count,
+        "bfs_depth": _q_bfs_depth,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -1538,6 +1555,14 @@ def oracle_sql() -> dict[str, str]:
     go = os.path.join(d, "golden_crawl_order.parquet")
     gs = os.path.join(d, "golden_seen.parquet")
     gl = os.path.join(d, "golden_links.parquet")
+    fseeds = os.path.join(d, "seeds.parquet")
+    from govuk_crawler_worker_ray.pipelines.graph import (
+        bfs_depth_oracle_sql,
+    )
+    _bfs_sql = bfs_depth_oracle_sql(
+        "SELECT doc_id AS src, link_url AS dst FROM "
+        f"read_parquet('{gl}')",
+        f"SELECT url FROM read_parquet('{fseeds}')")
     corp = os.path.join(d, "corpus.parquet")
     fdoc = os.path.join(d, "documents.parquet")
     return {
@@ -2308,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
             "tok_start // 2048 AS seq_first, "
             "(tok_start + greatest(cost, 1) - 1) // 2048 AS seq_last "
             "FROM sc"),
+        # crawl tier: min link hops from the seed set (recursive CTE twin)
+        "bfs_depth": _bfs_sql,
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT CASE WHEN doc_id < link_url "
             "THEN doc_id ELSE link_url END AS a, CASE WHEN doc_id < "

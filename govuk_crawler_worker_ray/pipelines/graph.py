@@ -36,6 +36,24 @@ def _join_parts(ds) -> int:
         return 8
 
 
+def _nonempty_blocks(ds):
+    """Materialize ``ds`` and drop empty blocks.  Load-bearing before
+    a hash join whenever the dataset may be SMALLER than its partition
+    count (seed sets, late BFS tiers): groupby/repartition emit their
+    key-less partitions as ZERO-SCHEMA empty blocks, and pyarrow's
+    join raises ArrowInvalid ("no match for FieldRef") on them.  The
+    filter is metadata-only — block refs never move, nothing is
+    fetched to the driver."""
+    import ray.data as rd
+
+    bundles = ds.materialize().iter_internal_ref_bundles()
+    keep = [ref for bd in bundles for ref, meta in bd.blocks
+            if meta.num_rows]
+    if not keep:
+        return None
+    return rd.from_arrow_refs(keep)
+
+
 def pagerank(edges_ds, iterations: int = 5):
     """edges (src: string, dst: string) -> (url, rank_micros) after
     ``iterations`` damped update rounds from a uniform PR_SCALE start.
@@ -239,6 +257,79 @@ def triangle_count(edges_ds):
         "n_triangles": pa.array([n_tri], pa.int64()),
         "gcc_ppm": pa.array([gcc_ppm], pa.int64()),
     })
+
+
+def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64):
+    """edges (src, dst) + seeds (url) -> (url, depth): the minimum
+    number of link hops from any seed — the crawl TIER of every
+    reachable page (reference semantics: pages enter the frontier the
+    round their first parent is fetched, workflow.go:254-296;
+    ``depth`` is exactly that round index under unlimited budget).
+    Unreachable pages are absent.
+
+    Level-synchronous distributed BFS: per level ONE hash join
+    (edges x frontier on src, so only the frontier's out-edges move),
+    one distinct-dst groupby, one native ``left_anti`` against the
+    visited set.  All exchanged rows are narrow (url, int64); visited
+    materializes once per level to cut lineage.  Levels = graph
+    diameter, each level's cost proportional to its frontier — the
+    textbook Pregel/BSP shape, no all-to-all over the full graph."""
+    from ray.data.aggregate import Count
+
+    P = _join_parts(edges_ds)
+
+    def tag(depth: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b["url"],
+                "depth": pa.array(
+                    np.full(b.num_rows, depth, np.int64), pa.int64()),
+            })
+        return fn
+
+    def distinct(ds, col: str):
+        return (ds.groupby(col).aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"]))
+
+    frontier = _nonempty_blocks(
+        distinct(seeds_ds.select_columns(["url"]), "url")
+        .map_batches(tag(0), batch_format="pyarrow"))
+    if frontier is None:
+        raise ValueError("bfs_depth: empty seed set")
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = edges_ds.join(frontier.drop_columns(["depth"]), "inner",
+                            num_partitions=P, on=("src",),
+                            right_on=("url",))
+        cand = _nonempty_blocks(distinct(
+            nxt.map_batches(
+                lambda b: pa.table({"url": b["dst"]}),
+                batch_format="pyarrow"), "url"))
+        if cand is None:
+            break
+        frontier = _nonempty_blocks(
+            cand.join(visited.drop_columns(["depth"]), "left_anti",
+                      num_partitions=P, on=("url",))
+            .map_batches(tag(d), batch_format="pyarrow"))
+        if frontier is None:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited
+
+
+def bfs_depth_oracle_sql(edges_sql: str, seeds_sql: str,
+                         max_depth: int = 64) -> str:
+    """ANSI-SQL twin: recursive CTE enumerating every (url, depth)
+    reachable within ``max_depth`` hops, then min per url."""
+    return (
+        f"WITH RECURSIVE r(url, depth) AS ("
+        f"SELECT url, CAST(0 AS BIGINT) AS depth FROM ({seeds_sql}) "
+        f"UNION "
+        f"SELECT e.dst, r.depth + 1 FROM r "
+        f"JOIN ({edges_sql}) e ON e.src = r.url "
+        f"WHERE r.depth < {max_depth}) "
+        f"SELECT url, CAST(min(depth) AS BIGINT) AS depth "
+        f"FROM r GROUP BY url")
 
 
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
