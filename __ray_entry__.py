@@ -1217,6 +1217,43 @@ def _q_bfs_depth(sf_dir: str):
     return bfs_depth(edges, seeds)
 
 
+def _q_partitioned_write(sf_dir: str):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from govuk_crawler_worker_ray.pipelines.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    dest = os.path.join("/tmp", "gcw_sink_" +
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(dest, ignore_errors=True)
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    # receipts are tiny (one row per bucket); consuming them drives
+    # the write to completion before the round-trip read
+    receipts = write_partitioned(docs, dest, key="doc_id",
+                                 hex_chars=1, resume=True).to_pandas()
+    assert not receipts["skipped"].any()
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b["bucket"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "c": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        })
+
+    return (read_partitioned(dest, columns=["bucket", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("c", alias_name="n_chars")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1310,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "triangle_count": _q_triangle_count,
         "bfs_depth": _q_bfs_depth,
+        "partitioned_write": _q_partitioned_write,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -2335,6 +2373,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc"),
         # crawl tier: min link hops from the seed set (recursive CTE twin)
         "bfs_depth": _bfs_sql,
+        # resumable sink round-trip: per-md5-prefix-bucket doc counts
+        # and char sums must survive write + read-back bit-exactly
+        "partitioned_write": (
+            "SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS "
+            "bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents GROUP BY bucket"),
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT CASE WHEN doc_id < link_url "
             "THEN doc_id ELSE link_url END AS a, CASE WHEN doc_id < "

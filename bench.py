@@ -181,7 +181,9 @@ def bench_queries() -> dict:
              "length_outliers", "dup_spans",
              # round-3 session-7 additions (same caveat)
              "knn_join", "media_context", "media_dedup",
-             "triangle_count"]
+             "triangle_count",
+             # round-3 session-8 additions (same caveat)
+             "mm_pack", "bfs_depth"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -1875,3 +1875,46 @@ def test_triangle_count_planted(ray_session):
     assert int(out["n_wedges"].iloc[0]) == 10
     assert int(out["n_triangles"].iloc[0]) == 2
     assert int(out["gcc_ppm"].iloc[0]) == (3_000_000 * 2) // 10
+
+
+def test_partitioned_write_resume(ray_session, tmp_path):
+    """Round-trip equality + resume semantics: a rerun skips every
+    finished bucket; deleting one bucket rewrites ONLY that bucket."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array([f"doc {i} body" for i in range(40)],
+                         pa.string()),
+    })
+    dest = str(tmp_path / "sink")
+    ds = rd.from_arrow(tbl).repartition(4)
+    r1 = write_partitioned(ds, dest, key="doc_id").to_pandas()
+    assert not r1["skipped"].any()
+    assert int(r1["n_rows"].sum()) == 40
+
+    back = (read_partitioned(dest, columns=["doc_id", "text"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, tbl.to_pandas())
+
+    # full rerun: every bucket skipped
+    r2 = write_partitioned(ds, dest, key="doc_id").to_pandas()
+    assert r2["skipped"].all()
+
+    # delete one bucket: only it is rewritten
+    victim = r1["bucket"].iloc[0]
+    os.remove(os.path.join(dest, f"bucket={victim}", "part-0.parquet"))
+    r3 = (write_partitioned(ds, dest, key="doc_id").to_pandas()
+          .set_index("bucket"))
+    assert not r3.loc[victim, "skipped"]
+    assert r3.drop(index=victim)["skipped"].all()
+    back2 = read_partitioned(dest).to_pandas()
+    assert len(back2) == 40
