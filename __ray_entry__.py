@@ -1254,6 +1254,16 @@ def _q_partitioned_write(sf_dir: str):
                        Sum("c", alias_name="n_chars")))
 
 
+def _q_pack_manifest(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.packing import pack_manifest
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return pack_manifest(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": _q_dedup_exact,
@@ -1348,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "bfs_depth": _q_bfs_depth,
         "partitioned_write": _q_partitioned_write,
+        "pack_manifest": _q_pack_manifest,
         "crawl_order": _q_crawl_order,
         "crawl_seen": _q_crawl_seen,
         "crawl_mirror": _q_crawl_mirror,
@@ -1603,6 +1614,24 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url FROM read_parquet('{fseeds}')")
     corp = os.path.join(d, "corpus.parquet")
     fdoc = os.path.join(d, "documents.parquet")
+    _mm_cte = (
+        "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+        f"read_parquet('{fdoc}')), "
+        "f AS (SELECT doc_id, CAST(len(regexp_extract_all("
+        "COALESCE(sp.text, ''), '\\S+')) AS BIGINT) AS t, "
+        "CASE WHEN sp.media_ref IS NOT NULL THEN 1 ELSE 0 END "
+        "AS m FROM s), "
+        "a AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens, "
+        "CAST(sum(m) AS BIGINT) AS n_media FROM f GROUP BY doc_id), "
+        "j AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS "
+        "n_tokens, COALESCE(a.n_media, 0) AS n_media FROM "
+        f"read_parquet('{fdoc}') d LEFT JOIN a USING (doc_id)), "
+        "c AS (SELECT doc_id, n_tokens, n_media, "
+        "n_tokens + 64 * n_media AS cost, md5(doc_id) AS h FROM j), "
+        "sc AS (SELECT doc_id, n_tokens, n_media, cost, "
+        "CAST(COALESCE(sum(cost) OVER (ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS tok_start FROM c)")
     return {
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
@@ -2349,28 +2378,24 @@ def oracle_sql() -> dict[str, str]:
         # tokens + 64 per media span, prefix-summed in deterministic
         # shuffle order (md5(doc_id), doc_id), sliced into 2048-token
         # sequences; docs with no spans cost 0 (point occupancy)
-        "mm_pack": (
-            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
-            f"read_parquet('{fdoc}')), "
-            "f AS (SELECT doc_id, CAST(len(regexp_extract_all("
-            "COALESCE(sp.text, ''), '\\S+')) AS BIGINT) AS t, "
-            "CASE WHEN sp.media_ref IS NOT NULL THEN 1 ELSE 0 END "
-            "AS m FROM s), "
-            "a AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens, "
-            "CAST(sum(m) AS BIGINT) AS n_media FROM f GROUP BY doc_id), "
-            "j AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS "
-            "n_tokens, COALESCE(a.n_media, 0) AS n_media FROM "
-            f"read_parquet('{fdoc}') d LEFT JOIN a USING (doc_id)), "
-            "c AS (SELECT doc_id, n_tokens, n_media, "
-            "n_tokens + 64 * n_media AS cost, md5(doc_id) AS h FROM j), "
-            "sc AS (SELECT doc_id, n_tokens, n_media, cost, "
-            "CAST(COALESCE(sum(cost) OVER (ORDER BY h, doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-            "AS BIGINT) AS tok_start FROM c) "
-            "SELECT doc_id, n_tokens, n_media, cost, tok_start, "
+        "mm_pack": _mm_cte + (
+            " SELECT doc_id, n_tokens, n_media, cost, tok_start, "
             "tok_start // 2048 AS seq_first, "
             "(tok_start + greatest(cost, 1) - 1) // 2048 AS seq_last "
             "FROM sc"),
+        # mm_pack layout exploded to (sequence, doc) slice rows: the
+        # same CTE chain, one generate_series unnest per doc run
+        "pack_manifest": _mm_cte + (
+            ", m AS (SELECT doc_id, cost, tok_start, "
+            "unnest(generate_series(tok_start // 2048, "
+            "(tok_start + greatest(cost, 1) - 1) // 2048)) AS seq "
+            "FROM sc) "
+            "SELECT seq, doc_id, "
+            "CAST(greatest(tok_start, seq * 2048) - tok_start "
+            "AS BIGINT) AS sl_start, "
+            "CAST(greatest(least(tok_start + cost, (seq + 1) * 2048) "
+            "- greatest(tok_start, seq * 2048), 0) AS BIGINT) "
+            "AS sl_tokens FROM m"),
         # crawl tier: min link hops from the seed set (recursive CTE twin)
         "bfs_depth": _bfs_sql,
         # resumable sink round-trip: per-md5-prefix-bucket doc counts

@@ -183,7 +183,8 @@ def bench_queries() -> dict:
              "knn_join", "media_context", "media_dedup",
              "triangle_count",
              # round-3 session-8 additions (same caveat)
-             "mm_pack", "bfs_depth"]
+             "mm_pack", "bfs_depth", "pack_manifest",
+             "partitioned_write"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -248,3 +248,42 @@ def mm_pack(ds, seq_tokens: int = 2048, media_tokens: int = 64):
 
     return (narrow_ds.groupby("bucket")
             .map_groups(scan_bucket, batch_format="pandas"))
+
+
+def pack_manifest(ds, seq_tokens: int = 2048, media_tokens: int = 64):
+    """Data-loader manifest for the ``mm_pack`` layout: one row per
+    (training sequence, document) pair the sequence draws from ->
+    (seq, doc_id, sl_start, sl_tokens), where ``sl_start`` is the
+    document-local offset of the slice and ``sl_tokens`` its length
+    after clipping to the sequence window (zero-cost docs keep their
+    point row with sl_tokens == 0, so every packed doc is accounted
+    for).  Pure per-batch numpy expansion over the mm_pack output —
+    ``np.repeat`` on (seq_last - seq_first + 1), no shuffle beyond
+    mm_pack's own; output rows ~= docs + sequence boundary crossings."""
+    packed = mm_pack(ds, seq_tokens=seq_tokens,
+                     media_tokens=media_tokens)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["tok_start"].to_numpy()
+        c = batch["cost"].to_numpy()
+        sf = batch["seq_first"].to_numpy()
+        sl = batch["seq_last"].to_numpy()
+        reps = (sl - sf + 1).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ts), dtype=np.int64), reps)
+        # seq index within each doc's run: global arange minus each
+        # run's start, then offset by the doc's first sequence
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        seq = (np.arange(reps.sum(), dtype=np.int64)
+               - np.repeat(starts, reps) + np.repeat(sf, reps))
+        lo = np.maximum(ts[doc_idx], seq * seq_tokens)
+        hi = np.minimum(ts[doc_idx] + c[doc_idx],
+                        (seq + 1) * seq_tokens)
+        return pa.table({
+            "seq": pa.array(seq, pa.int64()),
+            "doc_id": batch["doc_id"].take(
+                pa.array(doc_idx, pa.int64())),
+            "sl_start": pa.array(lo - ts[doc_idx], pa.int64()),
+            "sl_tokens": pa.array(np.maximum(hi - lo, 0), pa.int64()),
+        })
+
+    return packed.map_batches(expand, batch_format="pyarrow")

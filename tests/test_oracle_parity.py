@@ -77,6 +77,7 @@ ORACLE_KEYS = [
     "length_outliers", "dup_spans", "span_stats", "media_manifest",
     "span_text", "media_context", "media_dedup", "knn_join",
     "triangle_count", "mm_pack", "bfs_depth", "partitioned_write",
+    "pack_manifest",
     "crawl_order", "crawl_seen", "crawl_mirror", "mirror_path_fn",
     "extract_links", "content_type_gate", "pages_by_host",
 ]
