@@ -125,11 +125,19 @@ class CrawlResult:
 
         rows = rd.from_items(items).map_batches(
             read_full, batch_format="pyarrow", batch_size=1)
-        winners = (rd.from_items(items)
-                   .map_batches(read_narrow, batch_format="pyarrow",
-                                batch_size=4)
-                   .groupby("mirror_path")
-                   .aggregate(Max("okey", alias_name="okey")))
+        from .blocks import nonempty_blocks
+
+        winners = nonempty_blocks(
+            rd.from_items(items)
+            .map_batches(read_narrow, batch_format="pyarrow",
+                         batch_size=4)
+            .groupby("mirror_path")
+            .aggregate(Max("okey", alias_name="okey")))
+        if winners is None:
+            return rd.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "mirror_path": pa.array([], pa.string()),
+                "body": pa.array([], pa.string())}))
         # few, large partitions: a partition per file turns the join's
         # hash exchange into a tiny-task matrix (measured pathological
         # on this Ray build — BASELINE.md); scale with CPUs instead

@@ -268,9 +268,15 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5,
                           batch_format="pyarrow")
              .materialize())
 
+    from .blocks import nonempty_blocks
+
     counts = (bands.groupby("band_key")
               .aggregate(Count(alias_name="n")))
-    hot = counts.filter(expr="n > 1").materialize()
+    # hot is a groupby+filter output and usually tiny: compact away the
+    # zero-schema empty partitions that would crash the hash join below
+    hot = nonempty_blocks(counts.filter(expr="n > 1"))
+    if hot is None:
+        return _empty_pairs()
     if distributed is None:
         hot_rows = int(hot.sum("n") or 0)
         distributed = hot_rows > broadcast_limit
@@ -427,14 +433,27 @@ def connected_components_distributed(pairs_ds, max_iters: int = 50):
             "dst": pa.concat_arrays([bb, a, a, bb]),
         })
 
-    both = pairs_ds.map_batches(explode,
-                                batch_format="pyarrow").materialize()
-    labels = (both.groupby("src").aggregate(Min("dst",
-                                                alias_name="label"))
-              .map_batches(lambda b: pa.table({"node": b["src"],
-                                               "label": b["label"]}),
-                           batch_format="pyarrow")
-              .materialize())
+    from .blocks import nonempty_blocks
+
+    def _empty_cc() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+
+    both = nonempty_blocks(
+        pairs_ds.map_batches(explode, batch_format="pyarrow"))
+    if both is None:
+        return _empty_cc()
+    # labels is a groupby output: when the dup graph is smaller than
+    # the shuffle's partition count (tiny corpora, dup-free rounds) it
+    # carries zero-schema empty blocks that crash the next hash join —
+    # compact after every (already wanted) materialize.
+    labels = nonempty_blocks(
+        both.groupby("src").aggregate(Min("dst", alias_name="label"))
+        .map_batches(lambda b: pa.table({"node": b["src"],
+                                         "label": b["label"]}),
+                     batch_format="pyarrow"))
+    if labels is None:
+        return _empty_cc()
     # convergence: sum(labels) is nonnegative and strictly decreases
     # while any label improves — a one-scalar driver check per round.
     # labels MUST materialize per iteration: without it each join would
@@ -449,13 +468,13 @@ def connected_components_distributed(pairs_ds, max_iters: int = 50):
                     .map_batches(lambda b: pa.table({
                         "node": b["src"], "label": b["label"]}),
                         batch_format="pyarrow"))
-        labels = (labels.union(cand_min)
-                  .groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .map_batches(lambda b: pa.table({
-                      "node": b["node"], "label": b["label"]}),
-                      batch_format="pyarrow")
-                  .materialize())
+        labels = nonempty_blocks(
+            labels.union(cand_min)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(lambda b: pa.table({
+                "node": b["node"], "label": b["label"]}),
+                batch_format="pyarrow"))
         s = labels.sum("label")
         if s == prev_sum:
             break

@@ -36,22 +36,7 @@ def _join_parts(ds) -> int:
         return 8
 
 
-def _nonempty_blocks(ds):
-    """Materialize ``ds`` and drop empty blocks.  Load-bearing before
-    a hash join whenever the dataset may be SMALLER than its partition
-    count (seed sets, late BFS tiers): groupby/repartition emit their
-    key-less partitions as ZERO-SCHEMA empty blocks, and pyarrow's
-    join raises ArrowInvalid ("no match for FieldRef") on them.  The
-    filter is metadata-only — block refs never move, nothing is
-    fetched to the driver."""
-    import ray.data as rd
-
-    bundles = ds.materialize().iter_internal_ref_bundles()
-    keep = [ref for bd in bundles for ref, meta in bd.blocks
-            if meta.num_rows]
-    if not keep:
-        return None
-    return rd.from_arrow_refs(keep)
+from .blocks import nonempty_blocks as _nonempty_blocks
 
 
 def pagerank(edges_ds, iterations: int = 5):
@@ -61,18 +46,29 @@ def pagerank(edges_ds, iterations: int = 5):
     from ray.data.aggregate import Count, Sum
 
     P = _join_parts(edges_ds)
-    deg = edges_ds.groupby("src").aggregate(Count(alias_name="od"))
-    edges = edges_ds.join(deg, "inner", num_partitions=P,
-                          on=("src",)).materialize()
+    # deg/insum are groupby outputs: compact away zero-schema empty
+    # partitions before each join (see blocks.nonempty_blocks)
+    deg = _nonempty_blocks(
+        edges_ds.groupby("src").aggregate(Count(alias_name="od")))
+    if deg is None:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "rank_micros": pa.array([], pa.int64())})
+    # the JOIN OUTPUT also carries zero-schema blocks for partitions
+    # no row hashed to — compact it too before it feeds the iteration
+    # joins (it wanted a materialize anyway)
+    edges = _nonempty_blocks(edges_ds.join(deg, "inner",
+                                           num_partitions=P,
+                                           on=("src",)))
 
     def explode_nodes(b: pa.Table) -> pa.Table:
         u = pa.concat_arrays([b["src"].combine_chunks(),
                               b["dst"].combine_chunks()])
         return pa.table({"url": u})
 
-    nodes = (edges_ds.map_batches(explode_nodes, batch_format="pyarrow")
-             .groupby("url").aggregate(Count(alias_name="_n"))
-             .drop_columns(["_n"]).materialize())
+    nodes = _nonempty_blocks(
+        edges_ds.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("url").aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"]))
 
     ranks = nodes.map_batches(
         lambda b: pa.table({
@@ -93,8 +89,19 @@ def pagerank(edges_ds, iterations: int = 5):
                 "c": pa.array(r // od, pa.int64()),
             })
 
-        insum = (joined.map_batches(contrib, batch_format="pyarrow")
-                 .groupby("dst").aggregate(Sum("c", alias_name="inp")))
+        insum = _nonempty_blocks(
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").aggregate(Sum("c", alias_name="inp")))
+        if insum is None:
+            # no in-contributions anywhere: every rank decays to base
+            ranks = nodes.map_batches(
+                lambda b: pa.table({
+                    "url": b["url"],
+                    "rank_micros": pa.array(
+                        np.full(b.num_rows, PR_BASE, np.int64),
+                        pa.int64())}),
+                batch_format="pyarrow").materialize()
+            continue
         merged = nodes.join(insum, "left_outer", num_partitions=P,
                             on=("url",), right_on=("dst",))
 
@@ -112,8 +119,8 @@ def pagerank(edges_ds, iterations: int = 5):
                     PR_BASE + (PR_DAMP_NUM * inp) // 100, pa.int64()),
             })
 
-        ranks = (merged.map_batches(update, batch_format="pyarrow")
-                 .materialize())
+        ranks = _nonempty_blocks(
+            merged.map_batches(update, batch_format="pyarrow"))
     return ranks
 
 

@@ -1003,13 +1003,52 @@ def customer_activity(orders_ds, events_ds, num_partitions: int = 8):
               .agg(p_n=("p_n", "sum")))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    left = (orders_ds.map_batches(o_partial, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .aggregate(Sum("p_n", alias_name="order_cnt"),
-                       Sum("p_c", alias_name="spend_cents")))
-    right = (events_ds.map_batches(e_partial, batch_format="pyarrow")
-             .groupby("user_id")
-             .aggregate(Sum("p_n", alias_name="event_cnt")))
+    # both sides are groupby outputs: compact away zero-schema empty
+    # partitions before the hash join (see blocks.nonempty_blocks).
+    # An ALL-EMPTY side cannot go through Dataset.join at all — the
+    # JoinOperator's internal hash shuffle re-manufactures zero-schema
+    # partitions from a 0-row input and pyarrow's acero join raises
+    # KeyError on the missing key column — so full-outer semantics for
+    # an empty side are synthesized directly: pass the other side
+    # through with NULLs for the absent columns.
+    from .blocks import nonempty_blocks
+
+    import ray.data as rd
+
+    left = nonempty_blocks(
+        orders_ds.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_n", alias_name="order_cnt"),
+                   Sum("p_c", alias_name="spend_cents")))
+    right = nonempty_blocks(
+        events_ds.map_batches(e_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="event_cnt")))
+    if left is None and right is None:
+        return rd.from_arrow(pa.table({
+            "o_custkey": pa.array([], pa.int64()),
+            "order_cnt": pa.array([], pa.int64()),
+            "spend_cents": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_cnt": pa.array([], pa.int64())}))
+    if right is None:
+        def _left_only(b: pa.Table) -> pa.Table:
+            null = pa.nulls(b.num_rows, pa.int64())
+            return b.append_column("user_id", null).append_column(
+                "event_cnt", null)
+
+        return left.map_batches(_left_only, batch_format="pyarrow")
+    if left is None:
+        def _right_only(b: pa.Table) -> pa.Table:
+            null = pa.nulls(b.num_rows, pa.int64())
+            t = pa.table({"o_custkey": null,
+                          "order_cnt": null,
+                          "spend_cents": null})
+            return t.append_column(
+                "user_id", b["user_id"]).append_column(
+                "event_cnt", b["event_cnt"])
+
+        return right.map_batches(_right_only, batch_format="pyarrow")
     return left.join(right, "full_outer",
                      num_partitions=num_partitions,
                      on=("o_custkey",), right_on=("user_id",))

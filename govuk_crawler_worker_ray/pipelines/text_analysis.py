@@ -353,8 +353,20 @@ def distinctive_terms(ds, k: int = 3, num_partitions: int = 8,
 
     # (token, df) via the same distributed combiner; materialized so
     # the auto-switch count() and the broadcast to_pandas() don't
-    # re-execute the pipeline (narrow, vocabulary-sized)
-    dfreq = token_df(ds).materialize()
+    # re-execute the pipeline (narrow, vocabulary-sized).  Compacted to
+    # non-empty blocks: it is a groupby output and feeds a hash join in
+    # the distributed path (see blocks.nonempty_blocks).
+    from .blocks import nonempty_blocks
+
+    dfreq = nonempty_blocks(token_df(ds))
+    if dfreq is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64())}))
 
     if distributed is None:
         distributed = dfreq.count() > broadcast_limit

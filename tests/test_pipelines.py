@@ -1918,3 +1918,68 @@ def test_partitioned_write_resume(ray_session, tmp_path):
     assert r3.drop(index=victim)["skipped"].all()
     back2 = read_partitioned(dest).to_pandas()
     assert len(back2) == 40
+
+
+def test_tiny_inputs_survive_hash_joins(ray_session):
+    """Regression: ray 2.49's hash groupby/join emit ZERO-SCHEMA empty
+    blocks for key-less partitions; when a join side is smaller than
+    its partition count, pyarrow's per-partition join raised
+    ArrowInvalid ("No match for FieldRef").  Every iterative /
+    groupby-fed join must survive inputs of one row and zero rows
+    (blocks.nonempty_blocks guards — the dup-free corpus / seed-only
+    frontier / one-customer regime)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        connected_components_distributed,
+        minhash_lsh_dedup,
+    )
+    from govuk_crawler_worker_ray.pipelines.graph import pagerank
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        customer_activity,
+    )
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        distinctive_terms,
+    )
+
+    # one-edge and zero-edge dup graphs
+    one = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1], pa.int64()),
+        "doc_b": pa.array([2], pa.int64())}))
+    got = connected_components_distributed(one)
+    assert got.to_pydict() == {"doc_id": [1, 2], "component": [1, 1]}
+    zero = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert connected_components_distributed(zero).num_rows == 0
+
+    # one-edge pagerank: b gets a's contribution, a decays to base
+    pr = pagerank(rd.from_arrow(pa.table({
+        "src": pa.array(["a"]), "dst": pa.array(["b"])})),
+        iterations=2)
+    ranks = {r["url"]: r["rank_micros"] for r in pr.take_all()}
+    assert ranks["a"] == 150_000 and ranks["b"] > ranks["a"]
+
+    # two identical docs through the DISTRIBUTED minhash verify path
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([txt, txt])}))
+    pairs = minhash_lsh_dedup(docs, distributed=True)
+    assert pairs.num_rows == 1
+
+    # distinctive terms over a 2-doc corpus, forced distributed join
+    small = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the quick brown fox",
+                          "lazy dog sleeps here"])}))
+    assert distinctive_terms(small, distributed=True).count() == 6
+
+    # full-outer activity with one order and zero events
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([7], pa.int64()),
+        "o_totalprice": pa.array([10.0], pa.float64())}))
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64())}))
+    act = customer_activity(orders, events).to_pandas()
+    assert len(act) == 1 and int(act["spend_cents"].iloc[0]) == 1000
