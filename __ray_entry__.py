@@ -1014,6 +1014,43 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_source_cap(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sampling import source_cap
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "source"])
+    return source_cap(docs, cap=10)
+
+
+def _q_event_transitions(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        event_transitions,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return event_transitions(events)
+
+
+def _q_orders_cube(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import orders_cube
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    return orders_cube(orders)
+
+
+def _q_corr_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import corr_stats
+
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_returnflag", "l_quantity",
+                              "l_discount"])
+    return corr_stats(li)
+
+
 def _q_bloom_semi_join(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         bloom_semi_join,
@@ -1342,6 +1379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_agg": _q_json_extract_agg,
         "bloom_semi_join": _q_bloom_semi_join,
         "user_retention": _q_user_retention,
+        "source_cap": _q_source_cap,
+        "event_transitions": _q_event_transitions,
+        "orders_cube": _q_orders_cube,
+        "corr_stats": _q_corr_stats,
         "pagerank": _q_pagerank,
         "degree_stats": _q_degree_stats,
         "global_rank": _q_global_rank,
@@ -2260,6 +2301,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # per-source cap by md5(doc_id) rank — same hash contract as
+        # stratified_sample (rank over the full 32-hex digest)
+        "source_cap": (
+            "SELECT doc_id, source, rank FROM ("
+            "SELECT doc_id, source, CAST(row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS rank FROM documents) WHERE rank <= 10"),
+        # consecutive-event transition counts == LEAD window + GROUP BY
+        "event_transitions": (
+            "WITH l AS (SELECT event_type AS src_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst_type FROM events) "
+            "SELECT src_type, dst_type, count(*) AS n_trans FROM l "
+            "WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type"),
+        # CUBE == four grouping sets; 'ALL' sentinel (real values are
+        # never NULL so coalesce is unambiguous); integer cents
+        "orders_cube": (
+            "SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "count(*) AS n_orders, "
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS revenue_cents FROM orders "
+            "GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+        # integer-exact moment sums (quantity, discount-pct) the
+        # driver-side Pearson finish consumes
+        "corr_stats": (
+            "WITH t AS (SELECT l_returnflag, "
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q, "
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d "
+            "FROM lineitem) "
+            "SELECT l_returnflag, count(*) AS n_rows, "
+            "sum(q) AS sum_qty, sum(d) AS sum_disc, "
+            "sum(q * d) AS sum_qty_disc, sum(q * q) AS sum_qty_sq, "
+            "sum(d * d) AS sum_disc_sq FROM t GROUP BY l_returnflag"),
         "ann_bruteforce": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "
             "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)), "

@@ -1100,6 +1100,183 @@ def running_total(ds, num_partitions: int | None = None):
             .map_groups(cum_part, batch_format="pandas"))
 
 
+def event_transitions(ds, num_partitions: int | None = None):
+    """Markov transition counts between consecutive event types per
+    user (ordered by ts, event_id): (src_type, dst_type, n_trans) —
+    the behavior-model / session-flow primitive (SQL's LEAD window +
+    GROUP BY).
+
+    A transition needs every row of its user in one place, so keys
+    hash to ~2x-CPU partitions (ONE narrow shuffle of
+    (user_id, ts, event_id, event_type)); each partition does one
+    vectorized pandas sort + groupby.shift and collapses to its LOCAL
+    (src, dst) counts before the tiny global |types|^2-row groupby —
+    the combiner discipline that keeps the second exchange O(25) rows
+    per partition regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "part": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False)
+                % num_partitions, pa.int64()),
+        })
+
+    def local_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["dst_type"] = (g.groupby("user_id", sort=False)
+                         ["event_type"].shift(-1))
+        g = g.dropna(subset=["dst_type"])
+        out = (g.groupby(["event_type", "dst_type"], as_index=False)
+               .size().rename(columns={"event_type": "src_type",
+                                       "size": "p_n"}))
+        return out[["src_type", "dst_type", "p_n"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(local_counts, batch_format="pandas")
+            .groupby(["src_type", "dst_type"])
+            .aggregate(Sum("p_n", alias_name="n_trans")))
+
+
+def orders_cube(ds):
+    """CUBE family: order count + revenue for every grouping set of
+    (o_orderstatus, o_orderpriority) — detail, each one-dimension
+    subtotal, and the grand total in ONE sentinel-coded table
+    ('ALL' marks the collapsed dimension), completing the
+    grouping-set family next to ROLLUP / PIVOT.  Revenue travels as
+    integer cents (floor(x*100 + 0.5)) so sums are order-independent
+    and hash-match the oracle.
+
+    The detail level is the only wide shuffle (pre-aggregated by a
+    per-batch pandas combiner); all three coarser levels re-aggregate
+    the detail's tiny (|status| x |priority|) output."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderstatus": b["o_orderstatus"].to_pylist(),
+            "o_orderpriority": b["o_orderpriority"].to_pylist(),
+            "p_n": 1, "p_c": cents})
+        g = df.groupby(["o_orderstatus", "o_orderpriority"],
+                       as_index=False).agg(p_n=("p_n", "sum"),
+                                           p_c=("p_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("p_n", alias_name="n_orders"),
+                         Sum("p_c", alias_name="revenue_cents"))
+              .materialize())
+
+    def collapse(key_col: str):
+        def part(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({key_col: b[key_col].to_pylist(),
+                               "p_n": b["n_orders"].to_numpy(),
+                               "p_c": b["revenue_cents"].to_numpy()})
+            g = df.groupby(key_col, as_index=False).agg(
+                p_n=("p_n", "sum"), p_c=("p_c", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def tag(b: pa.Table) -> pa.Table:
+            cols = {
+                "o_orderstatus": b[key_col]
+                if key_col == "o_orderstatus"
+                else pa.array(["ALL"] * b.num_rows, pa.string()),
+                "o_orderpriority": b[key_col]
+                if key_col == "o_orderpriority"
+                else pa.array(["ALL"] * b.num_rows, pa.string()),
+                "n_orders": b["p_n"],
+                "revenue_cents": b["p_c"],
+            }
+            return pa.table(cols)
+
+        return (detail.map_batches(part, batch_format="pyarrow")
+                .groupby(key_col)
+                .aggregate(Sum("p_n", alias_name="p_n"),
+                           Sum("p_c", alias_name="p_c"))
+                .map_batches(tag, batch_format="pyarrow"))
+
+    by_status = collapse("o_orderstatus")
+    by_priority = collapse("o_orderpriority")
+
+    def to_total(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table({
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64())})
+        return pa.table({
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "n_orders": pa.array(
+                [int(b["n_orders"].to_numpy().sum())], pa.int64()),
+            "revenue_cents": pa.array(
+                [int(b["revenue_cents"].to_numpy().sum())], pa.int64()),
+        })
+
+    # grand total: ONE block, whole-block batches (the events_rollup
+    # convention) so exactly one 'ALL','ALL' row is emitted
+    total = (detail.repartition(1)
+             .map_batches(to_total, batch_format="pyarrow",
+                          batch_size=None))
+    return detail.union(by_status).union(by_priority).union(total)
+
+
+def corr_stats(ds):
+    """Integer-exact Pearson/covariance COMPONENTS of (quantity,
+    discount-pct) per l_returnflag: n and the five moment sums a
+    correlation or OLS slope needs — the distributed-statistics
+    primitive done the only way that hash-matches at any parallelism
+    (float accumulation is order-dependent; these are pure int64 sums
+    of small integers, overflow-free at 10^12 rows).
+
+    One per-batch numpy combiner collapses each block to <=|flags|
+    rows; the global groupby moves almost nothing.  The driver-side
+    finish (corr = (n*Sxy - Sx*Sy) / sqrt(...)) is one row of math the
+    caller does on the tiny output."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        d = np.floor(b["l_discount"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pylist(),
+            "p_n": 1, "p_q": q, "p_d": d, "p_qd": q * d,
+            "p_q2": q * q, "p_d2": d * d})
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            p_n=("p_n", "sum"), p_q=("p_q", "sum"), p_d=("p_d", "sum"),
+            p_qd=("p_qd", "sum"), p_q2=("p_q2", "sum"),
+            p_d2=("p_d2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("p_n", alias_name="n_rows"),
+                       Sum("p_q", alias_name="sum_qty"),
+                       Sum("p_d", alias_name="sum_disc"),
+                       Sum("p_qd", alias_name="sum_qty_disc"),
+                       Sum("p_q2", alias_name="sum_qty_sq"),
+                       Sum("p_d2", alias_name="sum_disc_sq")))
+
+
 def json_field_agg(ds, key: str = "k"):
     """JSON field extraction + aggregation over the ``props`` payload
     column: (event_type, n_events, sum_k) with k pulled out of each

@@ -103,6 +103,60 @@ def dataset_split(ds, splits=DEFAULT_SPLITS):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
+    """Per-source document cap (domain balancing): keep at most ``cap``
+    documents per ``source``, chosen by deterministic hash rank — the
+    "no domain may dominate the training mix" curation primitive
+    (C4/RefinedWeb-style host capping).  Rank within a source is
+    md5(doc_id) ascending (doc_id tiebreak), so the kept set is stable
+    under any re-partitioning, resume, or cluster size — same hash
+    contract as ``stratified_sample``.  Output (doc_id, source, rank).
+
+    Plan shape: rows hash-partition by source (ONE narrow shuffle of
+    (doc_id, source, hash) — text never moves); each partition does one
+    vectorized pandas sort + cumcount.  Hot sources are bounded by the
+    cap itself: a source with 10^9 rows still emits ``cap`` rows, and
+    the per-partition sort is the only super-linear step (sort the
+    hash column, not the payload)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+    P = num_partitions
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        h = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        part = [zlib.crc32(s.encode("utf-8")) % P for s in srcs]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "h": pa.array(h, pa.string()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def cap_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"])
+        g["rank"] = (g.groupby("source", sort=False).cumcount() + 1
+                     ).astype(np.int64)
+        g = g[g["rank"] <= cap]
+        return g[["doc_id", "source", "rank"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(cap_part, batch_format="pandas"))
+
+
 def priority_sample(ds, k: int = 25):
     """Deterministic weight-proportional priority sample (Duffield,
     Lund & Thorup, JACM 2007): each doc gets priority = w / u with

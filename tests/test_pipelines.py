@@ -1983,3 +1983,96 @@ def test_tiny_inputs_survive_hash_joins(ray_session):
         "user_id": pa.array([], pa.int64())}))
     act = customer_activity(orders, events).to_pandas()
     assert len(act) == 1 and int(act["spend_cents"].iloc[0]) == 1000
+
+
+def test_source_cap(ray_session):
+    """Per-source cap keeps exactly `cap` docs per source, ranked by
+    md5(doc_id), and the kept set is identical under different block
+    layouts (the determinism contract)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sampling import source_cap
+
+    ids = list(range(12))
+    srcs = ["a"] * 6 + ["b"] * 5 + ["c"]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "source": pa.array(srcs, pa.string())})
+
+    def run(nblocks):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        df = source_cap(ds, cap=3).to_pandas()
+        return df.sort_values(["source", "rank"]).reset_index(drop=True)
+
+    got = run(1)
+    assert got.groupby("source")["rank"].max().to_dict() == {
+        "a": 3, "b": 3, "c": 1}
+    # expected winners: md5(str(doc_id)) ascending within each source
+    for src, members in (("a", ids[:6]), ("b", ids[6:11])):
+        want = sorted(members,
+                      key=lambda d: (hashlib.md5(str(d).encode())
+                                     .hexdigest(), d))[:3]
+        kept = got[got["source"] == src]["doc_id"].tolist()
+        assert sorted(kept) == sorted(want)
+    # layout-independence
+    assert run(5).equals(got)
+
+
+def test_event_transitions(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        event_transitions,
+    )
+
+    ts = pa.array([1, 2, 3, 1, 2], pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+        "event_type": pa.array(["view", "click", "view",
+                                "view", "click"], pa.string()),
+    }))
+    got = {(r["src_type"], r["dst_type"]): r["n_trans"]
+           for r in event_transitions(ev, num_partitions=3).take_all()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_orders_cube(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import orders_cube
+
+    orders = rd.from_arrow(pa.table({
+        "o_orderstatus": pa.array(["O", "O", "F"], pa.string()),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH",
+                                     "1-URGENT"], pa.string()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+    }))
+    df = orders_cube(orders).to_pandas()
+    key = df.set_index(["o_orderstatus", "o_orderpriority"])
+    assert len(df) == 3 + 2 + 2 + 1  # detail + 2 subtotals + total
+    assert key.loc[("ALL", "ALL"), "revenue_cents"] == 6000
+    assert key.loc[("O", "ALL"), "n_orders"] == 2
+    assert key.loc[("ALL", "1-URGENT"), "revenue_cents"] == 4000
+    assert key.loc[("F", "1-URGENT"), "n_orders"] == 1
+
+
+def test_corr_stats(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import corr_stats
+
+    li = rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(["A", "A", "R"], pa.string()),
+        "l_quantity": pa.array([2.0, 4.0, 10.0], pa.float64()),
+        "l_discount": pa.array([0.05, 0.10, 0.00], pa.float64()),
+    })).repartition(2)
+    rows = {r["l_returnflag"]: r
+            for r in corr_stats(li).take_all()}
+    a = rows["A"]
+    assert (a["n_rows"], a["sum_qty"], a["sum_disc"]) == (2, 6, 15)
+    assert a["sum_qty_disc"] == 2 * 5 + 4 * 10
+    assert a["sum_qty_sq"] == 4 + 16 and a["sum_disc_sq"] == 25 + 100
+    assert rows["R"]["sum_disc"] == 0
