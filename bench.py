@@ -184,7 +184,10 @@ def bench_queries() -> dict:
              "triangle_count",
              # round-3 session-8 additions (same caveat)
              "mm_pack", "bfs_depth", "pack_manifest",
-             "partitioned_write"]
+             "partitioned_write",
+             # round-3 session-9 additions (same caveat)
+             "source_cap", "event_transitions", "orders_cube",
+             "corr_stats"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
