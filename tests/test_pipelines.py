@@ -1953,10 +1953,11 @@ def test_tiny_inputs_survive_hash_joins(ray_session):
         "doc_b": pa.array([], pa.int64())}))
     assert connected_components_distributed(zero).num_rows == 0
 
-    # one-edge pagerank: b gets a's contribution, a decays to base
+    # one-edge pagerank through the DISTRIBUTED join path: b gets a's
+    # contribution, a decays to base
     pr = pagerank(rd.from_arrow(pa.table({
         "src": pa.array(["a"]), "dst": pa.array(["b"])})),
-        iterations=2)
+        iterations=2, distributed=True)
     ranks = {r["url"]: r["rank_micros"] for r in pr.take_all()}
     assert ranks["a"] == 150_000 and ranks["b"] > ranks["a"]
 
@@ -2076,3 +2077,25 @@ def test_corr_stats(ray_session):
     assert a["sum_qty_disc"] == 2 * 5 + 4 * 10
     assert a["sum_qty_sq"] == 4 + 16 and a["sum_disc_sq"] == 25 + 100
     assert rows["R"]["sum_disc"] == 0
+
+
+def test_pagerank_broadcast_matches_distributed(ray_session):
+    """The numpy fast path and the Dataset join path are bit-identical
+    (same integer update, np.add.at accumulation)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import pagerank
+
+    edges = pa.table({
+        "src": pa.array(["a", "a", "b", "c", "d", "d"]),
+        "dst": pa.array(["b", "c", "c", "a", "a", "b"])})
+
+    def ranks(**kw):
+        out = pagerank(rd.from_arrow(edges), iterations=3, **kw)
+        if hasattr(out, "take_all"):
+            rows = out.take_all()
+        else:
+            rows = out.to_pylist()
+        return sorted((r["url"], r["rank_micros"]) for r in rows)
+
+    assert ranks(distributed=False) == ranks(distributed=True)
