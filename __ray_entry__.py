@@ -1164,6 +1164,18 @@ def _q_span_stats(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_mm_quality_gate(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        mm_quality_gate,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return mm_quality_gate(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def _q_media_manifest(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         media_manifest,
@@ -1390,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "dup_spans": _q_dup_spans,
         "span_stats": _q_span_stats,
+        "mm_quality_gate": _q_mm_quality_gate,
         "media_manifest": _q_media_manifest,
         "span_text": _q_span_text,
         "media_context": _q_media_context,
@@ -2380,6 +2393,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_media_spans, "
             "CAST(sum(COALESCE(len(t), 0)) AS BIGINT) AS text_chars "
             "FROM f GROUP BY doc_id"),
+        # the span_stats profile + the integer-ppm curation gate
+        "mm_quality_gate": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.kind AS kind, sp.text AS t, "
+            "sp.media_ref AS mr FROM s), "
+            "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_text_spans, "
+            "CAST(sum(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_media_spans, "
+            "CAST(sum(COALESCE(len(t), 0)) AS BIGINT) AS text_chars "
+            "FROM f GROUP BY doc_id) "
+            "SELECT doc_id, n_spans, n_media_spans, text_chars, "
+            "(n_media_spans * 1000000) // n_spans AS media_ppm FROM g "
+            "WHERE text_chars >= 20 AND n_text_spans >= 1 "
+            "AND (n_media_spans * 1000000) // n_spans <= 600000"),
         "media_manifest": (
             "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
             f"read_parquet('{fdoc}')) "

@@ -226,6 +226,42 @@ def span_stats(ds):
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+def mm_quality_gate(ds, min_text_chars: int = 20,
+                    max_media_ppm: int = 600_000):
+    """Multimodal curation gate over the INTERLEAVED span column: keep
+    documents with at least one non-empty text span, >=
+    ``min_text_chars`` total text, and a media-span fraction at most
+    ``max_media_ppm`` (exact integer parts-per-million of n_spans) —
+    the "drop all-media galleries and text-free boilerplate" filter an
+    interleaved training mix applies before packing (mm_pack).
+
+    Output (doc_id, n_spans, n_media_spans, text_chars, media_ppm) for
+    the KEPT docs only.  Composes the zero-copy ``span_stats`` kernel
+    with one vectorized Arrow filter — stateless map, no shuffle, no
+    floats (ppm is floor-division so the gate hash-matches SQL)."""
+    import pyarrow.compute as pc
+
+    def gate(b: pa.Table) -> pa.Table:
+        n = b["n_spans"].to_numpy()
+        m = b["n_media_spans"].to_numpy()
+        ppm = np.where(n > 0, (m * 1_000_000) // np.maximum(n, 1), 0)
+        t = b.append_column("media_ppm",
+                            pa.array(ppm.astype(np.int64), pa.int64()))
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["text_chars"],
+                                 pa.scalar(min_text_chars, pa.int64())),
+                pc.greater_equal(t["n_text_spans"],
+                                 pa.scalar(1, pa.int64()))),
+            pc.less_equal(t["media_ppm"],
+                          pa.scalar(max_media_ppm, pa.int64())))
+        return t.filter(keep).select(
+            ["doc_id", "n_spans", "n_media_spans", "text_chars",
+             "media_ppm"])
+
+    return span_stats(ds).map_batches(gate, batch_format="pyarrow")
+
+
 def media_manifest(ds):
     """Flatten the interleaved span column to the ordered media-asset
     manifest (doc_id, span_offset, kind, media_ref) — one row per span

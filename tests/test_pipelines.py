@@ -2099,3 +2099,39 @@ def test_pagerank_broadcast_matches_distributed(ray_session):
         return sorted((r["url"], r["rank_micros"]) for r in rows)
 
     assert ranks(distributed=False) == ranks(distributed=True)
+
+
+def test_mm_quality_gate(ray_session):
+    """Keeps text-bearing interleaved docs; drops all-media galleries
+    and sub-threshold text; media_ppm is exact integer floor ppm."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        mm_quality_gate,
+    )
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    docs = pa.table({
+        "doc_id": pa.array(["good", "gallery", "tiny"], pa.string()),
+        "spans": pa.array([
+            [sp("text", "x" * 30, None, 0),
+             sp("image", None, "m:1", 1),
+             sp("text", "y" * 30, None, 2)],
+            [sp("image", None, "m:2", 0),
+             sp("image", None, "m:3", 1),
+             sp("text", "z" * 40, None, 2)],   # 2/3 media > 600000 ppm
+            [sp("text", "hi", None, 0)],        # < 20 chars
+        ], pa.list_(span_t)),
+    })
+    got = mm_quality_gate(rd.from_arrow(docs)).to_pandas()
+    assert got["doc_id"].tolist() == ["good"]
+    row = got.iloc[0]
+    assert (row["n_spans"], row["n_media_spans"],
+            row["text_chars"], row["media_ppm"]) == (3, 1, 60, 333333)
