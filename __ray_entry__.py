@@ -1176,6 +1176,18 @@ def _q_mm_quality_gate(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_interleaved_dedup(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        interleaved_dedup,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return interleaved_dedup(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def _q_media_manifest(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         media_manifest,
@@ -1403,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "span_stats": _q_span_stats,
         "mm_quality_gate": _q_mm_quality_gate,
+        "interleaved_dedup": _q_interleaved_dedup,
         "media_manifest": _q_media_manifest,
         "span_text": _q_span_text,
         "media_context": _q_media_context,
@@ -2393,6 +2406,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_media_spans, "
             "CAST(sum(COALESCE(len(t), 0)) AS BIGINT) AS text_chars "
             "FROM f GROUP BY doc_id"),
+        # exact dedup on the north-rule span-sequence invariant: the
+        # canonical US/RS/NUL encoding is identical on both sides
+        "interleaved_dedup": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.\"offset\" AS o, "
+            "coalesce(sp.kind, chr(0)) || chr(31) || "
+            "coalesce(sp.text, chr(0)) || chr(31) || "
+            "coalesce(sp.media_ref, chr(0)) AS rec FROM s), "
+            "dd AS (SELECT doc_id, md5(string_agg(rec, chr(30) "
+            "ORDER BY o)) AS span_digest FROM f GROUP BY doc_id) "
+            "SELECT span_digest, count(*) AS n_docs, "
+            "min(doc_id) AS min_doc_id FROM dd GROUP BY span_digest"),
         # the span_stats profile + the integer-ppm curation gate
         "mm_quality_gate": (
             "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "

@@ -262,6 +262,63 @@ def mm_quality_gate(ds, min_text_chars: int = 20,
     return span_stats(ds).map_batches(gate, batch_format="pyarrow")
 
 
+def interleaved_dedup(ds):
+    """Exact dedup of interleaved documents keyed on the NORTH-RULE
+    span-sequence invariant: two docs are duplicates iff their ordered
+    (kind, text, media_ref) span sequences are byte-identical — the
+    same per-row equality the crawl parity suite pins (reference
+    extract fixtures, workflow.go:218-252).  Output one row per
+    distinct sequence: (span_digest, n_docs, min_doc_id).
+
+    Canonical encoding: spans sorted by ``offset``, fields joined with
+    US (0x1f) and records with RS (0x1e), NULLs coded as one NUL byte —
+    prefix-unambiguous, and expressible verbatim in SQL
+    (``md5(string_agg(kind || chr(31) || ... ORDER BY "offset"))``) so
+    the digests hash-match DuckDB's.  Per batch the nested column
+    flattens zero-copy; only the per-doc join + md5 is Python (the
+    fingerprint precedent — the honest cost of oracle parity; the
+    production swap is a vectorized 128-bit hash over the same bytes).
+    Exchange is (digest, doc_id) — 50-byte rows — into ONE groupby."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    NULB = "\x00"
+    US = "\x1f"
+    RS = "\x1e"
+
+    def digest(b: pa.Table) -> pa.Table:
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        kind = flat.field("kind").to_pylist()
+        text = flat.field("text").to_pylist()
+        ref = flat.field("media_ref").to_pylist()
+        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        # child offsets give each doc's span slice; sort by span offset
+        # inside the slice (fixtures are pre-sorted; cheap to enforce)
+        bounds = sp.offsets.to_numpy(zero_copy_only=False)
+        out = []
+        for i in range(b.num_rows):
+            lo, hi = bounds[i], bounds[i + 1]
+            order = np.argsort(off[lo:hi], kind="stable") + lo
+            enc = RS.join(
+                (kind[j] if kind[j] is not None else NULB) + US
+                + (text[j] if text[j] is not None else NULB) + US
+                + (ref[j] if ref[j] is not None else NULB)
+                for j in order)
+            out.append(hashlib.md5(enc.encode("utf-8")).hexdigest())
+        return pa.table({
+            "span_digest": pa.array(out, pa.string()),
+            "doc_id": b["doc_id"],
+        })
+
+    return (ds.map_batches(digest, batch_format="pyarrow")
+            .groupby("span_digest")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="min_doc_id")))
+
+
 def media_manifest(ds):
     """Flatten the interleaved span column to the ordered media-asset
     manifest (doc_id, span_offset, kind, media_ref) — one row per span

@@ -2135,3 +2135,36 @@ def test_mm_quality_gate(ray_session):
     row = got.iloc[0]
     assert (row["n_spans"], row["n_media_spans"],
             row["text_chars"], row["media_ppm"]) == (3, 1, 60, 333333)
+
+
+def test_interleaved_dedup(ray_session):
+    """Docs with byte-identical ordered (kind, text, media_ref) span
+    sequences collapse to one group (min doc_id wins); differing
+    media_ref or span order separates them; offset order is enforced
+    even when the stored list is shuffled."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        interleaved_dedup,
+    )
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    seq = [sp("text", "hello", None, 0), sp("image", None, "m:1", 1)]
+    shuffled = [seq[1], seq[0]]               # same sequence, stored
+    other = [sp("text", "hello", None, 0),    # out of offset order
+             sp("image", None, "m:2", 1)]     # different media_ref
+    docs = pa.table({
+        "doc_id": pa.array(["b", "a", "c"], pa.string()),
+        "spans": pa.array([seq, shuffled, other], pa.list_(span_t)),
+    })
+    got = (interleaved_dedup(rd.from_arrow(docs)).to_pandas()
+           .sort_values("min_doc_id").reset_index(drop=True))
+    assert got["n_docs"].tolist() == [2, 1]
+    assert got["min_doc_id"].tolist() == ["a", "c"]
