@@ -300,7 +300,9 @@ def triangle_count(edges_ds):
     })
 
 
-def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64):
+def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64,
+              broadcast_limit: int = 500_000,
+              distributed: bool | None = None):
     """edges (src, dst) + seeds (url) -> (url, depth): the minimum
     number of link hops from any seed — the crawl TIER of every
     reachable page (reference semantics: pages enter the frontier the
@@ -314,8 +316,55 @@ def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64):
     visited set.  All exchanged rows are narrow (url, int64); visited
     materializes once per level to cut lineage.  Levels = graph
     diameter, each level's cost proportional to its frontier — the
-    textbook Pregel/BSP shape, no all-to-all over the full graph."""
+    textbook Pregel/BSP shape, no all-to-all over the full graph.
+
+    Auto-switches on edge count (the pagerank precedent): the join
+    plan pays ~2 fixed-cost hash joins PER LEVEL, which dominates on
+    small graphs (measured 21.9 s for a 367-node / 15-level graph at
+    32 CPUs vs <0.1 s broadcast); below ``broadcast_limit`` edges the
+    BFS runs as one CSR-array frontier sweep on the driver —
+    bit-identical depths either way."""
     from ray.data.aggregate import Count
+
+    if distributed is None:
+        distributed = edges_ds.count() > broadcast_limit
+    if not distributed:
+        df = edges_ds.select_columns(["src", "dst"]).to_pandas()
+        seeds = seeds_ds.select_columns(["url"]).to_pandas()
+        if not len(seeds):
+            raise ValueError("bfs_depth: empty seed set")
+        both = np.concatenate([df["src"].to_numpy(),
+                               df["dst"].to_numpy(),
+                               seeds["url"].to_numpy()])
+        urls, codes = np.unique(both, return_inverse=True)
+        m = len(df)
+        src_c, dst_c = codes[:m], codes[m:2 * m]
+        seed_c = np.unique(codes[2 * m:])
+        n = len(urls)
+        # CSR adjacency: out-edges sorted by src
+        order = np.argsort(src_c, kind="stable")
+        dst_sorted = dst_c[order]
+        starts = np.searchsorted(src_c[order], np.arange(n + 1))
+        depth = np.full(n, -1, np.int64)
+        depth[seed_c] = 0
+        frontier = seed_c
+        for d in range(1, max_depth + 1):
+            if not len(frontier):
+                break
+            nxt_parts = [dst_sorted[starts[u]:starts[u + 1]]
+                         for u in frontier]
+            nxt = np.unique(np.concatenate(nxt_parts)) if nxt_parts \
+                else np.array([], np.int64)
+            nxt = nxt[depth[nxt] < 0]
+            if not len(nxt):
+                break
+            depth[nxt] = d
+            frontier = nxt
+        keep = depth >= 0
+        return pa.table({
+            "url": pa.array(urls[keep], pa.string()),
+            "depth": pa.array(depth[keep], pa.int64()),
+        })
 
     P = _join_parts(edges_ds)
 

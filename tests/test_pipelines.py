@@ -2168,3 +2168,27 @@ def test_interleaved_dedup(ray_session):
            .sort_values("min_doc_id").reset_index(drop=True))
     assert got["n_docs"].tolist() == [2, 1]
     assert got["min_doc_id"].tolist() == ["a", "c"]
+
+
+def test_bfs_depth_broadcast_matches_distributed(ray_session):
+    """The CSR-array fast path and the level-synchronous join path
+    compute identical min-hop depths (cycle, unreachable node,
+    multi-seed tie)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import bfs_depth
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c", "d", "x"]),
+        "dst": pa.array(["b", "c", "a", "c", "y"])})
+    seeds = pa.table({"url": pa.array(["a", "d"])})
+
+    def depths(**kw):
+        out = bfs_depth(rd.from_arrow(edges), rd.from_arrow(seeds), **kw)
+        rows = out.take_all() if hasattr(out, "take_all") \
+            else out.to_pylist()
+        return sorted((r["url"], r["depth"]) for r in rows)
+
+    want = [("a", 0), ("b", 1), ("c", 1), ("d", 0)]
+    assert depths(distributed=False) == want
+    assert depths(distributed=True) == want
