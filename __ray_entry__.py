@@ -1014,6 +1014,14 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_lang_mix(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import lang_mix
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["source", "lang"])
+    return lang_mix(docs)
+
+
 def _q_source_cap(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sampling import source_cap
 
@@ -1404,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "user_retention": _q_user_retention,
         "source_cap": _q_source_cap,
+        "lang_mix": _q_lang_mix,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "corr_stats": _q_corr_stats,
@@ -2327,6 +2336,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # per-source language composition; exact integer ppm share ==
+        # window-over-aggregate on the oracle side
+        "lang_mix": (
+            "SELECT source, lang, count(*) AS n_docs, "
+            "(count(*) * 1000000) // "
+            "(sum(count(*)) OVER (PARTITION BY source)) AS share_ppm "
+            "FROM documents GROUP BY source, lang"),
         # per-source cap by md5(doc_id) rank — same hash contract as
         # stratified_sample (rank over the full 32-hex digest)
         "source_cap": (

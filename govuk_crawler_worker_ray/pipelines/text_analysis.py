@@ -411,6 +411,51 @@ def distinctive_terms(ds, k: int = 3, num_partitions: int = 8,
                                                batch_format="pandas")
 
 
+def lang_mix(ds):
+    """Per-source language composition: (source, lang, n_docs,
+    share_ppm) where share_ppm is the doc count's exact
+    parts-per-million share of its source (integer floor division, so
+    it hash-matches SQL's window-over-aggregate) — the "is this domain
+    monolingual boilerplate?" curation view next to lang_histogram.
+
+    One combiner-pre-aggregated groupby moves <=|sources|x|langs| rows;
+    the per-source totals join is a driver-side dict broadcast (the
+    totals table is source-cardinality-tiny by construction — at web
+    scale 'source' is a registrable domain, ~10^7 keys, still
+    driver-safe; past that, swap the dict for a second tiny
+    Dataset.join on source)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"source": b["source"].to_pylist(),
+                           "lang": b["lang"].to_pylist(), "n": 1})
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            p_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("p_n", alias_name="n_docs"))
+              .materialize())
+    totals: dict[str, int] = {}
+    for b in detail.iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b["source"].to_pylist(),
+                        b["n_docs"].to_pylist()):
+            totals[s] = totals.get(s, 0) + int(n)
+
+    def share(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy()
+        tot = np.fromiter((totals[s] for s in b["source"].to_pylist()),
+                          dtype=np.int64, count=b.num_rows)
+        ppm = (n * 1_000_000) // np.maximum(tot, 1)
+        return b.append_column(
+            "share_ppm", pa.array(ppm.astype(np.int64), pa.int64()))
+
+    return detail.map_batches(share, batch_format="pyarrow")
+
+
 def quality_filter(ds, q: float = 0.5):
     """Global-quantile quality gate: keep documents at or above the
     corpus's exact discrete ``q``-quantile of quality_points (the

@@ -70,7 +70,7 @@ ORACLE_KEYS = [
     "label_centroids", "semi_join", "left_outer_join",
     "full_outer_join", "upsert_latest", "token_windows",
     "html_extract", "running_total", "json_extract_agg",
-    "bloom_semi_join", "user_retention", "source_cap",
+    "bloom_semi_join", "user_retention", "source_cap", "lang_mix",
     "event_transitions", "orders_cube", "corr_stats",
     "skew_join", "hll_distinct",
     "cms_heavy_hitters", "inverted_index", "hard_negatives",

@@ -2192,3 +2192,18 @@ def test_bfs_depth_broadcast_matches_distributed(ray_session):
     want = [("a", 0), ("b", 1), ("c", 1), ("d", 0)]
     assert depths(distributed=False) == want
     assert depths(distributed=True) == want
+
+
+def test_lang_mix(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import lang_mix
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s1", "s1", "s2"], pa.string()),
+        "lang": pa.array(["en", "en", "de", "zh"], pa.string()),
+    })).repartition(2)
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["share_ppm"])
+           for r in lang_mix(docs).take_all()}
+    assert got == {("s1", "en"): (2, 666666), ("s1", "de"): (1, 333333),
+                   ("s2", "zh"): (1, 1000000)}
