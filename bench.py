@@ -187,7 +187,8 @@ def bench_queries() -> dict:
              "partitioned_write",
              # round-3 session-9 additions (same caveat)
              "source_cap", "event_transitions", "orders_cube",
-             "corr_stats", "mm_quality_gate", "interleaved_dedup"]
+             "corr_stats", "mm_quality_gate", "interleaved_dedup",
+             "lang_mix"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
