@@ -1014,6 +1014,24 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_gap_fill(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        gap_fill_hourly,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return gap_fill_hourly(events)
+
+
+def _q_moving_avg(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import moving_avg
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return moving_avg(events)
+
+
 def _q_lang_mix(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.text_analysis import lang_mix
 
@@ -1413,6 +1431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": _q_user_retention,
         "source_cap": _q_source_cap,
         "lang_mix": _q_lang_mix,
+        "gap_fill": _q_gap_fill,
+        "moving_avg": _q_moving_avg,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "corr_stats": _q_corr_stats,
@@ -2336,6 +2356,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # dense hourly grid == range() cross join + left join fill
+        "gap_fill": (
+            "WITH d AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT unnest(generate_series("
+            "(SELECT min(bucket) FROM d), "
+            "(SELECT max(bucket) FROM d))) AS bucket), "
+            "t AS (SELECT DISTINCT event_type FROM events) "
+            "SELECT t.event_type, b.bucket, "
+            "CAST(coalesce(d.n, 0) AS BIGINT) AS n_events "
+            "FROM t CROSS JOIN b LEFT JOIN d "
+            "ON d.event_type = t.event_type AND d.bucket = b.bucket"),
+        # bounded ROWS frame; positive values so // floors identically
+        "moving_avg": (
+            "WITH m AS (SELECT user_id, event_id, ts, "
+            "CAST(round(value * 1000000) AS BIGINT) AS v FROM events) "
+            "SELECT user_id, event_id, ts, "
+            "CAST(sum(v) OVER w AS BIGINT) AS win_sum_micros, "
+            "CAST(count(*) OVER w AS BIGINT) AS win_n, "
+            "CAST(sum(v) OVER w // count(*) OVER w AS BIGINT) "
+            "AS avg_micros FROM m WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
         # per-source language composition; exact integer ppm share ==
         # window-over-aggregate on the oracle side
         "lang_mix": (

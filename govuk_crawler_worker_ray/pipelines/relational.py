@@ -1100,6 +1100,124 @@ def running_total(ds, num_partitions: int | None = None):
             .map_groups(cum_part, batch_format="pandas"))
 
 
+def gap_fill_hourly(ds):
+    """Dense hourly event-count series: (event_type, bucket, n_events)
+    for EVERY hour between the corpus's global min and max bucket, 0
+    where nothing happened — the time-series regularization every
+    monitoring / training-on-activity pipeline needs before windowed
+    models (missing buckets silently skew moving stats).
+
+    The sparse detail is one combiner-pre-aggregated groupby (rows =
+    observed (type, hour) pairs); the dense grid is |types| x |hours|
+    rows synthesized from three scalar pulls (min, max, type list) and
+    LEFT-joined against the detail distributed — the fill itself never
+    ships the raw events anywhere."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .blocks import nonempty_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        bucket = ts // (3600 * 1_000_000)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "bucket": bucket, "n": 1})
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            p_n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = nonempty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("p_n", alias_name="n")))
+    if detail is None:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())}))
+    lo = int(detail.min("bucket"))
+    hi = int(detail.max("bucket"))
+    types = sorted({t for b in detail.select_columns(["event_type"])
+                    .iter_batches(batch_format="pyarrow")
+                    for t in b["event_type"].to_pylist()})
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    grid = rd.from_arrow(pa.table({
+        "event_type": pa.array(np.repeat(types, len(hours)),
+                               pa.string()),
+        "bucket": pa.array(np.tile(hours, len(types)), pa.int64()),
+    }))
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": b["event_type"],
+            "bucket": b["bucket"],
+            "n_events": pc.fill_null(pc.cast(b["n"], pa.int64()), 0),
+        })
+
+    P = max(2, min(8, grid.num_blocks()))
+    return (grid.join(detail, "left_outer", num_partitions=P,
+                      on=("event_type", "bucket"))
+            .map_batches(fill, batch_format="pyarrow"))
+
+
+def moving_avg(ds, k: int = 3, num_partitions: int | None = None):
+    """Bounded ROWS-frame moving window per user: for each event (in
+    (ts, event_id) order) the sum, count and integer average of the
+    last ``k`` values — SQL's ``ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW`` frame, completing the window family next to the unbounded
+    running_total and the RANGE-frame sliding_window.
+
+    Integer-exact: values travel as micros (the events_hourly
+    convention); the windowed sum is a grouped cumsum minus its
+    k-shifted self (pure int64 — no pandas rolling, which would round-
+    trip through float64), and avg_micros = win_sum // win_n (floor;
+    assumes non-negative values — DuckDB's ``//`` truncates instead of
+    flooring on negatives).  One user-hash shuffle, one vectorized
+    pandas pass per partition.
+    Output (user_id, event_id, ts, win_sum_micros, win_n, avg_micros).
+    """
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 2 * int(
+                ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_partitions = 8
+
+    def tag(b: pa.Table) -> pa.Table:
+        micros = np.rint(b["value"].to_numpy() * 1_000_000
+                         ).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "micros": pa.array(micros, pa.int64()),
+            "part": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False)
+                % num_partitions, pa.int64()),
+        })
+
+    def win_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        cum = grp["micros"].cumsum()
+        lagged = (cum.groupby(g["user_id"], sort=False)
+                  .shift(k, fill_value=0))
+        rank = grp.cumcount() + 1
+        g["win_sum_micros"] = cum - lagged
+        g["win_n"] = np.minimum(rank, k).astype(np.int64)
+        g["avg_micros"] = g["win_sum_micros"] // g["win_n"]
+        return g[["user_id", "event_id", "ts", "win_sum_micros",
+                  "win_n", "avg_micros"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(win_part, batch_format="pandas"))
+
+
 def event_transitions(ds, num_partitions: int | None = None):
     """Markov transition counts between consecutive event types per
     user (ordered by ts, event_id): (src_type, dst_type, n_trans) —

@@ -2207,3 +2207,45 @@ def test_lang_mix(ray_session):
            for r in lang_mix(docs).take_all()}
     assert got == {("s1", "en"): (2, 666666), ("s1", "de"): (1, 333333),
                    ("s2", "zh"): (1, 1000000)}
+
+
+def test_gap_fill_hourly(ray_session):
+    """Missing hours appear with n_events = 0 across every type; the
+    grid spans the GLOBAL min..max bucket."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        gap_fill_hourly,
+    )
+
+    h = 3600 * 1_000_000
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array([0 * h, 2 * h, 1 * h], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+    }))
+    got = {(r["event_type"], r["bucket"]): r["n_events"]
+           for r in gap_fill_hourly(ev).take_all()}
+    assert got == {("a", 0): 1, ("a", 1): 0, ("a", 2): 1,
+                   ("b", 0): 0, ("b", 1): 1, ("b", 2): 0}
+
+
+def test_moving_avg(ray_session):
+    """k=3 ROWS frame: ramp-up windows at the head, exact integer
+    micros throughout."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import moving_avg
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+    })).repartition(2)
+    rows = sorted(moving_avg(ev).take_all(),
+                  key=lambda r: r["event_id"])
+    assert [r["win_sum_micros"] for r in rows] == [
+        1_000_000, 3_000_000, 7_000_000, 14_000_000]
+    assert [r["win_n"] for r in rows] == [1, 2, 3, 3]
+    assert [r["avg_micros"] for r in rows] == [
+        1_000_000, 1_500_000, 2_333_333, 4_666_666]
