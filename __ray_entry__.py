@@ -1014,6 +1014,15 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_table_profile(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        table_profile,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"))
+    return table_profile(docs)
+
+
 def _q_gap_fill(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         gap_fill_hourly,
@@ -1433,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix": _q_lang_mix,
         "gap_fill": _q_gap_fill,
         "moving_avg": _q_moving_avg,
+        "table_profile": _q_table_profile,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "corr_stats": _q_corr_stats,
@@ -2356,6 +2366,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # schema profile: one UNION ALL leg per column, native-type
+        # extrema with NULLs marking the inapplicable side
+        "table_profile": (
+            " UNION ALL ".join(
+                [("SELECT '{c}' AS column, count(*) AS n_rows, "
+                  "count(*) - count({c}) AS n_nulls, "
+                  "CAST(min({c}) AS VARCHAR) AS min_int, "
+                  "CAST(max({c}) AS VARCHAR) AS max_int, "
+                  "'' AS min_str, '' AS max_str FROM documents")
+                 .format(c=c) for c in ("doc_id", "n_chars")]
+                + [("SELECT '{c}' AS column, count(*) AS n_rows, "
+                    "count(*) - count({c}) AS n_nulls, "
+                    "'' AS min_int, '' AS max_int, "
+                    "coalesce(min({c}), '') AS min_str, "
+                    "coalesce(max({c}), '') AS max_str "
+                    "FROM documents")
+                   .format(c=c) for c in ("text", "lang", "source")])),
         # dense hourly grid == range() cross join + left join fill
         "gap_fill": (
             "WITH d AS (SELECT event_type, "

@@ -1100,6 +1100,85 @@ def running_total(ds, num_partitions: int | None = None):
             .map_groups(cum_part, batch_format="pandas"))
 
 
+def table_profile(ds, int_cols=("doc_id", "n_chars"),
+                  str_cols=("text", "lang", "source")):
+    """Schema-profiling / data-validation sweep: one row per column
+    with (n_rows, n_nulls, min/max) — the "did this ingest batch look
+    sane?" gate every production pipeline runs before heavier work.
+    Numeric and string extrema keep their native comparison semantics
+    (a zero-padding string trick would mis-order negatives), riding in
+    typed side-by-side columns with NULLs marking the inapplicable
+    side.
+
+    One per-batch Arrow combiner row per column (pc.min_max is a
+    C-level scan) -> a |columns|-row groupby.  Output (column, n_rows,
+    n_nulls, min_int, max_int, min_str, max_str)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        mins_i, maxs_i, mins_s, maxs_s = [], [], [], []
+        for c in int_cols:
+            mm = pc.min_max(b[c])
+            names.append(c)
+            ns.append(b.num_rows)
+            nulls.append(b[c].null_count)
+            mins_i.append(mm["min"].as_py())
+            maxs_i.append(mm["max"].as_py())
+            mins_s.append(None)
+            maxs_s.append(None)
+        for c in str_cols:
+            mm = pc.min_max(b[c])
+            names.append(c)
+            ns.append(b.num_rows)
+            nulls.append(b[c].null_count)
+            mins_i.append(None)
+            maxs_i.append(None)
+            mins_s.append(mm["min"].as_py())
+            maxs_s.append(mm["max"].as_py())
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "p_n": pa.array(ns, pa.int64()),
+            "p_nulls": pa.array(nulls, pa.int64()),
+            "p_min_i": pa.array(mins_i, pa.int64()),
+            "p_max_i": pa.array(maxs_i, pa.int64()),
+            "p_min_s": pa.array(mins_s, pa.string()),
+            "p_max_s": pa.array(maxs_s, pa.string()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("column")
+           .aggregate(Sum("p_n", alias_name="n_rows"),
+                      Sum("p_nulls", alias_name="n_nulls"),
+                      Min("p_min_i", alias_name="min_int"),
+                      Max("p_max_i", alias_name="max_int"),
+                      Min("p_min_s", alias_name="min_str"),
+                      Max("p_max_s", alias_name="max_str")))
+
+    # extrema become strings AFTER numeric aggregation (so 9 < 10, not
+    # '10' < '9'); '' marks the inapplicable side — a uniform nullable-
+    # free schema that survives pandas round-trips on both compare
+    # sides
+    def stringify(b: pa.Table) -> pa.Table:
+        def s(col, cast_int):
+            # always cast: an all-null partition degrades the column to
+            # Arrow's null type, which fill_null can't scalar-type
+            return pc.fill_null(pc.cast(b[col], pa.string()), "")
+
+        return pa.table({
+            "column": b["column"],
+            "n_rows": b["n_rows"],
+            "n_nulls": b["n_nulls"],
+            "min_int": s("min_int", True),
+            "max_int": s("max_int", True),
+            "min_str": s("min_str", False),
+            "max_str": s("max_str", False),
+        })
+
+    return agg.map_batches(stringify, batch_format="pyarrow")
+
+
 def gap_fill_hourly(ds):
     """Dense hourly event-count series: (event_type, bucket, n_events)
     for EVERY hour between the corpus's global min and max bucket, 0

@@ -2249,3 +2249,30 @@ def test_moving_avg(ray_session):
     assert [r["win_n"] for r in rows] == [1, 2, 3, 3]
     assert [r["avg_micros"] for r in rows] == [
         1_000_000, 1_500_000, 2_333_333, 4_666_666]
+
+
+def test_table_profile(ray_session):
+    """Nulls counted, native-type extrema (numeric min is numeric, not
+    lexicographic), inapplicable sides NULL."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        table_profile,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([9, 10, None], pa.int64()),
+        "n_chars": pa.array([5, 2, 7], pa.int64()),
+        "text": pa.array(["b", None, "a"], pa.string()),
+        "lang": pa.array(["en", "de", "en"], pa.string()),
+        "source": pa.array(["s", "s", "s"], pa.string()),
+    })
+    got = {r["column"]: r for r in table_profile(
+        rd.from_arrow(t).repartition(2)).take_all()}
+    d = got["doc_id"]
+    assert (d["n_rows"], d["n_nulls"], d["min_int"], d["max_int"]) == \
+        (3, 1, "9", "10")  # numeric agg first: 9 < 10, not '10' < '9'
+    assert d["min_str"] == "" and d["max_str"] == ""
+    x = got["text"]
+    assert (x["n_nulls"], x["min_str"], x["max_str"]) == (1, "a", "b")
+    assert x["min_int"] == ""
