@@ -1014,6 +1014,14 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_winsorize(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import winsorize
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return winsorize(events)
+
+
 def _q_table_profile(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         table_profile,
@@ -1443,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill": _q_gap_fill,
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
+        "winsorize": _q_winsorize,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "corr_stats": _q_corr_stats,
@@ -2366,6 +2375,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # exact global quantile_disc thresholds + clip
+        "winsorize": (
+            "WITH v AS (SELECT event_id, "
+            "CAST(round(value * 1000000) AS BIGINT) AS value_micros "
+            "FROM events), "
+            "t AS (SELECT quantile_disc(value_micros, 0.05) AS lo, "
+            "quantile_disc(value_micros, 0.95) AS hi FROM v) "
+            "SELECT event_id, value_micros, "
+            "least(greatest(value_micros, (SELECT lo FROM t)), "
+            "(SELECT hi FROM t)) AS clipped_micros FROM v"),
         # schema profile: one UNION ALL leg per column, native-type
         # extrema with NULLs marking the inapplicable side
         "table_profile": (

@@ -2276,3 +2276,25 @@ def test_table_profile(ray_session):
     x = got["text"]
     assert (x["n_nulls"], x["min_str"], x["max_str"]) == (1, "a", "b")
     assert x["min_int"] == ""
+
+
+def test_winsorize(ray_session):
+    """Exact quantile_disc thresholds over the distinct-value
+    histogram; clip is two vectorized compares."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import winsorize
+
+    vals = [float(i) for i in range(1, 21)]  # 1..20
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(20), pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(3)
+    got = {r["event_id"]: r["clipped_micros"]
+           for r in winsorize(ev, lo=0.25, hi=0.75).take_all()}
+    # quantile_disc(.25) of 1..20 = element ceil(.25*20)-1 = idx 4 -> 5
+    # quantile_disc(.75) = idx 14 -> 15
+    assert got[0] == 5_000_000 and got[3] == 5_000_000
+    assert got[4] == 5_000_000      # value 5 at the low threshold
+    assert got[9] == 10_000_000     # untouched middle
+    assert got[19] == 15_000_000    # clipped high
