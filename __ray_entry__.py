@@ -1014,6 +1014,29 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_assemble_features(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        assemble_features,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "lang"])
+    # prune the list<float> embedding column at the read
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "label"])
+    return assemble_features(docs, emb)
+
+
+def _q_compact_files(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sink import compact_files
+
+    dest = os.path.join("/tmp", "gcw_compact_" +
+                        os.path.basename(os.path.normpath(sf_dir)))
+    return compact_files(
+        os.path.join(sf_dir, "documents.parquet"), dest,
+        rows_per_file=200, columns=["doc_id", "n_chars"])
+
+
 def _q_winsorize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import winsorize
 
@@ -1452,6 +1475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
         "winsorize": _q_winsorize,
+        "assemble_features": _q_assemble_features,
+        "compact_files": _q_compact_files,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
         "corr_stats": _q_corr_stats,
@@ -2375,6 +2400,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # feature assembly == the quality/token expressions inline +
+        # one equi-join against the label table
+        "assemble_features": (
+            "SELECT d.doc_id, d.lang, "
+            f"CAST(len(regexp_extract_all(d.text, '{_TOK}')) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(CASE WHEN length(d.text) BETWEEN 100 AND 20000 THEN 4 "
+            "ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(d.text, "
+            f"'{_STOP}')) AS DOUBLE) / GREATEST(len(regexp_extract_all("
+            f"d.text, '{_TOK}')), 1) >= 0.01 THEN 4 ELSE 0 END "
+            f"+ CASE WHEN CAST(len(regexp_extract_all(d.text, "
+            f"'{_PUNCT}')) AS DOUBLE) / GREATEST(length(d.text), 1) "
+            "<= 0.2 THEN 2 ELSE 0 END AS BIGINT) AS quality_points, "
+            "CAST(e.label AS BIGINT) AS label "
+            "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"),
+        # lossless compaction: the round-trip read must equal the
+        # original narrow projection row-for-row
+        "compact_files": (
+            "SELECT doc_id, n_chars FROM documents"),
         # exact global quantile_disc thresholds + clip
         "winsorize": (
             "WITH v AS (SELECT event_id, "

@@ -1100,6 +1100,44 @@ def running_total(ds, num_partitions: int | None = None):
             .map_groups(cum_part, batch_format="pandas"))
 
 
+def assemble_features(docs_ds, emb_ds, num_partitions: int = 8):
+    """Training-example assembly — the last step of a curation
+    pipeline: per-document text features (token count, integer quality
+    points, language) joined 1:1 with the embedding table's label into
+    the flat examples table a trainer consumes.  Output
+    (doc_id, lang, n_tokens, quality_points, label).
+
+    Features compute inline in the SAME map pass that projects the
+    join key (text never reaches the exchange); the embedding side
+    ships only (vec_id, label) — the list<float> column must be pruned
+    AT THE READ by the caller.  One hash join on the shared id."""
+    from .text_analysis import quality_score_batch, token_count_batch
+
+    def feats(b: pa.Table) -> pa.Table:
+        tk = token_count_batch(b)
+        q = quality_score_batch(b)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "n_tokens": tk["n_tokens"],
+            "quality_points": q["quality_points"],
+        })
+
+    left = docs_ds.map_batches(feats, batch_format="pyarrow")
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "label": pc.cast(b["label"], pa.int64()),
+        })
+
+    right = emb_ds.map_batches(narrow, batch_format="pyarrow")
+    return (left.join(right, "inner", num_partitions=num_partitions,
+                      on=("doc_id",), right_on=("vec_id",))
+            .select_columns(["doc_id", "lang", "n_tokens",
+                             "quality_points", "label"]))
+
+
 def winsorize(ds, lo: float = 0.05, hi: float = 0.95):
     """Global quantile clipping (winsorization) of event values — the
     "cap outliers before they dominate a mean/loss" curation step.

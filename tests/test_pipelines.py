@@ -2298,3 +2298,48 @@ def test_winsorize(ray_session):
     assert got[4] == 5_000_000      # value 5 at the low threshold
     assert got[9] == 10_000_000     # untouched middle
     assert got[19] == 15_000_000    # clipped high
+
+
+def test_assemble_features(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        assemble_features,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the fox " * 30, "x"], pa.string()),
+        "lang": pa.array(["en", "de"], pa.string()),
+    }))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "label": pa.array([7, 9], pa.int32()),
+    }))
+    got = {r["doc_id"]: r for r in
+           assemble_features(docs, emb, num_partitions=2).take_all()}
+    assert got[0]["n_tokens"] == 60 and got[0]["label"] == 7
+    assert got[0]["quality_points"] == 10  # len ok + stopwords + punct
+    assert got[1]["quality_points"] == 2   # only punct sanity
+    assert got[1]["lang"] == "de"
+
+
+def test_compact_files(ray_session, tmp_path):
+    """Compaction is lossless and actually reduces file count."""
+    import glob
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sink import compact_files
+
+    src = str(tmp_path / "shattered")
+    rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "n_chars": pa.array(range(100), pa.int64()),
+    })).repartition(25).write_parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) >= 10
+    dest = str(tmp_path / "compacted")
+    back = compact_files(src, dest, rows_per_file=50).to_pandas()
+    assert len(glob.glob(dest + "/*.parquet")) <= 4
+    assert sorted(back["doc_id"].tolist()) == list(range(100))
