@@ -188,7 +188,8 @@ def bench_queries() -> dict:
              # round-3 session-9 additions (same caveat)
              "source_cap", "event_transitions", "orders_cube",
              "corr_stats", "mm_quality_gate", "interleaved_dedup",
-             "lang_mix"]
+             "lang_mix", "gap_fill", "moving_avg", "table_profile",
+             "winsorize", "assemble_features", "compact_files"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
