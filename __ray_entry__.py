@@ -1014,6 +1014,14 @@ def _q_user_retention(sf_dir: str):
     return user_retention(events)
 
 
+def _q_c4_pipeline(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.recipes import c4_curation
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "lang"])
+    return c4_curation(docs)
+
+
 def _q_assemble_features(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import (
         assemble_features,
@@ -1476,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "winsorize": _q_winsorize,
         "assemble_features": _q_assemble_features,
+        "c4_pipeline": _q_c4_pipeline,
         "compact_files": _q_compact_files,
         "event_transitions": _q_event_transitions,
         "orders_cube": _q_orders_cube,
@@ -1613,6 +1622,56 @@ def _pii_scrub_sql() -> str:
         "AS scrubbed_text, n_urls, n_emails, "
         f"CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) "
         "AS n_phones FROM s2")
+
+
+def _c4_sql(min_quality: int = 6) -> str:
+    """Composed twin of recipes.c4_curation: the pii_scrub chain, the
+    quality expression, keep-first-by-md5(scrubbed), and the split
+    CASE — all built from the SAME imported constants the standalone
+    oracles use, so the composite can't drift from its parts."""
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        DEFAULT_SPLITS,
+        _hex_threshold,
+    )
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        _PII_EMAIL,
+        _PII_PHONE,
+        _PII_URL,
+    )
+
+    qp = ("CAST(CASE WHEN length(t) BETWEEN 100 AND 20000 THEN 4 "
+          "ELSE 0 END "
+          f"+ CASE WHEN CAST(len(regexp_extract_all(t, '{_STOP}')) "
+          "AS DOUBLE) / GREATEST(len(regexp_extract_all(t, "
+          f"'{_TOK}')), 1) >= 0.01 THEN 4 ELSE 0 END "
+          f"+ CASE WHEN CAST(len(regexp_extract_all(t, '{_PUNCT}')) "
+          "AS DOUBLE) / GREATEST(length(t), 1) <= 0.2 THEN 2 "
+          "ELSE 0 END AS BIGINT)")
+    acc, arms = 0.0, []
+    for name, frac in DEFAULT_SPLITS[:-1]:
+        acc += frac
+        arms.append("WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+                    f"< '{_hex_threshold(acc)}' THEN '{name}'")
+    return (
+        "WITH s1 AS (SELECT doc_id, lang, "
+        f"regexp_replace(text, '{_PII_URL}', '<url>', 'g') AS t "
+        "FROM documents), "
+        "s2 AS (SELECT doc_id, lang, "
+        f"regexp_replace(t, '{_PII_EMAIL}', '<email>', 'g') AS t "
+        "FROM s1), "
+        "s3 AS (SELECT doc_id, lang, "
+        f"regexp_replace(t, '{_PII_PHONE}', '<phone>', 'g') AS t "
+        "FROM s2), "
+        f"q AS (SELECT doc_id, lang, t, {qp} AS quality_points "
+        "FROM s3), "
+        f"k AS (SELECT * FROM q WHERE quality_points >= {min_quality}), "
+        "d AS (SELECT doc_id, lang, quality_points, "
+        "row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) "
+        "AS rn FROM k) "
+        "SELECT doc_id, lang, quality_points, CASE "
+        + " ".join(arms)
+        + f" ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split "
+        "FROM d WHERE rn = 1")
 
 
 def _dataset_split_sql() -> str:
@@ -2400,6 +2459,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_retained AS BIGINT) AS n_retained, "
             "CAST(coalesce(lag(n_active) OVER (ORDER BY day), 0) "
             "- n_retained AS BIGINT) AS n_churned FROM d"),
+        # composed C4 recipe: scrub -> quality gate -> keep-first
+        # dedup -> split, from the same constants as the parts
+        "c4_pipeline": _c4_sql(),
         # feature assembly == the quality/token expressions inline +
         # one equi-join against the label table
         "assemble_features": (

@@ -2343,3 +2343,27 @@ def test_compact_files(ray_session, tmp_path):
     back = compact_files(src, dest, rows_per_file=50).to_pandas()
     assert len(glob.glob(dest + "/*.parquet")) <= 4
     assert sorted(back["doc_id"].tolist()) == list(range(100))
+
+
+def test_c4_curation_recipe(ray_session):
+    """The composite applies the gate on the SCRUBBED text, dedups by
+    scrubbed content (two docs differing only in masked PII collapse),
+    keeps the min doc_id, and tags the split."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.recipes import c4_curation
+
+    base = ("the and of a to in is " * 20).strip()      # quality 10
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array([
+            base + " contact alice@example.com",        # dup after
+            base + " contact bob@sample.org",           # scrubbing
+            "short",                                    # gated out
+        ], pa.string()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+    }))
+    got = c4_curation(docs).to_pandas()
+    assert got["doc_id"].tolist() == [1]   # min doc_id of the dup pair
+    assert got["quality_points"].iloc[0] >= 6
+    assert got["split"].iloc[0] in {"train", "val", "test"}
