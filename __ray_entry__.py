@@ -1250,6 +1250,18 @@ def _q_mm_quality_gate(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_interleaved_curation(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        interleaved_curation,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return interleaved_curation(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
 def _q_interleaved_dedup(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         interleaved_dedup,
@@ -1498,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "mm_quality_gate": _q_mm_quality_gate,
         "interleaved_dedup": _q_interleaved_dedup,
+        "interleaved_curation": _q_interleaved_curation,
         "media_manifest": _q_media_manifest,
         "span_text": _q_span_text,
         "media_context": _q_media_context,
@@ -2632,6 +2645,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o)) AS span_digest FROM f GROUP BY doc_id) "
             "SELECT span_digest, count(*) AS n_docs, "
             "min(doc_id) AS min_doc_id FROM dd GROUP BY span_digest"),
+        # composed multimodal recipe: the gate CTE joined against the
+        # span-digest winner set
+        "interleaved_curation": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.\"offset\" AS o, sp.kind AS kind, "
+            "sp.text AS t, sp.media_ref AS mr FROM s), "
+            "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_text_spans, "
+            "CAST(sum(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_media_spans, "
+            "CAST(sum(COALESCE(len(t), 0)) AS BIGINT) AS text_chars "
+            "FROM f GROUP BY doc_id), "
+            "gate AS (SELECT doc_id, n_spans, n_media_spans, "
+            "text_chars, (n_media_spans * 1000000) // n_spans "
+            "AS media_ppm FROM g WHERE text_chars >= 20 "
+            "AND n_text_spans >= 1 "
+            "AND (n_media_spans * 1000000) // n_spans <= 600000), "
+            "rec AS (SELECT doc_id, coalesce(kind, chr(0)) || chr(31) "
+            "|| coalesce(t, chr(0)) || chr(31) || coalesce(mr, chr(0)) "
+            "AS r, o FROM f), "
+            "dd AS (SELECT doc_id, md5(string_agg(r, chr(30) "
+            "ORDER BY o)) AS span_digest FROM rec GROUP BY doc_id), "
+            "w AS (SELECT min(doc_id) AS doc_id FROM dd "
+            "GROUP BY span_digest) "
+            "SELECT gate.* FROM gate JOIN w USING (doc_id)"),
         # the span_stats profile + the integer-ppm curation gate
         "mm_quality_gate": (
             "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "

@@ -319,6 +319,48 @@ def interleaved_dedup(ds):
                        Min("doc_id", alias_name="min_doc_id")))
 
 
+def interleaved_curation(ds):
+    """The multimodal counterpart of the C4 recipe: keep interleaved
+    documents that (a) pass the ``mm_quality_gate`` and (b) are their
+    span-sequence duplicate group's min-doc_id winner
+    (``interleaved_dedup``) — gate-then-dedup, composed as one lazy
+    chain.  Output = the gate's profile rows for the kept docs
+    (doc_id, n_spans, n_media_spans, text_chars, media_ppm).
+
+    Both legs stream over the same input independently (span flatten
+    is cheap; neither leg ships span text to the exchange); the final
+    keep is ONE narrow hash join of the gate rows against the winner
+    id set."""
+    from .blocks import nonempty_blocks
+
+    def _empty():
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_media_spans": pa.array([], pa.int64()),
+            "text_chars": pa.array([], pa.int64()),
+            "media_ppm": pa.array([], pa.int64())}))
+
+    # BOTH join sides must be provably non-empty: a 0-row side crashes
+    # inside the JoinOperator's own shuffle (the customer_activity
+    # lesson), and an all-gated-out corpus is a legal input
+    gate = nonempty_blocks(mm_quality_gate(ds))
+    if gate is None:
+        return _empty()
+    winners = nonempty_blocks(
+        interleaved_dedup(ds).map_batches(
+            lambda b: pa.table({"w_doc_id": b["min_doc_id"]}),
+            batch_format="pyarrow"))
+    if winners is None:
+        return _empty()
+    return (gate.join(winners, "inner", num_partitions=4,
+                      on=("doc_id",), right_on=("w_doc_id",))
+            .select_columns(["doc_id", "n_spans", "n_media_spans",
+                             "text_chars", "media_ppm"]))
+
+
 def media_manifest(ds):
     """Flatten the interleaved span column to the ordered media-asset
     manifest (doc_id, span_offset, kind, media_ref) — one row per span

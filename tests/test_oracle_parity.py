@@ -79,7 +79,7 @@ ORACLE_KEYS = [
     "vocab_encode", "ann_ivf", "revenue_by_nation_join",
     "degree_stats", "global_rank", "pmi_collocations",
     "length_outliers", "dup_spans", "span_stats", "mm_quality_gate",
-    "interleaved_dedup", "media_manifest",
+    "interleaved_dedup", "interleaved_curation", "media_manifest",
     "span_text", "media_context", "media_dedup", "knn_join",
     "triangle_count", "mm_pack", "bfs_depth", "partitioned_write",
     "pack_manifest",

@@ -2367,3 +2367,40 @@ def test_c4_curation_recipe(ray_session):
     assert got["doc_id"].tolist() == [1]   # min doc_id of the dup pair
     assert got["quality_points"].iloc[0] >= 6
     assert got["split"].iloc[0] in {"train", "val", "test"}
+
+
+def test_interleaved_curation(ray_session):
+    """Gate + winner-only keep: a gated-out gallery vanishes, the dup
+    pair keeps only its min doc_id, and an all-gated-out corpus
+    returns a typed empty relation (no join crash)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        interleaved_curation,
+    )
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    good = [sp("text", "x" * 40, None, 0), sp("image", None, "m:1", 1)]
+    docs = pa.table({
+        "doc_id": pa.array(["b", "a", "gallery"], pa.string()),
+        "spans": pa.array([
+            good, list(good),                       # exact dup pair
+            [sp("image", None, "m:2", 0)],          # gated out
+        ], pa.list_(span_t)),
+    })
+    got = interleaved_curation(rd.from_arrow(docs)).to_pandas()
+    assert got["doc_id"].tolist() == ["a"]
+
+    empty = pa.table({
+        "doc_id": pa.array(["g"], pa.string()),
+        "spans": pa.array([[sp("image", None, "m:9", 0)]],
+                          pa.list_(span_t)),
+    })
+    assert interleaved_curation(rd.from_arrow(empty)).count() == 0
