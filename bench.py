@@ -189,7 +189,8 @@ def bench_queries() -> dict:
              "source_cap", "event_transitions", "orders_cube",
              "corr_stats", "mm_quality_gate", "interleaved_dedup",
              "lang_mix", "gap_fill", "moving_avg", "table_profile",
-             "winsorize", "assemble_features", "compact_files"]
+             "winsorize", "assemble_features", "compact_files",
+             "c4_pipeline", "interleaved_curation"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
