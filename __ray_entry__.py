@@ -1642,10 +1642,7 @@ def _c4_sql(min_quality: int = 6) -> str:
     quality expression, keep-first-by-md5(scrubbed), and the split
     CASE — all built from the SAME imported constants the standalone
     oracles use, so the composite can't drift from its parts."""
-    from govuk_crawler_worker_ray.pipelines.sampling import (
-        DEFAULT_SPLITS,
-        _hex_threshold,
-    )
+    from govuk_crawler_worker_ray.pipelines.sampling import split_bounds
     from govuk_crawler_worker_ray.pipelines.text_analysis import (
         _PII_EMAIL,
         _PII_PHONE,
@@ -1660,11 +1657,10 @@ def _c4_sql(min_quality: int = 6) -> str:
           f"+ CASE WHEN CAST(len(regexp_extract_all(t, '{_PUNCT}')) "
           "AS DOUBLE) / GREATEST(length(t), 1) <= 0.2 THEN 2 "
           "ELSE 0 END AS BIGINT)")
-    acc, arms = 0.0, []
-    for name, frac in DEFAULT_SPLITS[:-1]:
-        acc += frac
-        arms.append("WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-                    f"< '{_hex_threshold(acc)}' THEN '{name}'")
+    names, bounds, last = split_bounds()
+    arms = ["WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{hi}' THEN '{name}'"
+            for name, hi in zip(names, bounds)]
     return (
         "WITH s1 AS (SELECT doc_id, lang, "
         f"regexp_replace(text, '{_PII_URL}', '<url>', 'g') AS t "
@@ -1683,25 +1679,21 @@ def _c4_sql(min_quality: int = 6) -> str:
         "AS rn FROM k) "
         "SELECT doc_id, lang, quality_points, CASE "
         + " ".join(arms)
-        + f" ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split "
+        + f" ELSE '{last}' END AS split "
         "FROM d WHERE rn = 1")
 
 
 def _dataset_split_sql() -> str:
     """CASE chain with the SAME md5-prefix cut points the engine's
     dataset_split uses (imported, not re-typed)."""
-    from govuk_crawler_worker_ray.pipelines.sampling import (
-        DEFAULT_SPLITS,
-        _hex_threshold,
-    )
+    from govuk_crawler_worker_ray.pipelines.sampling import split_bounds
 
-    acc, arms = 0.0, []
-    for name, frac in DEFAULT_SPLITS[:-1]:
-        acc += frac
-        arms.append("WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-                    f"< '{_hex_threshold(acc)}' THEN '{name}'")
+    names, bounds, last = split_bounds()
+    arms = ["WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{hi}' THEN '{name}'"
+            for name, hi in zip(names, bounds)]
     return ("SELECT doc_id, CASE " + " ".join(arms)
-            + f" ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split "
+            + f" ELSE '{last}' END AS split "
             "FROM documents")
 
 

@@ -20,6 +20,19 @@ construction (hot-bucket / dup-gram sides).
 from __future__ import annotations
 
 
+def default_partitions() -> int:
+    """~2x-CPU hash-partition count for key-local map_groups stages —
+    the shared heuristic (enough partitions that one straggler key
+    set doesn't serialize a round, few enough that per-partition
+    fixed cost stays amortized); fallback 8 off-cluster."""
+    try:
+        import ray
+
+        return 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 8
+
+
 def nonempty_blocks(ds):
     """Materialize ``ds`` and drop empty blocks (metadata-only filter).
     Returns None when every block is empty — callers treat that as an

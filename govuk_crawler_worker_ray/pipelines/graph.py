@@ -54,15 +54,21 @@ def pagerank(edges_ds, iterations: int = 5,
     Dataset-resident join path remains for graphs that can't sit in
     one heap.  Both paths are integer-exact and bit-identical
     (np.add.at accumulation, never float bincount weights)."""
+    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     if distributed is None:
+        # materialize before the switch: count() would otherwise
+        # execute the lazy lineage once and the chosen path a second
+        # time (the distinctive_terms auto-switch lesson)
+        edges_ds = edges_ds.materialize()
         distributed = edges_ds.count() > broadcast_limit
     if not distributed:
         df = edges_ds.select_columns(["src", "dst"]).to_pandas()
         if not len(df):
-            return pa.table({"url": pa.array([], pa.string()),
-                             "rank_micros": pa.array([], pa.int64())})
+            return rd.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "rank_micros": pa.array([], pa.int64())}))
         both = np.concatenate([df["src"].to_numpy(),
                                df["dst"].to_numpy()])
         urls, codes = np.unique(both, return_inverse=True)
@@ -76,8 +82,10 @@ def pagerank(edges_ds, iterations: int = 5,
             insum = np.zeros(n, np.int64)
             np.add.at(insum, dst_c, contrib)
             r = PR_BASE + (PR_DAMP_NUM * insum) // 100
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "rank_micros": pa.array(r, pa.int64())})
+        # Dataset from BOTH paths (callers chain the Dataset API)
+        return rd.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "rank_micros": pa.array(r, pa.int64())}))
 
     P = _join_parts(edges_ds)
     # deg/insum are groupby outputs: compact away zero-schema empty
@@ -85,8 +93,9 @@ def pagerank(edges_ds, iterations: int = 5,
     deg = _nonempty_blocks(
         edges_ds.groupby("src").aggregate(Count(alias_name="od")))
     if deg is None:
-        return pa.table({"url": pa.array([], pa.string()),
-                         "rank_micros": pa.array([], pa.int64())})
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "rank_micros": pa.array([], pa.int64())}))
     # the JOIN OUTPUT also carries zero-schema blocks for partitions
     # no row hashed to — compact it too before it feeds the iteration
     # joins (it wanted a materialize anyway)
@@ -324,9 +333,13 @@ def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64,
     32 CPUs vs <0.1 s broadcast); below ``broadcast_limit`` edges the
     BFS runs as one CSR-array frontier sweep on the driver —
     bit-identical depths either way."""
+    import ray.data as rd
     from ray.data.aggregate import Count
 
     if distributed is None:
+        # materialize before the switch (see pagerank): avoid double
+        # execution of the lazy edge lineage
+        edges_ds = edges_ds.materialize()
         distributed = edges_ds.count() > broadcast_limit
     if not distributed:
         df = edges_ds.select_columns(["src", "dst"]).to_pandas()
@@ -361,10 +374,11 @@ def bfs_depth(edges_ds, seeds_ds, max_depth: int = 64,
             depth[nxt] = d
             frontier = nxt
         keep = depth >= 0
-        return pa.table({
+        # Dataset from BOTH paths (callers chain the Dataset API)
+        return rd.from_arrow(pa.table({
             "url": pa.array(urls[keep], pa.string()),
             "depth": pa.array(depth[keep], pa.int64()),
-        })
+        }))
 
     P = _join_parts(edges_ds)
 

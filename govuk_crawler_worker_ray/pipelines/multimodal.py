@@ -299,8 +299,15 @@ def interleaved_dedup(ds):
         # inside the slice (fixtures are pre-sorted; cheap to enforce)
         bounds = sp.offsets.to_numpy(zero_copy_only=False)
         out = []
+        keep = []
         for i in range(b.num_rows):
             lo, hi = bounds[i], bounds[i + 1]
+            if hi == lo:
+                # zero-span docs have no sequence: excluded, matching
+                # the oracle's unnest semantics (emits no rows for
+                # them) — parity on any legal input
+                continue
+            keep.append(i)
             order = np.argsort(off[lo:hi], kind="stable") + lo
             enc = RS.join(
                 (kind[j] if kind[j] is not None else NULB) + US
@@ -308,9 +315,11 @@ def interleaved_dedup(ds):
                 + (ref[j] if ref[j] is not None else NULB)
                 for j in order)
             out.append(hashlib.md5(enc.encode("utf-8")).hexdigest())
+        ids = b["doc_id"] if len(keep) == b.num_rows else \
+            b["doc_id"].take(pa.array(keep, pa.int64()))
         return pa.table({
             "span_digest": pa.array(out, pa.string()),
-            "doc_id": b["doc_id"],
+            "doc_id": ids,
         })
 
     return (ds.map_batches(digest, batch_format="pyarrow")

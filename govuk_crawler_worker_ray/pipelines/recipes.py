@@ -32,25 +32,12 @@ def c4_curation(ds, min_quality: int = 6,
     tag is a stateless per-row map.  Stages share the standalone
     operators' kernels and cut points (imported), so drift between the
     recipe and its parts is impossible."""
-    from .sampling import DEFAULT_SPLITS, _hex_threshold
+    from .blocks import default_partitions
+    from .sampling import assign_split
     from .text_analysis import pii_scrub_batch, quality_score_batch
 
-    if num_partitions is None:
-        try:
-            import ray
-
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
-    P = num_partitions
-
-    names, bounds, acc = [], [], 0.0
-    for name, frac in DEFAULT_SPLITS[:-1]:
-        acc += frac
-        names.append(name)
-        bounds.append(_hex_threshold(acc))
-    last = DEFAULT_SPLITS[-1][0]
+    P = default_partitions() if num_partitions is None \
+        else num_partitions
 
     def scrub_gate_key(b: pa.Table) -> pa.Table:
         s = pii_scrub_batch(b)
@@ -80,16 +67,11 @@ def c4_curation(ds, min_quality: int = 6,
             ["doc_id", "lang", "quality_points"]]
 
     def tag_split(b: pa.Table) -> pa.Table:
-        out = []
-        for d in b["doc_id"].to_pylist():
-            hx = hashlib.md5(str(d).encode()).hexdigest()[:8]
-            for name, hi in zip(names, bounds):
-                if hx < hi:
-                    out.append(name)
-                    break
-            else:
-                out.append(last)
-        return b.append_column("split", pa.array(out, pa.string()))
+        # cut points come from sampling.assign_split — the recipe and
+        # the standalone dataset_split cannot drift
+        return b.append_column(
+            "split", pa.array(assign_split(b["doc_id"].to_pylist()),
+                              pa.string()))
 
     return (ds.map_batches(scrub_gate_key, batch_format="pyarrow")
             .groupby("part")

@@ -1167,11 +1167,21 @@ def winsorize(ds, lo: float = 0.05, hi: float = 0.95):
 
     h = (ds.map_batches(narrow, batch_format="pyarrow")
          .groupby("v").aggregate(Sum("p_n", alias_name="n"))
-         .to_pandas().sort_values("v"))
+         .to_pandas())
+    if h.empty or "v" not in h.columns:
+        # empty input: typed empty relation (an empty groupby output
+        # loses even its column names on the pandas round-trip)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "value_micros": pa.array([], pa.int64()),
+            "clipped_micros": pa.array([], pa.int64())}))
+    h = h.sort_values("v")
     counts = h["n"].to_numpy()
     vals = h["v"].to_numpy()
     cum = np.cumsum(counts)
-    n_total = int(cum[-1]) if len(cum) else 0
+    n_total = int(cum[-1])
 
     def q_disc(q: float) -> int:
         target = max(int(np.ceil(q * n_total)) - 1, 0)
@@ -1311,12 +1321,26 @@ def gap_fill_hourly(ds):
     types = sorted({t for b in detail.select_columns(["event_type"])
                     .iter_batches(batch_format="pyarrow")
                     for t in b["event_type"].to_pylist()})
-    hours = np.arange(lo, hi + 1, dtype=np.int64)
-    grid = rd.from_arrow(pa.table({
-        "event_type": pa.array(np.repeat(types, len(hours)),
-                               pa.string()),
-        "bucket": pa.array(np.tile(hours, len(types)), pa.int64()),
-    }))
+    # the grid synthesizes DISTRIBUTED (rd.range -> decode), never as
+    # one driver-side table: a single outlier timestamp can stretch
+    # the bucket range by orders of magnitude and |types| x |hours|
+    # rows on the driver would be the exact hotspot this op exists to
+    # avoid
+    n_hours = hi - lo + 1
+    tarr = np.asarray(types, dtype=object)
+    total = len(types) * n_hours
+
+    def decode(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy()
+        return pa.table({
+            "event_type": pa.array(list(tarr[i // n_hours]),
+                                   pa.string()),
+            "bucket": pa.array(lo + i % n_hours, pa.int64()),
+        })
+
+    grid = (rd.range(total, override_num_blocks=max(
+        2, min(16, total // 65536 + 1)))
+            .map_batches(decode, batch_format="pyarrow"))
 
     def fill(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1327,7 +1351,7 @@ def gap_fill_hourly(ds):
             "n_events": pc.fill_null(pc.cast(b["n"], pa.int64()), 0),
         })
 
-    P = max(2, min(8, grid.num_blocks()))
+    P = max(2, min(8, total // 65536 + 1))
     return (grid.join(detail, "left_outer", num_partitions=P,
                       on=("event_type", "bucket"))
             .map_batches(fill, batch_format="pyarrow"))
@@ -1349,14 +1373,10 @@ def moving_avg(ds, k: int = 3, num_partitions: int | None = None):
     pandas pass per partition.
     Output (user_id, event_id, ts, win_sum_micros, win_n, avg_micros).
     """
-    if num_partitions is None:
-        try:
-            import ray
+    from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def tag(b: pa.Table) -> pa.Table:
         micros = np.rint(b["value"].to_numpy() * 1_000_000
@@ -1404,14 +1424,10 @@ def event_transitions(ds, num_partitions: int | None = None):
     per partition regardless of corpus size."""
     from ray.data.aggregate import Sum
 
-    if num_partitions is None:
-        try:
-            import ray
+    from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def tag(b: pa.Table) -> pa.Table:
         return pa.table({

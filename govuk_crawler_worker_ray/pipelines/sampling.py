@@ -65,6 +65,34 @@ def stratified_sample(ds, rates: dict[str, float] | None = None,
 DEFAULT_SPLITS = (("train", 7 / 8), ("val", 1 / 16), ("test", 1 / 16))
 
 
+def split_bounds(splits=DEFAULT_SPLITS):
+    """(names, hex upper bounds, residual name) of the cumulative
+    split partition — the SINGLE source of the cut points; everything
+    that assigns or oracles splits (dataset_split, the c4 recipe,
+    their SQL twins) derives from this."""
+    names, bounds, acc = [], [], 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        names.append(name)
+        bounds.append(_hex_threshold(acc))
+    return names, bounds, splits[-1][0]
+
+
+def assign_split(doc_ids, splits=DEFAULT_SPLITS) -> list[str]:
+    """Split name per id under the md5-prefix contract."""
+    names, bounds, last = split_bounds(splits)
+    out = []
+    for d in doc_ids:
+        h = hashlib.md5(str(d).encode()).hexdigest()[:8]
+        for name, hi in zip(names, bounds):
+            if h < hi:
+                out.append(name)
+                break
+        else:
+            out.append(last)
+    return out
+
+
 def dataset_split(ds, splits=DEFAULT_SPLITS):
     """Deterministic train/val/test assignment: every row lands in
     exactly one split by where md5(doc_id)'s leading 32 bits fall in
@@ -76,28 +104,14 @@ def dataset_split(ds, splits=DEFAULT_SPLITS):
     Pure per-row map, no shuffle, no state; downstream consumers filter
     on the split column (or write partitioned by it)."""
     # strict `<` upper bounds for all but the last split (the residual
-    # interval) — the same compare convention as stratified_sample and
-    # the SQL CASE chain
-    names, bounds, acc = [], [], 0.0
-    for name, frac in splits[:-1]:
-        acc += frac
-        names.append(name)
-        bounds.append(_hex_threshold(acc))
-    last = splits[-1][0]
-
+    # interval) — same compare convention as stratified_sample and the
+    # SQL CASE chain; cut points come from the shared split_bounds
     def assign(batch: pa.Table) -> pa.Table:
-        out = []
-        for d in batch["doc_id"].to_pylist():
-            h = hashlib.md5(str(d).encode()).hexdigest()[:8]
-            for name, hi in zip(names, bounds):
-                if h < hi:
-                    out.append(name)
-                    break
-            else:
-                out.append(last)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "split": pa.array(out, pa.string()),
+            "split": pa.array(
+                assign_split(batch["doc_id"].to_pylist(), splits),
+                pa.string()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -123,15 +137,10 @@ def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
     import numpy as np
     import pandas as pd
 
-    if num_partitions is None:
-        try:
-            import ray
+    from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
-    P = num_partitions
+    P = default_partitions() if num_partitions is None \
+        else num_partitions
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

@@ -97,6 +97,17 @@ def compact_files(src_path: str, dest_dir: str,
 
     import ray.data as rd
 
+    # refuse in-place compaction: dest is wiped BEFORE the first read,
+    # so any overlap with the source would destroy the table
+    src_real = os.path.realpath(src_path)
+    dst_real = os.path.realpath(dest_dir)
+    if (src_real == dst_real
+            or src_real.startswith(dst_real + os.sep)
+            or dst_real.startswith(src_real + os.sep)):
+        raise ValueError(
+            "compact_files: dest_dir overlaps src_path "
+            f"({dest_dir!r} vs {src_path!r}); compact to a fresh "
+            "directory and swap afterwards")
     shutil.rmtree(dest_dir, ignore_errors=True)
     os.makedirs(dest_dir, exist_ok=True)
     src = rd.read_parquet(src_path, columns=columns)

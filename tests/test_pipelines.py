@@ -2404,3 +2404,53 @@ def test_interleaved_curation(ray_session):
                           pa.list_(span_t)),
     })
     assert interleaved_curation(rd.from_arrow(empty)).count() == 0
+
+
+def test_review_fixes_session9(ray_session, tmp_path):
+    """Regressions from the session-9 review: winsorize on an empty
+    input returns a typed empty relation; interleaved_dedup excludes
+    zero-span docs (oracle unnest semantics); compact_files refuses
+    overlapping src/dest; pagerank/bfs_depth return a Dataset from the
+    broadcast path too."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import (
+        bfs_depth,
+        pagerank,
+    )
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        interleaved_dedup,
+    )
+    from govuk_crawler_worker_ray.pipelines.relational import winsorize
+    from govuk_crawler_worker_ray.pipelines.sink import compact_files
+
+    empty_ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64())}))
+    w = winsorize(empty_ev)
+    assert isinstance(w, rd.Dataset) and w.count() == 0
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array(["has", "none"], pa.string()),
+        "spans": pa.array(
+            [[{"kind": "text", "text": "x", "media_ref": None,
+               "offset": 0}], []], pa.list_(span_t)),
+    })
+    dd = interleaved_dedup(rd.from_arrow(docs)).to_pandas()
+    assert dd["min_doc_id"].tolist() == ["has"]  # zero-span excluded
+
+    src = str(tmp_path / "t")
+    rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())})
+                  ).write_parquet(src)
+    for bad in (src, str(tmp_path / "t" / "sub"), str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps"):
+            compact_files(src, bad)
+
+    e = rd.from_arrow(pa.table({"src": pa.array(["a"]),
+                                "dst": pa.array(["b"])}))
+    assert isinstance(pagerank(e, iterations=1), rd.Dataset)
+    s = rd.from_arrow(pa.table({"url": pa.array(["a"])}))
+    assert isinstance(bfs_depth(e, s), rd.Dataset)
