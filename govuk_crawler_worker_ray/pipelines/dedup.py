@@ -1215,12 +1215,9 @@ def chunk_dedup(ds, chunk_tokens: int = 8):
     # per-group work is ONE vectorized pandas groupby per partition,
     # not one Ray map_groups dispatch per doc (~1 ms x n_docs — the
     # distinctive_terms lesson)
-    try:
-        import ray
+    from .blocks import default_partitions
 
-        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        n_parts = 8
+    n_parts = default_partitions()
 
     def unpack(batch: pa.Table) -> pa.Table:
         packed = batch["packed"].to_numpy(zero_copy_only=False)

@@ -51,12 +51,9 @@ def sessionize(ds, gap_seconds: int = 1800):
     session count with one sort + one diff + a boundary mask — no
     per-user dispatch (Ray's map_groups costs ~1 ms per group; at 10^8
     users that is the whole job)."""
-    try:
-        import ray
+    from .blocks import default_partitions
 
-        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        n_parts = 8
+    n_parts = default_partitions()
 
     def narrow(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -400,12 +397,9 @@ def asof_join_events(ds, left_type: str = "purchase",
     Partition-vectorized: users hash to ~2x CPU partitions and each
     partition runs ONE ``pd.merge_asof(by=user_id)`` over all of its
     users — no per-user map_groups dispatch."""
-    try:
-        import ray
+    from .blocks import default_partitions
 
-        n_parts = 2 * int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        n_parts = 8
+    n_parts = default_partitions()
 
     def narrow(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["event_type"],
@@ -945,13 +939,9 @@ def upsert_latest(ds, num_partitions: int | None = None):
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
 
     if num_partitions is None:
-        try:
-            import ray
+        from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
+        num_partitions = default_partitions()
 
     def latest(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
@@ -1068,13 +1058,9 @@ def running_total(ds, num_partitions: int | None = None):
     nothing else moves and no per-key dispatch happens.
     Output (user_id, event_id, ts, cum_value_micros)."""
     if num_partitions is None:
-        try:
-            import ray
+        from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
+        num_partitions = default_partitions()
 
     def tag(b: pa.Table) -> pa.Table:
         micros = np.rint(b["value"].to_numpy() * 1_000_000
@@ -1721,13 +1707,9 @@ def user_retention(ds, num_partitions: int | None = None):
     from ray.data.aggregate import Sum
 
     if num_partitions is None:
-        try:
-            import ray
+        from .blocks import default_partitions
 
-            num_partitions = 2 * int(
-                ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            num_partitions = 8
+        num_partitions = default_partitions()
 
     def partial(b: pa.Table) -> pa.Table:
         days = (b["ts"].cast(pa.int64()).to_numpy()
