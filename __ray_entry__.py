@@ -1045,6 +1045,16 @@ def _q_compact_files(sf_dir: str):
         rows_per_file=200, columns=["doc_id", "n_chars"])
 
 
+def _q_percent_rank(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        percent_rank_docs,
+    )
+
+    return percent_rank_docs(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
 def _q_winsorize(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.relational import winsorize
 
@@ -1495,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
         "winsorize": _q_winsorize,
+        "percent_rank": _q_percent_rank,
         "assemble_features": _q_assemble_features,
         "c4_pipeline": _q_c4_pipeline,
         "compact_files": _q_compact_files,
@@ -2487,6 +2498,17 @@ def oracle_sql() -> dict[str, str]:
         # original narrow projection row-for-row
         "compact_files": (
             "SELECT doc_id, n_chars FROM documents"),
+        # PERCENT_RANK in exact integer ppm over the global_rank order
+        "percent_rank": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER "
+            "(ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS pos "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, pos, "
+            "((pos - 1) * 1000000) // GREATEST("
+            "(SELECT count(*) FROM documents) - 1, 1) AS pct_ppm "
+            "FROM r"),
         # exact global quantile_disc thresholds + clip
         "winsorize": (
             "WITH v AS (SELECT event_id, "

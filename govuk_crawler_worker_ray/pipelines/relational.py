@@ -376,6 +376,29 @@ def global_rank(ds, num_partitions: int | None = None):
                                         batch_format="pandas"))
 
 
+def percent_rank_docs(ds):
+    """Relative corpus position per document: pct_ppm =
+    ((rank - 1) * 10^6) // (n - 1) over the same (n_tokens DESC,
+    doc_id) order as ``global_rank`` — SQL's PERCENT_RANK, kept in
+    exact integer ppm (the double formula rounds unpredictably at
+    boundaries).  Output (doc_id, n_tokens, pos, pct_ppm).
+
+    One extra stateless map over the (already materialized)
+    global_rank output; n comes from the materialized count, so
+    nothing re-executes."""
+    ranked = global_rank(ds).materialize()
+    n = ranked.count()
+    denom = max(n - 1, 1)
+
+    def pct(b: pa.Table) -> pa.Table:
+        r = b["pos"].to_numpy()
+        return b.append_column(
+            "pct_ppm", pa.array((r - 1) * 1_000_000 // denom,
+                                pa.int64()))
+
+    return ranked.map_batches(pct, batch_format="pyarrow")
+
+
 def asof_join_events(ds, left_type: str = "purchase",
                      right_type: str = "click"):
     """AS-OF join over the events stream: for each LEFT-type event, the

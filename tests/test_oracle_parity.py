@@ -72,6 +72,7 @@ ORACLE_KEYS = [
     "html_extract", "running_total", "json_extract_agg",
     "bloom_semi_join", "user_retention", "source_cap", "lang_mix",
     "gap_fill", "moving_avg", "table_profile", "winsorize",
+    "percent_rank",
     "assemble_features", "compact_files", "c4_pipeline",
     "event_transitions", "orders_cube", "corr_stats",
     "skew_join", "hll_distinct",

@@ -2454,3 +2454,19 @@ def test_review_fixes_session9(ray_session, tmp_path):
     assert isinstance(pagerank(e, iterations=1), rd.Dataset)
     s = rd.from_arrow(pa.table({"url": pa.array(["a"])}))
     assert isinstance(bfs_depth(e, s), rd.Dataset)
+
+
+def test_percent_rank_docs(ray_session):
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        percent_rank_docs,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", "a b", "a"], pa.string()),
+    }))
+    got = {r["doc_id"]: (r["pos"], r["pct_ppm"])
+           for r in percent_rank_docs(docs).take_all()}
+    assert got == {1: (1, 0), 2: (2, 500000), 3: (3, 1000000)}
