@@ -190,7 +190,7 @@ def bench_queries() -> dict:
              "corr_stats", "mm_quality_gate", "interleaved_dedup",
              "lang_mix", "gap_fill", "moving_avg", "table_profile",
              "winsorize", "assemble_features", "compact_files",
-             "c4_pipeline", "interleaved_curation"]
+             "c4_pipeline", "interleaved_curation", "percent_rank"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
