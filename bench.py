@@ -205,7 +205,65 @@ def bench_queries() -> dict:
     return out
 
 
+# queries echoed in the final stdout line (the driver's tail window is
+# ~2 KB: round 3's 73-entry map overflowed it and BENCH_r03 recorded
+# parsed:null).  The FULL per-query map goes to bench_queries.json.
+HEADLINE_PICKS = [
+    "dedup_exact", "text_stats", "lang_id", "events_hourly",
+    "revenue_by_nation", "ann_bruteforce", "minhash_neardup", "simhash",
+    "embedding_neardup", "dup_spans", "c4_pipeline",
+    "interleaved_curation"]
+
+
+def _run_phase(flag: str, env: dict) -> dict:
+    """One bench phase in a FRESH process (own ray session): the crawl
+    drains this VM's CPU burst bucket, so queries timed in the same
+    session read 3-8x their isolated values (BENCH_r03 vs isolated
+    reruns) — phase isolation plus a rest gap measures the engine, not
+    the drained co-tenant bucket."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_full() -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS))
+    crawl = _run_phase("--crawl-only", env)["crawl_detail"]
+    # rest between phases: burst credits refill while idle (measured:
+    # dedup_exact 3.9 s drained vs 0.5 s rested on identical code)
+    time.sleep(float(os.environ.get("GCW_REST_SEC", "20")))
+    queries = _run_phase("--queries-only", env)["queries"]
+    total = crawl["sec"] + sum(queries.values())
+    full = {"crawl": crawl["sec"], **queries}
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_queries.json")
+    with open(qpath, "w") as f:
+        json.dump({"queries": full, "sf": _sf_value(),
+                   "num_cpus": NUM_CPUS, "crawl_detail": crawl,
+                   "suite_total_sec": round(total, 3)}, f, indent=1)
+    headline = {"crawl": crawl["sec"]}
+    headline.update({k: queries[k] for k in HEADLINE_PICKS
+                     if k in queries})
+    return {
+        "metric": "crawl (URLs fetched+deduped/sec) + operator suite "
+                  "wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": _sf_value(),
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": crawl["urls_per_sec"],
+        "n_queries": len(full),
+        "queries_file": "bench_queries.json",
+        "crawl_detail": {k: crawl[k] for k in
+                         ("sec", "fetched", "published", "rounds",
+                          "urls_per_sec")},
+    }
+
+
+def run_queries_only() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -214,22 +272,10 @@ def run_full() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     try:
-        crawl = bench_crawl(NUM_CPUS)
         queries = bench_queries()
     finally:
         ray.shutdown()
-    total = crawl["sec"] + sum(queries.values())
-    return {
-        "metric": "crawl (URLs fetched+deduped/sec) + operator suite "
-                  "wall time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {"crawl": crawl["sec"], **queries},
-        "sf": _sf_value(),
-        "num_cpus": NUM_CPUS,
-        "crawl_urls_per_sec": crawl["urls_per_sec"],
-        "crawl_detail": crawl,
-    }
+    return {"queries": queries}
 
 
 _CPU_PROBE = r"""
@@ -357,7 +403,8 @@ def run_crawl_only() -> dict:
     finally:
         ray.shutdown()
     return {"crawl_urls_per_sec": crawl["urls_per_sec"],
-            "queries": {"crawl": crawl["sec"]}}
+            "queries": {"crawl": crawl["sec"]},
+            "crawl_detail": crawl}
 
 
 def run_scaling() -> dict:
@@ -460,5 +507,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--crawl-only" in sys.argv:
         print(json.dumps(run_crawl_only()))
+    elif "--queries-only" in sys.argv:
+        print(json.dumps(run_queries_only()))
     else:
         print(json.dumps(run_full()))
