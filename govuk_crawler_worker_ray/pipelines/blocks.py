@@ -33,15 +33,41 @@ def default_partitions() -> int:
         return 8
 
 
+# the metadata-only fast path rides two Ray private APIs
+# (iter_internal_ref_bundles / from_arrow_refs, present 2.40-2.49);
+# if a Ray upgrade removes either, every guarded join site falls back
+# through the public path below instead of breaking at once
+_SMALL_NORMALIZE_ROWS = 1_000_000
+
+
 def nonempty_blocks(ds):
     """Materialize ``ds`` and drop empty blocks (metadata-only filter).
     Returns None when every block is empty — callers treat that as an
     empty relation and short-circuit the join."""
     import ray.data as rd
 
-    bundles = ds.materialize().iter_internal_ref_bundles()
-    keep = [ref for bd in bundles for ref, meta in bd.blocks
-            if meta.num_rows]
-    if not keep:
-        return None
-    return rd.from_arrow_refs(keep)
+    mat = ds.materialize()
+    try:
+        bundles = mat.iter_internal_ref_bundles()
+        keep = [ref for bd in bundles for ref, meta in bd.blocks
+                if meta.num_rows]
+        if not keep:
+            return None
+        return rd.from_arrow_refs(keep)
+    except (AttributeError, ImportError, TypeError):
+        # public-API fallback: count() decides the None short-circuit;
+        # small relations (the only regime where zero-schema empty
+        # blocks actually poison a join — a side smaller than its
+        # partition count) are normalized through one driver-side
+        # Arrow round-trip; large relations pass through unchanged
+        n = mat.count()
+        if n == 0:
+            return None
+        if n <= _SMALL_NORMALIZE_ROWS:
+            import pyarrow as pa
+
+            tables = [b for b in
+                      mat.iter_batches(batch_format="pyarrow")
+                      if b.num_rows]
+            return rd.from_arrow(pa.concat_tables(tables))
+        return mat

@@ -102,6 +102,13 @@ def pagerank(edges_ds, iterations: int = 5,
     edges = _nonempty_blocks(edges_ds.join(deg, "inner",
                                            num_partitions=P,
                                            on=("src",)))
+    if edges is None:
+        # unreachable today (deg non-empty implies a non-empty inner
+        # join with its own source), but guard the invariant so a
+        # future edit can't turn it into an AttributeError mid-loop
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "rank_micros": pa.array([], pa.int64())}))
 
     def explode_nodes(b: pa.Table) -> pa.Table:
         u = pa.concat_arrays([b["src"].combine_chunks(),

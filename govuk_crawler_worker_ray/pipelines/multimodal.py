@@ -229,7 +229,8 @@ def span_stats(ds):
 def mm_quality_gate(ds, min_text_chars: int = 20,
                     max_media_ppm: int = 600_000):
     """Multimodal curation gate over the INTERLEAVED span column: keep
-    documents with at least one non-empty text span, >=
+    documents with at least one text-KIND span (possibly empty — the
+    char floor below is what excludes text-free docs), >=
     ``min_text_chars`` total text, and a media-span fraction at most
     ``max_media_ppm`` (exact integer parts-per-million of n_spans) —
     the "drop all-media galleries and text-free boilerplate" filter an
@@ -295,17 +296,24 @@ def interleaved_dedup(ds):
         text = flat.field("text").to_pylist()
         ref = flat.field("media_ref").to_pylist()
         off = flat.field("offset").to_numpy(zero_copy_only=False)
-        # child offsets give each doc's span slice; sort by span offset
-        # inside the slice (fixtures are pre-sorted; cheap to enforce)
-        bounds = sp.offsets.to_numpy(zero_copy_only=False)
+        # per-doc slices of the FLAT arrays via list_parent_indices,
+        # which is null-skipping and rebased exactly like list_flatten
+        # (raw ListArray.offsets are neither: a sliced chunk or a null
+        # spans entry with advancing offsets would mis-align them —
+        # the same null-safe pattern span_stats uses)
+        parent = pc.list_parent_indices(sp).to_numpy(
+            zero_copy_only=False)
+        doc_ix = np.arange(b.num_rows, dtype=np.int64)
+        starts = np.searchsorted(parent, doc_ix, side="left")
+        ends = np.searchsorted(parent, doc_ix, side="right")
         out = []
         keep = []
         for i in range(b.num_rows):
-            lo, hi = bounds[i], bounds[i + 1]
+            lo, hi = starts[i], ends[i]
             if hi == lo:
-                # zero-span docs have no sequence: excluded, matching
-                # the oracle's unnest semantics (emits no rows for
-                # them) — parity on any legal input
+                # zero-span (or null-spans) docs have no sequence:
+                # excluded, matching the oracle's unnest semantics
+                # (emits no rows for them) — parity on any legal input
                 continue
             keep.append(i)
             order = np.argsort(off[lo:hi], kind="stable") + lo

@@ -1454,10 +1454,23 @@ def event_transitions(ds, num_partitions: int | None = None):
         g["dst_type"] = (g.groupby("user_id", sort=False)
                          ["event_type"].shift(-1))
         g = g.dropna(subset=["dst_type"])
-        out = (g.groupby(["event_type", "dst_type"], as_index=False)
+        # dropna=False: a NULL src event_type is a legal group (the
+        # SQL twin's GROUP BY keeps NULL src_type; its WHERE filters
+        # only dst) — pandas' default would silently drop those rows
+        out = (g.groupby(["event_type", "dst_type"], as_index=False,
+                         dropna=False)
                .size().rename(columns={"event_type": "src_type",
                                        "size": "p_n"}))
-        return out[["src_type", "dst_type", "p_n"]]
+        # hand Arrow an explicit null for the NaN group key — left as
+        # a pandas block, the NaN would reach the global groupby as a
+        # float NaN key instead of a string null
+        src = out["src_type"].where(out["src_type"].notna(), None)
+        return pa.table({
+            "src_type": pa.array(src.tolist(), pa.string()),
+            "dst_type": pa.array(out["dst_type"].tolist(), pa.string()),
+            "p_n": pa.array(out["p_n"].to_numpy().astype(np.int64),
+                            pa.int64()),
+        })
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("part")
