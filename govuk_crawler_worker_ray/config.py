@@ -88,10 +88,18 @@ class CrawlConfig:
     # dense seqs assigned by a shard-to-shard ordering-key exchange, and
     # fetch work is dispatched as file refs — the driver never holds a
     # round's frontier or winner set (only requeue/dup rows and file
-    # paths).  Requires per_host_budget/host_token_budget off and
-    # all-zero priorities; crawl ordering and the seen set are
-    # bit-identical to the default path (tested).
-    frontier_on_storage: bool = False
+    # paths).  Crawl ordering and the seen set are bit-identical to the
+    # default path (tested); politeness budgets and seed priorities work
+    # in both modes.  None (the default) = AUTO: start in-memory and
+    # hand off to storage rounds the first time a round's frontier
+    # exceeds storage_auto_threshold rows, so the driver-bounded path
+    # can't silently be shipped to a 1e10 frontier.  True/False force a
+    # mode.
+    frontier_on_storage: bool | None = None
+    # Auto-switch threshold (rows in one round's frontier) for
+    # frontier_on_storage=None.  ~56 bytes/narrow row -> the default
+    # caps driver frontier memory near 250 MB before handing off.
+    storage_auto_threshold: int = 4_000_000
     # Logical seconds the clock advances per crawl round (0 = frozen
     # time).  The reference's wall clock moves during a crawl, so TTL'd
     # seen entries can expire MID-crawl and re-open URLs; rounds are the

@@ -292,6 +292,10 @@ class CrawlEngine:
         self._host_tokens: dict[str, int] = {}
         self._hosts_429: set[str] = set()
         self._budget_stats_task = None  # lazy ray.remote(_part_budget_stats)
+        # storage-mode priority renumber counter: rows with priority > 0
+        # get fresh seqs from this DESCENDING negative range each round
+        # (see _apply_priorities); persisted in the round manifest
+        self._neg_seq = 0
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[str], now: float = 0.0,
@@ -310,15 +314,37 @@ class CrawlEngine:
         if resume:
             st = self._find_checkpoint()
             if st is not None:
-                start_round, frontier, _, next_seq, metrics = st
+                start_round, frontier, parts, next_seq, metrics = st
+                covered = set()
                 for k in range(start_round):
                     p = os.path.join(self.out_dir, f"round={k}",
                                      "order.parquet")
                     if os.path.exists(p):
                         order_parts.append(pq.read_table(p))
+                        covered.add(k)
+                if parts:
+                    # the interrupted crawl had already auto-switched:
+                    # its frontier lives on storage — resume there
+                    return self._finish_on_storage(
+                        start_round, frontier, parts, next_seq,
+                        metrics, now, order_parts,
+                        covered_rounds=covered)
 
         rnd = start_round
         while frontier.num_rows > 0 and rnd < cfg.max_rounds:
+            if (cfg.frontier_on_storage is None and self.use_ray
+                    and cfg.max_crawl_retries >= 1
+                    and frontier.num_rows > cfg.storage_auto_threshold):
+                # AUTO mode hand-off: this round's frontier outgrew the
+                # driver-bounded path — the current rows become the
+                # storage loop's driver rows (one oversized round), and
+                # every later frontier lives on storage
+                return self._finish_on_storage(
+                    rnd, frontier.select(
+                        ["discovered_seq", "url", "host", "url_digest",
+                         "attempt", "priority"]),
+                    [], next_seq, metrics, now, order_parts,
+                    covered_rounds=frozenset(range(rnd)))
             frontier, next_seq, m, order_t = self._run_round(
                 rnd, frontier, next_seq,
                 now + rnd * cfg.seconds_per_round)
@@ -587,13 +613,11 @@ class CrawlEngine:
         cfg = self.cfg
         if not self.use_ray:
             raise ValueError("frontier_on_storage requires use_ray=True")
-        if seed_priorities and any(seed_priorities):
-            raise ValueError("storage rounds assume uniform priorities")
         if cfg.max_crawl_retries < 1:
             raise ValueError("storage rounds use the high-counter "
                              "prefetch (max_crawl_retries >= 1)")
         metrics: list[dict] = []
-        driver_rows = seeds_to_frontier(seeds, cfg)
+        driver_rows = seeds_to_frontier(seeds, cfg, seed_priorities)
         parts: list[str] = []
         next_seq = driver_rows.num_rows
         start_round = 0
@@ -601,7 +625,25 @@ class CrawlEngine:
             st = self._find_checkpoint()
             if st is not None:
                 start_round, driver_rows, parts, next_seq, metrics = st
-        rnd = start_round
+        return self._finish_on_storage(start_round, driver_rows, parts,
+                                       next_seq, metrics, now, [])
+
+    def _finish_on_storage(self, rnd: int, driver_rows: pa.Table,
+                           parts: list[str], next_seq: int,
+                           metrics: list[dict], now: float,
+                           order_parts: list[pa.Table],
+                           covered_rounds=frozenset()) -> CrawlResult:
+        """Storage-mode round loop + result assembly.  Entered from
+        round 0 (frontier_on_storage=True), from the AUTO hand-off when
+        an in-memory round's frontier outgrows storage_auto_threshold,
+        or from a resume whose checkpoint already carried frontier
+        parts.  ``order_parts`` holds the order tables of rounds whose
+        order was already assembled (in-memory rounds write
+        order.parquet); ``covered_rounds`` names them so the storage
+        read skips exactly those."""
+        cfg = self.cfg
+        if not self.use_ray:
+            raise ValueError("frontier_on_storage requires use_ray=True")
         while (driver_rows.num_rows > 0 or parts) and rnd < cfg.max_rounds:
             driver_rows, parts, next_seq, m = self._run_round_storage(
                 rnd, driver_rows, parts, next_seq,
@@ -611,10 +653,55 @@ class CrawlEngine:
         # order assembly is OUT of the crawl loop: a narrow column read
         # of the per-round fetched parquet (test/golden convenience — at
         # scale consumers read it as a Dataset instead)
-        order = self._order_from_storage(range(rnd))
+        order = self._order_from_storage(
+            [r for r in range(rnd) if r not in covered_rounds])
+        if order_parts:
+            order = pa.concat_tables(order_parts + [order])
         self._write_metrics(metrics)
         return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
                            out_dir=self.out_dir, seen=self.seen)
+
+    def _apply_priorities(self, rows: pa.Table, next_seq: int):
+        """Storage-mode priority queue, as a SEQ RENUMBER of the few
+        prioritized rows instead of a new ordering key.
+
+        Nonzero priorities only ever exist on DRIVER rows (published
+        links enter at priority 0, queue_connection.go:129; seeds and
+        their requeues are the sole carriers), so the driver rewrites
+        just those rows' discovered_seq: priority > 0 rows get fresh
+        seqs from a reserved DESCENDING negative range (they sort
+        before every part row for every consumer — budget thresholds,
+        replay, the rank exchange, order assembly — with zero changes
+        to those paths), priority < 0 rows get seqs past next_seq
+        (after every current row).  Within a renumbered block the order
+        is (priority desc, seq asc), the oracle's processing order.
+        Uniform-zero priorities return the rows untouched, keeping
+        reference-parity seq values bit-identical to the goldens.
+
+        -> (rows, next_seq) — next_seq is bumped by the priority < 0
+        block."""
+        pr = rows["priority"].to_numpy()
+        if rows.num_rows == 0 or not (pr != 0).any():
+            return rows, next_seq
+        seqs = rows["discovered_seq"].to_numpy().astype(np.int64).copy()
+        for mask, negative in (((pr > 0), True), ((pr < 0), False)):
+            k = int(mask.sum())
+            if k == 0:
+                continue
+            idx = np.nonzero(mask)[0]
+            order = np.lexsort((seqs[idx], -pr[idx].astype(np.int64)))
+            if negative:
+                new = np.arange(self._neg_seq - k, self._neg_seq,
+                                dtype=np.int64)
+                self._neg_seq -= k
+            else:
+                new = np.arange(next_seq, next_seq + k, dtype=np.int64)
+                next_seq += k
+            seqs[idx[order]] = new
+        rows = rows.set_column(
+            rows.schema.get_field_index("discovered_seq"),
+            "discovered_seq", pa.array(seqs, pa.int64()))
+        return rows, next_seq
 
     def _storage_budget_gate(self, driver_rows: pa.Table,
                              parts: list[str]):
@@ -742,6 +829,8 @@ class CrawlEngine:
              "requeued": 0, "non_accepted": 0, "deferred": 0,
              "aborted_retries": 0, "extract_aborts": 0,
              "robots_excluded": 0}
+        driver_rows, next_seq = self._apply_priorities(driver_rows,
+                                                       next_seq)
         driver_rows = driver_rows.sort_by([("discovered_seq",
                                             "ascending")])
         # politeness gate (before the dup split, matching the in-memory
@@ -950,6 +1039,7 @@ class CrawlEngine:
             self.seen.snapshot(os.path.join(rdir, "seen_snapshot"))
             with open(os.path.join(rdir, "manifest.json"), "w") as f:
                 json.dump({"round": rnd, "next_seq": next_seq,
+                           "neg_seq": self._neg_seq,
                            "metrics": m,
                            "frontier_parts": new_parts}, f)
         m["t_ckpt_ms"] = int((_time.perf_counter() - _t0) * 1000)
@@ -1131,6 +1221,7 @@ class CrawlEngine:
             man = json.load(f)
         frontier = pq.read_table(os.path.join(rdir, "frontier_next.parquet"))
         self.seen.load(os.path.join(rdir, "seen_snapshot"))
+        self._neg_seq = man.get("neg_seq", 0)
         metrics = []
         for j in range(k + 1):
             mp = os.path.join(self.out_dir, f"round={j}", "manifest.json")

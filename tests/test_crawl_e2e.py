@@ -461,3 +461,114 @@ def test_storage_frontier_parity_medium(tmp_path):
                         st["status"].to_pylist())) == oracle.seen
     finally:
         eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_priorities_order_storage(tmp_path):
+    """Seed priorities in frontier-on-storage mode: the driver renumbers
+    the prioritized rows into the reserved negative-seq range, so every
+    seq-ordered consumer (budget thresholds, replay, rank exchange,
+    order assembly) processes them first with no new ordering key.
+    Full parity (order, seen, mirror) against the oracle, including a
+    transient-5xx seed whose priority survives the requeue into a
+    round that already has storage parts."""
+    fx = generate_corpus(60, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True)
+    # seeds = ROOT_URLS + the flaky (transient-5xx) conformance seed:
+    # prioritize example.com's root AND the flaky seed (requeue carrier)
+    pr = [0] * len(fx.seeds)
+    pr[2] = 5
+    pr[-1] = 3
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg, seed_priorities=pr)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "prio_sto"),
+                      use_ray=True)
+    try:
+        res = eng.run(fx.seeds, seed_priorities=pr)
+        order = _order(res)
+        assert order == [(r, u) for r, _, u in oracle.crawl_order]
+        assert order[0][1] == "https://example.com/"
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_priorities_storage_uniform_goldens(fixture, tmp_path):
+    """All-zero priorities leave the storage path bit-identical (the
+    renumber is skipped): seq values still match the oracle exactly."""
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True)
+    eng = CrawlEngine(fx.corpus, cfg, str(tmp_path / "prio_uni"),
+                      use_ray=True)
+    try:
+        res = eng.run(fx.seeds, seed_priorities=[0] * len(fx.seeds))
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_storage_switch_parity(fixture, tmp_path):
+    """frontier_on_storage=None (the default) hands off to storage
+    rounds mid-crawl once a round's frontier exceeds
+    storage_auto_threshold: goldens stay bit-identical to the oracle,
+    and the later rounds really do run on storage (manifest carries
+    frontier part paths)."""
+    import json
+    import os
+
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS),
+                      storage_auto_threshold=10)
+    assert cfg.frontier_on_storage is None
+    out = str(tmp_path / "auto_sw")
+    eng = CrawlEngine(fx.corpus, cfg, out, use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+        switched = False
+        for d in os.listdir(out):
+            mp = os.path.join(out, d, "manifest.json")
+            if d.startswith("round=") and os.path.exists(mp):
+                with open(mp) as f:
+                    if json.load(f).get("frontier_parts"):
+                        switched = True
+        assert switched, "crawl never handed off to storage rounds"
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_storage_switch_resume(fixture, tmp_path):
+    """A crawl interrupted AFTER the auto hand-off resumes down the
+    storage path (the checkpoint's frontier parts route the resume) and
+    completes with oracle-identical order."""
+    fx, _, oracle = fixture
+    out = str(tmp_path / "auto_res")
+    cfg_short = CrawlConfig(root_urls=list(ROOT_URLS),
+                            storage_auto_threshold=10, max_rounds=3)
+    eng = CrawlEngine(fx.corpus, cfg_short, out, use_ray=True)
+    eng.run(fx.seeds)
+    eng.shutdown()
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS),
+                      storage_auto_threshold=10)
+    eng2 = CrawlEngine(fx.corpus, cfg, out, use_ray=True)
+    try:
+        res = eng2.run(fx.seeds, resume=True)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+    finally:
+        eng2.shutdown()
