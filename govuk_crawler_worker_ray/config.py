@@ -100,6 +100,11 @@ class CrawlConfig:
     # frontier_on_storage=None.  ~56 bytes/narrow row -> the default
     # caps driver frontier memory near 250 MB before handing off.
     storage_auto_threshold: int = 4_000_000
+    # Opt-in mirror-sink compaction post-pass: when set, each
+    # round=k/fetched directory's per-chunk parts are coalesced into
+    # ~this-many-row files at the end of the crawl (order-preserving;
+    # see sink.compact_crawl_rounds).  None = off.
+    compact_fetched_rows: int | None = None
     # Logical seconds the clock advances per crawl round (0 = frozen
     # time).  The reference's wall clock moves during a crawl, so TTL'd
     # seen entries can expire MID-crawl and re-open URLs; rounds are the

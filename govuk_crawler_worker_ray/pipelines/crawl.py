@@ -358,8 +358,21 @@ class CrawlEngine:
                            "seq": pa.array([], pa.int64()),
                            "url": pa.array([], pa.string())}))
         self._write_metrics(metrics)
+        self._maybe_compact()
         return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
                            out_dir=self.out_dir, seen=self.seen)
+
+    def _maybe_compact(self) -> None:
+        """Opt-in mirror-sink compaction post-pass
+        (cfg.compact_fetched_rows): runs after order assembly so the
+        swap never races a reader; order-preserving, so mirror and
+        order read-backs are unchanged (tested)."""
+        if self.cfg.compact_fetched_rows:
+            from .sink import compact_crawl_rounds
+
+            compact_crawl_rounds(self.out_dir,
+                                 self.cfg.compact_fetched_rows,
+                                 use_ray=self.use_ray)
 
     # ------------------------------------------------------------------
     def _run_round(self, rnd: int, frontier: pa.Table, next_seq: int,
@@ -658,6 +671,7 @@ class CrawlEngine:
         if order_parts:
             order = pa.concat_tables(order_parts + [order])
         self._write_metrics(metrics)
+        self._maybe_compact()
         return CrawlResult(crawl_order=order, metrics=metrics, rounds=rnd,
                            out_dir=self.out_dir, seen=self.seen)
 

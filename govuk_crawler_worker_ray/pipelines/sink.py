@@ -115,3 +115,76 @@ def compact_files(src_path: str, dest_dir: str,
     files = max(1, -(-n // rows_per_file))
     src.repartition(files).write_parquet(dest_dir)
     return rd.read_parquet(dest_dir)
+
+
+def _compact_part_dir(fdir: str, rows_per_file: int) -> int:
+    """Coalesce one directory's parquet parts into ~rows_per_file
+    files, PRESERVING row order across parts in sorted-name order (the
+    order that defines the mirror's last-write-wins and the crawl
+    order read-back).  Streams part-by-part — peak memory is one
+    output file's rows.  Swap is rename-based: a crash can leave the
+    data in ``<fdir>.old`` but never half-compacted under the live
+    name.  Returns the file count after compaction."""
+    import shutil
+
+    files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
+    if len(files) <= 1:
+        return len(files)
+    tmp = fdir + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    buf: list[pa.Table] = []
+    nbuf = 0
+    out_i = 0
+
+    def flush():
+        nonlocal buf, nbuf, out_i
+        if not buf:
+            return
+        pq.write_table(pa.concat_tables(buf),
+                       os.path.join(tmp, f"part-{out_i:05d}.parquet"))
+        out_i += 1
+        buf, nbuf = [], 0
+
+    for f in files:
+        t = pq.read_table(os.path.join(fdir, f), use_threads=False)
+        buf.append(t)
+        nbuf += t.num_rows
+        if nbuf >= rows_per_file:
+            flush()
+    flush()
+    old = fdir + ".old"
+    os.rename(fdir, old)
+    os.rename(tmp, fdir)
+    shutil.rmtree(old)
+    return out_i
+
+
+def compact_crawl_rounds(out_dir: str, rows_per_file: int = 1 << 18,
+                         use_ray: bool = True) -> dict[int, int]:
+    """Table maintenance for a finished (or checkpointed) crawl: each
+    ``round=k/fetched`` directory's per-chunk parts — one per fetch
+    chunk per shard, thousands over a long crawl — are coalesced into
+    ~``rows_per_file``-row files, order-preserving per round (see
+    ``_compact_part_dir``; the mirror's last-write-wins and the crawl
+    order both read files in (round, name) order, which compaction
+    keeps).  Rounds compact in parallel as Ray tasks when ``use_ray``.
+    Opt-in from the engine via ``CrawlConfig.compact_fetched_rows``.
+    Returns {round: n_files_after}."""
+    rounds = []
+    for d in os.listdir(out_dir):
+        fdir = os.path.join(out_dir, d, "fetched")
+        if d.startswith("round=") and os.path.isdir(fdir):
+            rounds.append((int(d.split("=")[1]), fdir))
+    if not rounds:
+        return {}
+    if use_ray:
+        import ray
+
+        task = ray.remote(num_cpus=0.5)(_compact_part_dir)
+        outs = ray.get([task.remote(fdir, rows_per_file)
+                        for _, fdir in rounds])
+    else:
+        outs = [_compact_part_dir(fdir, rows_per_file)
+                for _, fdir in rounds]
+    return {k: n for (k, _), n in zip(rounds, outs)}

@@ -572,3 +572,38 @@ def test_auto_storage_switch_resume(fixture, tmp_path):
             res.crawl_order["url"].to_pylist())] == oracle.crawl_order
     finally:
         eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mirror_compaction_roundtrip(fixture, tmp_path):
+    """cfg.compact_fetched_rows: the opt-in post-pass coalesces each
+    round's per-chunk fetched parts into <=1 file at test scale, and
+    every read-back built on those files — mirror last-write-wins and
+    the storage order assembly — is unchanged."""
+    import os
+
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True,
+                      compact_fetched_rows=1 << 20)
+    out = str(tmp_path / "compact")
+    eng = CrawlEngine(fx.corpus, cfg, out, use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        for d in os.listdir(out):
+            fdir = os.path.join(out, d, "fetched")
+            if d.startswith("round=") and os.path.isdir(fdir):
+                n = len([f for f in os.listdir(fdir)
+                         if f.endswith(".parquet")])
+                assert n <= 1, f"{d}: {n} files after compaction"
+        # order read-back from the COMPACTED files
+        order2 = eng._order_from_storage(range(res.rounds))
+        assert [(r, s, u) for r, s, u in zip(
+            order2["round"].to_pylist(), order2["seq"].to_pylist(),
+            order2["url"].to_pylist())] == oracle.crawl_order
+        mt = res.mirror_table()
+        eng_m = {p: (u, b) for p, u, b in zip(
+            mt["mirror_path"].to_pylist(), mt["url"].to_pylist(),
+            mt["body"].to_pylist())}
+        assert eng_m == oracle.mirror
+    finally:
+        eng.shutdown()
