@@ -71,3 +71,28 @@ def nonempty_blocks(ds):
                       if b.num_rows]
             return rd.from_arrow(pa.concat_tables(tables))
         return mat
+
+
+# Ceiling for groupby outputs the driver pulls as in-memory histograms
+# (global_rank's per-n_tokens counts, winsorize's distinct-value
+# histogram): ~10M (key, count) rows = a few hundred MB of pandas.
+# Legitimate uses are orders of magnitude below it — hitting the bound
+# means the key domain isn't histogram-compressible and the operator
+# needs its documented sketch/mergeable swap instead.
+DRIVER_HISTOGRAM_MAX = 10_000_000
+
+
+def driver_histogram(agg_ds, what: str, bound: int = DRIVER_HISTOGRAM_MAX):
+    """Materialize a groupby-aggregate output that an operator is about
+    to pull to the DRIVER as a small histogram, failing loudly (instead
+    of OOMing the driver) when the distinct-key count exceeds
+    ``bound``.  Returns the pandas frame."""
+    mat = agg_ds.materialize()
+    n = mat.count()
+    if n > bound:
+        raise ValueError(
+            f"{what}: driver-side histogram has {n:,} distinct keys "
+            f"(> {bound:,}) — the key domain is not "
+            "histogram-compressible at this scale; use the operator's "
+            "documented sketch-based variant instead")
+    return mat.to_pandas()

@@ -339,9 +339,15 @@ def global_rank(ds, num_partitions: int | None = None):
     narrow_ds = ds.map_batches(narrow,
                                batch_format="pyarrow").materialize()
 
-    counts = (narrow_ds.groupby("n_tokens")
-              .aggregate(Count(alias_name="n"))
-              .to_pandas().sort_values("n_tokens", ascending=False))
+    # DRIVER-SIDE CARDINALITY ASSUMPTION: the histogram has one row per
+    # DISTINCT n_tokens value — O(longest document in tokens), not
+    # O(corpus) — so the driver scan is bounded; driver_histogram fails
+    # loudly if a pathological domain breaks that
+    from .blocks import driver_histogram
+
+    counts = driver_histogram(
+        narrow_ds.groupby("n_tokens").aggregate(Count(alias_name="n")),
+        "global_rank").sort_values("n_tokens", ascending=False)
     keys = counts["n_tokens"].to_numpy()
     base = dict(zip(keys, np.concatenate(
         ([0], np.cumsum(counts["n"].to_numpy())[:-1])).astype(np.int64)))
@@ -1174,9 +1180,16 @@ def winsorize(ds, lo: float = 0.05, hi: float = 0.95):
                          "p_n": pa.array(cnt.astype(np.int64),
                                          pa.int64())})
 
-    h = (ds.map_batches(narrow, batch_format="pyarrow")
-         .groupby("v").aggregate(Sum("p_n", alias_name="n"))
-         .to_pandas())
+    # DRIVER-SIDE CARDINALITY ASSUMPTION: one histogram row per distinct
+    # micro-value — exactness rests on the value domain being
+    # compressible (see docstring); driver_histogram fails loudly at
+    # truly continuous domains instead of OOMing the driver
+    from .blocks import driver_histogram
+
+    h = driver_histogram(
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("p_n", alias_name="n")),
+        "winsorize")
     if h.empty or "v" not in h.columns:
         # empty input: typed empty relation (an empty groupby output
         # loses even its column names on the pandas round-trip)

@@ -479,9 +479,15 @@ def quality_filter(ds, q: float = 0.5):
 
     from ray.data.aggregate import Sum
 
-    h = (scored.map_batches(hist, batch_format="pyarrow")
-         .groupby("pts").aggregate(Sum("partial_n", alias_name="n"))
-         .to_pandas().sort_values("pts"))
+    # DRIVER-SIDE CARDINALITY ASSUMPTION: quality_points is an 11-value
+    # integer domain by construction, so the histogram is <= 11 rows;
+    # the shared guard still applies in case the scoring domain grows
+    from ..pipelines.blocks import driver_histogram
+
+    h = driver_histogram(
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby("pts").aggregate(Sum("partial_n", alias_name="n")),
+        "quality_filter").sort_values("pts")
     counts = h["n"].to_numpy()
     n_total = int(counts.sum())
     target = max(int(np.ceil(q * n_total)) - 1, 0)

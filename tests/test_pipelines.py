@@ -2547,3 +2547,22 @@ def test_advice_r4_fixes(ray_session):
         assert blocks.nonempty_blocks(empty) is None
     finally:
         rds.MaterializedDataset.iter_internal_ref_bundles = orig
+
+
+def test_driver_histogram_guard(ray_session):
+    """The shared driver-side histogram guard (global_rank / winsorize /
+    quality_filter route through it) fails loudly past the bound
+    instead of pulling an uncompressible key domain onto the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from govuk_crawler_worker_ray.pipelines.blocks import (
+        driver_histogram,
+    )
+
+    agg = (rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+           .groupby("k").aggregate(Count(alias_name="n")))
+    with pytest.raises(ValueError, match="histogram-compressible"):
+        driver_histogram(agg, "test_op", bound=2)
+    h = driver_histogram(agg, "test_op", bound=3)
+    assert len(h) == 3
