@@ -565,6 +565,198 @@ _DENSE_MAX_BYTES = 256 << 20
 _DENSE_CHUNK_ROWS = 512
 
 
+# bucketed middle-regime gates: broadcast budget for the per-doc
+# gram-id arrays, docs per size block, and the local-alphabet size
+# past which a block pair falls back from dense matmul to per-pair
+# sorted intersects
+_BUCKET_MAX_BYTES = 2 << 30
+_BUCKET_ROWS = 512
+_BUCKET_DENSE_ALPHABET = 1 << 17
+
+
+def _ngram_allpairs_bucketed(ds, threshold: float, n: int) -> pa.Table:
+    """Exact all-pairs Jaccard for the MIDDLE regime (mode="bucketed"):
+    alphabet too large for the dense membership matrix, similarity too
+    dense for prefix filtering to prune (every hot gram's prefix bucket
+    is a near-all-pairs join plus shuffle overhead).
+
+    Length-bucket partitioning: docs sort by (|grams|, doc_id) into
+    ``_BUCKET_ROWS``-row blocks; with sizes ascending, a block pair
+    (i <= j) can contain a J >= t pair only if
+    ``max_sz(i) >= t * min_sz(j)`` (the PPJoin size filter at block
+    granularity), so whole block pairs skip without touching a row.
+    Each admissible pair computes EXACT intersection counts by one of
+    two kernels, chosen per block pair by a cost model: an
+    INVERTED-INDEX incidence count (sort both blocks' (gram, row)
+    streams, cross the per-common-gram row lists, one bincount — work
+    is exactly T = Σ ci*cj, the number of (doc pair, shared gram)
+    incidences) or, when T approaches the dense bound ni*nj*avg_sz, a
+    block-LOCAL float32 matmul over the pair's union alphabet (BLAS
+    retires flops ~200x faster per op, but only wins when blocks are
+    truly dense; never chosen past ``_BUCKET_DENSE_ALPHABET``).  Block
+    pairs fan out as a Dataset (the ``_ngram_allpairs_dense`` chunking
+    pattern).
+
+    Broadcast bound: the per-doc gram-id arrays ship ONCE via
+    ``ray.put`` (~8 bytes per distinct gram per doc) behind a
+    ``_BUCKET_MAX_BYTES`` guard — this regime's OUTPUT is inherently
+    near-quadratic, so corpora here are moderate by nature; past the
+    guard the honest tool is ``minhash_lsh_dedup``."""
+    import ray
+    import ray.data as rd
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids_, szs_, gl = [], [], []
+        for did, text in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            g = _gram_ids(text, n)
+            if len(g) == 0:
+                continue
+            ids_.append(did)
+            szs_.append(len(g))
+            gl.append(g.tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids_, pa.int64()),
+            "sz": pa.array(szs_, pa.int64()),
+            "grams": pa.array(gl, pa.binary()),
+        })
+
+    parts = [b for b in (cpu_split(ds)
+                         .map_batches(gram_rows, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))
+             if b.num_rows]
+    if not parts:
+        return _empty_pairs()
+    t = pa.concat_tables(parts)
+    total_bytes = int(pc.sum(pc.binary_length(t["grams"])).as_py() or 0)
+    if total_bytes > _BUCKET_MAX_BYTES:
+        raise ValueError(
+            f"ngram_jaccard bucketed mode: gram arrays total "
+            f"{total_bytes >> 20} MiB > {_BUCKET_MAX_BYTES >> 20} MiB "
+            "broadcast budget — at this scale the output is "
+            "quadratic-infeasible; use minhash_lsh_dedup")
+    ids = t["doc_id"].to_numpy()
+    szs = t["sz"].to_numpy()
+    order = np.lexsort((ids, szs))  # size asc, doc_id tiebreak
+    ids = ids[order].copy()
+    szs = szs[order].copy()
+    gl = t["grams"].to_pylist()
+    grams = [np.frombuffer(gl[i], dtype=np.uint64) for i in order]
+    bref = ray.put((ids, szs, grams))
+
+    n_docs = len(ids)
+    bounds = list(range(0, n_docs, _BUCKET_ROWS))
+    nb = len(bounds)
+    his = [min(lo + _BUCKET_ROWS, n_docs) for lo in bounds]
+    pairs_i, pairs_j = [], []
+    for i in range(nb):
+        max_sz_i = int(szs[his[i] - 1])
+        for j in range(i, nb):
+            if max_sz_i >= threshold * int(szs[bounds[j]]):
+                pairs_i.append(i)
+                pairs_j.append(j)
+    if not pairs_i:
+        return _empty_pairs()
+    chunks = rd.from_arrow(pa.table({
+        "bi": pa.array(pairs_i, pa.int64()),
+        "bj": pa.array(pairs_j, pa.int64()),
+    }))
+
+    def _seg(grams_, lo, hi):
+        """Inverted-index view of one block: sorted unique grams, and
+        per-gram row lists as (offsets, row array)."""
+        g = np.concatenate(grams_[lo:hi])
+        r = np.repeat(np.arange(hi - lo, dtype=np.int64),
+                      [len(grams_[x]) for x in range(lo, hi)])
+        o = np.argsort(g, kind="stable")
+        g, r = g[o], r[o]
+        u, start, cnt = np.unique(g, return_index=True,
+                                  return_counts=True)
+        return u, start, cnt, r
+
+    def compute(b: pa.Table) -> pa.Table:
+        ids_, szs_, grams_ = ray.get(bref)
+        out_a, out_b, out_j = [], [], []
+        for bi, bj in zip(b["bi"].to_numpy(), b["bj"].to_numpy()):
+            ilo, ihi = bounds[bi], his[bi]
+            jlo, jhi = bounds[bj], his[bj]
+            ni, nj = ihi - ilo, jhi - jlo
+            u_i, st_i, ct_i, rows_i = _seg(grams_, ilo, ihi)
+            if bi == bj:
+                u_j, st_j, ct_j, rows_j = u_i, st_i, ct_i, rows_i
+            else:
+                u_j, st_j, ct_j, rows_j = _seg(grams_, jlo, jhi)
+            _, ix_i, ix_j = np.intersect1d(u_i, u_j,
+                                           assume_unique=True,
+                                           return_indices=True)
+            ci, cj = ct_i[ix_i], ct_j[ix_j]
+            T = int((ci * cj).sum())  # (doc pair, shared gram) count
+            G = max(len(u_i), len(u_j))
+            # cost model: inverted-index work is T incidence ops;
+            # dense matmul is ni*nj*G_local float32 flops but BLAS
+            # retires them ~200x faster per op — matmul wins only in
+            # the truly dense blocks (T approaching ni*nj*avg_sz)
+            if T * 200 <= ni * nj * G or G > _BUCKET_DENSE_ALPHABET:
+                # per-common-gram cross products, fully vectorized:
+                # for gram k (ci[k] i-docs x cj[k] j-docs) enumerate
+                # the block of ci*cj incidences by flat position
+                tk = ci * cj
+                tot = int(tk.sum())
+                inter = np.zeros((ni, nj), np.int64)
+                if tot:
+                    gid = np.repeat(np.arange(len(tk)), tk)
+                    pos = (np.arange(tot, dtype=np.int64)
+                           - np.repeat(np.cumsum(tk) - tk, tk))
+                    cjg = cj[gid]
+                    pi = rows_i[st_i[ix_i][gid] + pos // cjg]
+                    pj = rows_j[st_j[ix_j][gid] + pos % cjg]
+                    counts = np.bincount(pi * nj + pj,
+                                         minlength=ni * nj)
+                    inter = counts.reshape(ni, nj).astype(np.int64)
+            else:
+                local = (u_i if bi == bj
+                         else np.union1d(u_i, u_j))
+                Gl = len(local)
+
+                def mat(lo, hi):
+                    M = np.zeros((hi - lo, Gl), np.float32)
+                    for x in range(lo, hi):
+                        M[x - lo, np.searchsorted(local,
+                                                  grams_[x])] = 1.0
+                    return M
+
+                Mi = mat(ilo, ihi)
+                Mj = Mi if bi == bj else mat(jlo, jhi)
+                inter = np.rint(Mi @ Mj.T).astype(np.int64)
+            union = (szs_[ilo:ihi, None] + szs_[None, jlo:jhi]
+                     - inter)
+            jac = inter.astype(np.float64) / union
+            keep = jac >= threshold
+            if bi == bj:
+                keep &= (np.arange(jlo, jhi)[None, :]
+                         > np.arange(ilo, ihi)[:, None])
+            r, c = np.nonzero(keep)
+            ia, ib = ids_[ilo + r], ids_[jlo + c]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_j.append(jac[r, c])
+        if not out_a:
+            return _empty_pairs()
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "jaccard": pa.array(np.concatenate(out_j), pa.float64()),
+        })
+
+    outs = [b for b in chunks.map_batches(
+        compute, batch_format="pyarrow", batch_size=1).iter_batches(
+            batch_format="pyarrow") if b.num_rows]
+    if not outs:
+        return _empty_pairs()
+    return pa.concat_tables(outs).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def _ngram_allpairs_dense(ds, threshold: float, n: int,
                           grams2: np.ndarray) -> pa.Table:
     """Exact all-pairs Jaccard for the DEGENERATE small-alphabet regime
@@ -702,13 +894,24 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
     oracle's ``CAST(i AS DOUBLE) / (na + nb - i)``.
 
     ``mode``: "prefix" forces the prefix-filter join, "dense" forces
-    the all-pairs membership-matrix path, "auto" (default) picks dense
-    when the live alphabet is small — the regime where prefix filtering
+    the all-pairs membership-matrix path, "bucketed" is the MIDDLE
+    regime (large alphabet AND dense similarity, where the dense
+    matrix won't fit and prefix buckets degenerate to all-pairs plus
+    shuffle overhead): length-bucketed exact all-pairs with the PPJoin
+    size filter applied at block granularity — see
+    ``_ngram_allpairs_bucketed``.  "auto" (default) picks dense when
+    the live alphabet is small — the regime where prefix filtering
     cannot prune (template corpora: every doc shares most grams, the
     candidate join IS all-pairs plus overhead, and the true output is
     quadratic anyway).  See ``_ngram_allpairs_dense``."""
     import ray
 
+    if mode not in ("auto", "prefix", "dense", "bucketed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "bucketed":
+        # middle regime (explicit): large alphabet AND dense similarity
+        # — length-bucketed exact all-pairs, no df pass needed
+        return _ngram_allpairs_bucketed(ds, threshold, n)
     df_parts = [b for b in _gram_df(ds, n)
                 .iter_batches(batch_format="pyarrow")]
     if not df_parts:
@@ -718,8 +921,6 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.5, n: int = 3,
            .astype(np.uint64, copy=False))
     dfc = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(dfg)
-    if mode not in ("auto", "prefix", "dense"):
-        raise ValueError(f"unknown mode {mode!r}")
     if mode != "prefix":
         grams2 = dfg[o][dfc[o] >= 2]
         if len(grams2) == 0:

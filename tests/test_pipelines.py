@@ -105,7 +105,7 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds):
 
     texts = {r["doc_id"]: r["text"]
              for r in _docs_table().to_pylist()}
-    for mode in ("prefix", "dense"):
+    for mode in ("prefix", "dense", "bucketed"):
         for t in (0.3, 0.5, 0.9):
             out = ngram_jaccard_dedup(docs_ds, threshold=t, n=3,
                                       mode=mode)
@@ -2566,3 +2566,60 @@ def test_driver_histogram_guard(ray_session):
         driver_histogram(agg, "test_op", bound=2)
     h = driver_histogram(agg, "test_op", bound=3)
     assert len(h) == 3
+
+
+def test_ngram_bucketed_middle_regime(ray_session, monkeypatch):
+    """Planted MIDDLE-regime corpus (large alphabet x dense
+    similarity): mode="bucketed" equals the all-pairs bruteforce, with
+    multiple size blocks (tiny _BUCKET_ROWS), the block-level size
+    filter skipping far buckets, AND both block-pair kernels (the
+    inverted-index count on the sparse CJK corpus; the dense local
+    matmul on a small-alphabet template corpus where the cost model
+    flips)."""
+    import random
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines import dedup
+
+    rng = random.Random(7)
+    # large alphabet: CJK-range codepoints inflate distinct trigrams
+    # far past _DENSE_MAX_ALPHABET; dense similarity: mutation families
+    alpha = [chr(0x4E00 + i) for i in range(600)]
+    texts = []
+    for _ in range(12):
+        base = "".join(rng.choice(alpha)
+                       for _ in range(rng.randint(20, 120)))
+        texts.append(base)
+        for _ in range(3):  # near-dup family
+            i = rng.randrange(len(base))
+            texts.append(base[:i] + rng.choice(alpha) + base[i:])
+    # plus short outliers the block size filter prunes against the rest
+    texts.extend("".join(rng.choice(alpha) for _ in range(4))
+                 for _ in range(6))
+    tmap = dict(enumerate(texts))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(4)
+    monkeypatch.setattr(dedup, "_BUCKET_ROWS", 8)
+    want = {t: dedup.ngram_jaccard_bruteforce(tmap, t, 3)
+            for t in (0.4, 0.7)}
+    for t in (0.4, 0.7):
+        out = dedup.ngram_jaccard_dedup(ds, threshold=t, n=3,
+                                        mode="bucketed")
+        got = list(zip(out["doc_a"].to_pylist(),
+                       out["doc_b"].to_pylist(),
+                       out["jaccard"].to_pylist()))
+        assert got == want[t], t
+    # dense-kernel coverage: a tiny-alphabet template corpus makes the
+    # cost model pick the local matmul inside the same bucketed path
+    t2 = ["abcabcabc" + "abc" * k for k in range(8)] * 2
+    tmap2 = dict(enumerate(t2))
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(t2)), pa.int64()),
+        "text": pa.array(t2, pa.string())}))
+    out = dedup.ngram_jaccard_dedup(ds2, threshold=0.4, n=3,
+                                    mode="bucketed")
+    got = list(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist(),
+                   out["jaccard"].to_pylist()))
+    assert got == dedup.ngram_jaccard_bruteforce(tmap2, 0.4, 3)
