@@ -100,12 +100,14 @@ def bench_crawl(num_cpus: int) -> dict:
     # workers add steal, not throughput; override with GCW_WORKERS
     workers = int(os.environ.get("GCW_WORKERS",
                                  min(16, max(4, num_cpus))))
-    # seen shards scale with the session's CPUs: the commit phases
-    # parallelize over shards, so a fixed count caps the wide level's
-    # commit speed (crawl results are shard-count invariant — pinned by
-    # the S=1 vs S=8 golden-parity tests)
-    shards = int(os.environ.get("GCW_SHARDS",
-                                min(16, max(8, num_cpus))))
+    # seen shards: 8 flat.  Round-4 interleaved 1M-page probes measured
+    # S=8 beating S=16 at BOTH 16 and 32 CPUs (160.6k vs 81.9k u/s at
+    # 16c; 122.4k vs 94.3k at 32c): each fetch chunk stages S RPCs and
+    # the commit exchange is O(S*P) fixed overhead, so extra shards
+    # cost more than their commit parallelism returns on one node.
+    # Crawl results are shard-count invariant (S=1 vs S=8 golden-parity
+    # tests); raise GCW_SHARDS on real multi-node memory footprints.
+    shards = int(os.environ.get("GCW_SHARDS", "8"))
     cfg = CrawlConfig(root_urls=list(ROOT_URLS),
                       crawler_threads=workers,
                       num_seen_shards=shards,

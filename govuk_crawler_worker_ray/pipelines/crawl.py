@@ -296,6 +296,9 @@ class CrawlEngine:
         # get fresh seqs from this DESCENDING negative range each round
         # (see _apply_priorities); persisted in the round manifest
         self._neg_seq = 0
+        # storage-mode part row counts, returned by commit_phase2 with
+        # the paths (saves the per-round driver footer scan)
+        self._part_rows: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def run(self, seeds: list[str], now: float = 0.0,
@@ -837,7 +840,12 @@ class CrawlEngine:
         fetched_dir = os.path.join(rdir, "fetched")
         os.makedirs(fetched_dir, exist_ok=True)
         _t0 = _time.perf_counter()
-        part_rows = sum(pq.read_metadata(p).num_rows for p in parts)
+        # part sizes come back with the ph2 paths; the footer read is
+        # only the fallback for paths from a resume manifest or the
+        # worker-written deferred parts
+        part_rows = sum(self._part_rows[p] if p in self._part_rows
+                        else pq.read_metadata(p).num_rows
+                        for p in parts)
         m = {"round": rnd, "frontier": driver_rows.num_rows + part_rows,
              "fetched": 0, "published": 0, "blacklisted": 0, "rejected": 0,
              "requeued": 0, "non_accepted": 0, "deferred": 0,
@@ -1028,13 +1036,17 @@ class CrawlEngine:
         new_parts: list[str] = []
         clash_tables: list[pa.Table] = []
         total_winners = 0
-        for paths, clash_t, n_w in ph2:
+        for paths, path_rows, clash_t, n_w in ph2:
             new_parts.extend(paths)
+            self._part_rows.update(zip(paths, path_rows))
             if clash_t.num_rows:
                 clash_tables.append(clash_t)
             total_winners += n_w
         m["published"] = total_winners
         new_parts.extend(defer_paths)
+        # prune: only live (next-round) parts need their size cached
+        self._part_rows = {p: self._part_rows[p] for p in new_parts
+                           if p in self._part_rows}
         dd_parts = ([deferred_driver.select(
             ["discovered_seq", "url", "host", "url_digest", "attempt",
              "priority"])] if deferred_driver.num_rows else [])

@@ -506,7 +506,11 @@ class SeenShard:
                       clash_digests, out_dir: str, max_rows: int,
                       file_prefix: str):
         """Assign seqs, split clash rows, write parquet parts.
-        -> (file paths, clash winner table with seqs, n_winners)."""
+        -> (file paths, per-file row counts, clash winner table with
+        seqs, n_winners).  Row counts ride back with the paths so the
+        driver never re-reads parquet footers to size the next round
+        (the per-part metadata scan was a serial driver cost that grew
+        with part count)."""
         import os
 
         import ray
@@ -516,7 +520,7 @@ class SeenShard:
         self._pending_winners = None
         self._partition_bounds = []
         if t is None or t.num_rows == 0:
-            return [], _empty_winner_frontier(), 0
+            return [], [], _empty_winner_frontier(), 0
         ref_pos = [p for p, r in enumerate(rank_refs)
                    if isinstance(r, ray.ObjectRef)]
         if ref_pos:
@@ -552,11 +556,14 @@ class SeenShard:
             clash = _empty_winner_frontier()
         os.makedirs(out_dir, exist_ok=True)
         paths = []
+        rows = []
         for j, off in enumerate(range(0, frontier.num_rows, max_rows)):
             path = os.path.join(out_dir, f"{file_prefix}-{j:04d}.parquet")
-            pq.write_table(frontier.slice(off, max_rows), path)
+            sl = frontier.slice(off, max_rows)
+            pq.write_table(sl, path)
             paths.append(path)
-        return paths, clash, t.num_rows
+            rows.append(sl.num_rows)
+        return paths, rows, clash, t.num_rows
 
     def replay_events_arrow(self, digests, kinds, now: float):
         """Arrow-argument variant of replay: the driver ships pa.Arrays
