@@ -661,6 +661,16 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8, n=3)
 
 
+def _q_ngram_jaccard_bucketed(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    # the MIDDLE-regime shape (length-bucketed exact all-pairs with the
+    # block-level PPJoin size filter) — exact, so it shares
+    # ngram_jaccard's first-principles SQL oracle verbatim
+    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8, n=3,
+                               mode="bucketed")
+
+
 def _q_neardup_components(sf_dir: str):
     """End-to-end near-dup clustering: minhash-LSH verified pairs ->
     distributed min-label-propagation connected components (rows-only:
@@ -1481,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_bucketed": _q_ngram_jaccard_bucketed,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
@@ -1847,7 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COALESCE(sum(cost) OVER (ORDER BY h, doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
         "AS BIGINT) AS tok_start FROM c)")
-    return {
+    sql = {
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"),
@@ -2960,3 +2971,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, component FROM "
             f"read_parquet('{gmh['neardup_components']}')"),
     }
+    # the bucketed middle-regime plan is exact, so it shares
+    # ngram_jaccard's first-principles SQL oracle verbatim
+    sql["ngram_jaccard_bucketed"] = sql["ngram_jaccard"]
+    return sql

@@ -56,6 +56,7 @@ ORACLE_KEYS = [
     "asof_join", "range_join", "sliding_window", "distinct_users_daily",
     "stratified_sample", "media_features", "video_frames",
     "kmv_distinct", "token_df", "value_quantiles", "ngram_jaccard",
+    "ngram_jaccard_bucketed",
     "anti_join", "group_topk", "text_normalize", "simhash_neardup",
     "quantize_embeddings", "bpe_token_count", "conversion_funnel",
     "pagerank", "event_gaps", "doc_quartiles", "events_rollup",
