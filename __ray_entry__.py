@@ -1108,6 +1108,14 @@ def _q_lang_mix(sf_dir: str):
     return lang_mix(docs)
 
 
+def _q_domain_mix(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.text_analysis import domain_mix
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["source", "text"])
+    return domain_mix(docs)
+
+
 def _q_source_cap(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sampling import source_cap
 
@@ -1512,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": _q_user_retention,
         "source_cap": _q_source_cap,
         "lang_mix": _q_lang_mix,
+        "domain_mix": _q_domain_mix,
         "gap_fill": _q_gap_fill,
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
@@ -2578,6 +2587,21 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) * 1000000) // "
             "(sum(count(*)) OVER (PARTITION BY source)) AS share_ppm "
             "FROM documents GROUP BY source, lang"),
+        # sqrt-flattened per-source mixing weights; all-integer ppm
+        # (isqrt == FLOOR(SQRT(x)) exactly for x < 2^52)
+        "domain_mix": (
+            "WITH t AS (SELECT source, "
+            f"CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) "
+            "AS tok FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(tok) AS BIGINT) AS n_tokens, "
+            "CAST((sum(tok) * 1000000) // (sum(sum(tok)) OVER ()) "
+            "AS BIGINT) AS token_share_ppm, "
+            "CAST((CAST(FLOOR(SQRT(CAST(sum(tok) AS DOUBLE))) AS BIGINT)"
+            " * 1000000) // "
+            "(sum(CAST(FLOOR(SQRT(CAST(sum(tok) AS DOUBLE))) AS BIGINT))"
+            " OVER ()) AS BIGINT) AS weight_ppm "
+            "FROM t GROUP BY source"),
         # per-source cap by md5(doc_id) rank — same hash contract as
         # stratified_sample (rank over the full 32-hex digest)
         "source_cap": (

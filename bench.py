@@ -192,7 +192,9 @@ def bench_queries() -> dict:
              "corr_stats", "mm_quality_gate", "interleaved_dedup",
              "lang_mix", "gap_fill", "moving_avg", "table_profile",
              "winsorize", "assemble_features", "compact_files",
-             "c4_pipeline", "interleaved_curation", "percent_rank"]
+             "c4_pipeline", "interleaved_curation", "percent_rank",
+             # round-4 additions (same caveat)
+             "ngram_jaccard_bucketed"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
@@ -447,9 +449,14 @@ def run_scaling() -> dict:
     all_runs: dict[int, list] = {lo: [], hi: []}
     # INTERLEAVE the repetitions (lo, hi, lo, hi, ...): the host's
     # deliverable compute drifts under sustained load, so grouping all
-    # lo runs before all hi runs biases whichever level ran first
+    # lo runs before all hi runs biases whichever level ran first.
+    # GCW_SCALE_ORDER=hilo reverses the inner order — the
+    # order-permutation CONTROL (a raw-efficiency shift under hilo with
+    # zero engine change measures host drift, not the engine)
+    inner = ((hi, lo) if os.environ.get("GCW_SCALE_ORDER") == "hilo"
+             else (lo, hi))
     for _ in range(reps):
-        for n in (lo, hi):
+        for n in inner:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GCW_BENCH_PAGES=str(pages),
                        # scaling has its own rep structure: interleaved

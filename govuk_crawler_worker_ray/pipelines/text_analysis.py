@@ -456,6 +456,69 @@ def lang_mix(ds):
     return detail.map_batches(share, batch_format="pyarrow")
 
 
+def domain_mix(ds):
+    """Per-source mixing weights for a training-data blend: (source,
+    n_docs, n_tokens, token_share_ppm, weight_ppm).  token_share_ppm
+    is the exact integer ppm share of whitespace tokens (TOKEN_RE,
+    same contract as token_count); weight_ppm is the sqrt-flattened
+    mix — weight proportional to isqrt(n_tokens) — the standard
+    temperature-style reweighting that upweights small domains
+    relative to their raw token share (the tau=2 point of the
+    p_i^(1/tau) family used in multilingual/multi-domain pretraining
+    recipes).  All-integer arithmetic: isqrt + floor-division ppm, so
+    the result is summation-order-free and the DuckDB twin
+    (FLOOR(SQRT(x)) == isqrt(x) exactly for x < 2^52 — web-scale
+    per-source token counts sit comfortably under it) hash-matches.
+
+    Same shuffle shape as lang_mix: per-batch combiner pre-aggregates
+    (source, docs, tokens), one |sources|-row groupby, then the two
+    scalar totals broadcast from the driver (source is a registrable
+    domain at web scale, ~10^7 keys, driver-safe; past that swap the
+    totals for a tiny cross-join against a 1-row aggregate).  Python
+    bigint arithmetic in the final map dodges int64 overflow of
+    tokens * 1e6 at the 10^13-token scale."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": b["source"].to_pylist(),
+                           "n": 1, "tok": tok})
+        g = df.groupby("source", as_index=False).agg(
+            p_n=("n", "sum"), p_tok=("tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("p_n", alias_name="n_docs"),
+                         Sum("p_tok", alias_name="n_tokens"))
+              .materialize())
+    tot_tok, tot_sqrt = 0, 0
+    for b in detail.iter_batches(batch_format="pyarrow"):
+        for t in b["n_tokens"].to_pylist():
+            tot_tok += int(t)
+            tot_sqrt += math.isqrt(int(t))
+
+    def weights(b: pa.Table) -> pa.Table:
+        toks = [int(t) for t in b["n_tokens"].to_pylist()]
+        share = [(t * 1_000_000) // max(tot_tok, 1) for t in toks]
+        w = [(math.isqrt(t) * 1_000_000) // max(tot_sqrt, 1)
+             for t in toks]
+        return pa.table({
+            "source": b["source"],
+            "n_docs": b["n_docs"],
+            "n_tokens": pa.array(toks, pa.int64()),
+            "token_share_ppm": pa.array(share, pa.int64()),
+            "weight_ppm": pa.array(w, pa.int64()),
+        })
+
+    return detail.map_batches(weights, batch_format="pyarrow")
+
+
 def quality_filter(ds, q: float = 0.5):
     """Global-quantile quality gate: keep documents at or above the
     corpus's exact discrete ``q``-quantile of quality_points (the
