@@ -247,7 +247,11 @@ class FetchWorkerPool:
         # object-store refs that a restart could lose).
         # num_cpus=0.5 so pool + seen shards co-schedule on small sessions
         # (workers block on shard RPCs part of the time anyway).
-        cls = ray.remote(num_cpus=0.5, max_restarts=0)(FetchWorker)
+        # SPREAD: on a multi-node cluster fetch workers balance across
+        # nodes (each node fetches against its local object-store copy
+        # of the corpus ref); on one node it is a no-op.
+        cls = ray.remote(num_cpus=0.5, max_restarts=0,
+                         scheduling_strategy="SPREAD")(FetchWorker)
         self.workers = [cls.remote(corpus_ref, cfg, seen_shards,
                                    allowed_hosts) for _ in range(size)]
         self.size = size

@@ -694,7 +694,15 @@ def make_shard_actors(num_shards: int, ttl_seconds: float,
     # always be schedulable — fractional reservations deadlock tiny
     # sessions (8 shards x 0.25 fills a 2-CPU session before the fetch
     # pool gets a token).
-    actor_cls = ray.remote(num_cpus=0, max_restarts=2)(SeenShard)
+    # SPREAD: on a multi-node cluster the shards land on distinct nodes
+    # (each node hosts ~S/nodes shards, so replay/commit parallelism and
+    # seen-set memory scale with the cluster instead of stacking on the
+    # head node — the "placement" half of the N->4N scaling design).  On
+    # one node it is a no-op; a placement group is deliberately NOT used
+    # because reserving whole-CPU bundles for bursty actors would idle
+    # those cores during the fetch phase (measured single-node loss).
+    actor_cls = ray.remote(num_cpus=0, max_restarts=2,
+                           scheduling_strategy="SPREAD")(SeenShard)
     return [
         actor_cls.options(name=f"{namespace}_shard_{i}", get_if_exists=True)
         .remote(i, ttl_seconds, expected_keys)
