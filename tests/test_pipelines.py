@@ -2209,6 +2209,25 @@ def test_lang_mix(ray_session):
                    ("s2", "zh"): (1, 1000000)}
 
 
+def test_domain_mix(ray_session):
+    """Hand-computed sqrt flattening: tokens 9/1 -> isqrt 3/1 ->
+    weights 750000/250000 ppm vs raw shares 900000/100000 (the small
+    domain is upweighted); all integer floor division."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import domain_mix
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "text": pa.array(["a b c d e", "f g h i", "x"], pa.string()),
+    })).repartition(2)
+    got = {r["source"]: (r["n_docs"], r["n_tokens"],
+                         r["token_share_ppm"], r["weight_ppm"])
+           for r in domain_mix(docs).take_all()}
+    assert got == {"s1": (2, 9, 900000, 750000),
+                   "s2": (1, 1, 100000, 250000)}
+
+
 def test_gap_fill_hourly(ray_session):
     """Missing hours appear with n_events = 0 across every type; the
     grid spans the GLOBAL min..max bucket."""
