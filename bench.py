@@ -196,6 +196,13 @@ def bench_queries() -> dict:
              # round-4 additions (same caveat)
              "ngram_jaccard_bucketed"]
     qs = entrymod.queries()
+    # warm the Ray worker pool before timing: the first map_batches of a
+    # fresh session otherwise pays worker-process spawn + import inside
+    # the first pick's number (dedup_exact read 2-4x its isolated time
+    # as the perennial first pick)
+    import ray.data as _rd
+    _rd.range(10_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
     out = {}
     for name in picks:
         t0 = time.perf_counter()
