@@ -1116,6 +1116,16 @@ def _q_domain_mix(sf_dir: str):
     return domain_mix(docs)
 
 
+def _q_domain_mix_sample(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        domain_mix_sample,
+    )
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "source", "text"])
+    return domain_mix_sample(docs, budget_docs=200)
+
+
 def _q_source_cap(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sampling import source_cap
 
@@ -1521,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "lang_mix": _q_lang_mix,
         "domain_mix": _q_domain_mix,
+        "domain_mix_sample": _q_domain_mix_sample,
         "gap_fill": _q_gap_fill,
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
@@ -2602,6 +2613,24 @@ def oracle_sql() -> dict[str, str]:
             "(sum(CAST(FLOOR(SQRT(CAST(sum(tok) AS DOUBLE))) AS BIGINT))"
             " OVER ()) AS BIGINT) AS weight_ppm "
             "FROM t GROUP BY source"),
+        # the blend materialized: per-source quota from the sqrt
+        # weights, lowest-md5-rank docs kept (source_cap contract)
+        "domain_mix_sample": (
+            "WITH t AS (SELECT source, "
+            f"CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) "
+            "AS tok FROM documents), "
+            "w AS (SELECT source, "
+            "CAST(FLOOR(SQRT(CAST(sum(tok) AS DOUBLE))) AS BIGINT) "
+            "AS sq FROM t GROUP BY source), "
+            "q AS (SELECT source, "
+            "CAST((sq * 200) // (sum(sq) OVER ()) AS BIGINT) AS quota "
+            "FROM w), "
+            "r AS (SELECT doc_id, source, CAST(row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS rank FROM documents) "
+            "SELECT r.doc_id, r.source, r.rank FROM r JOIN q USING "
+            "(source) WHERE r.rank <= q.quota"),
         # per-source cap by md5(doc_id) rank — same hash contract as
         # stratified_sample (rank over the full 32-hex digest)
         "source_cap": (

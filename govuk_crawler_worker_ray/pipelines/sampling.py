@@ -166,6 +166,90 @@ def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
             .map_groups(cap_part, batch_format="pandas"))
 
 
+def domain_mix_sample(ds, budget_docs: int = 200,
+                      num_partitions: int | None = None):
+    """Materialize a sqrt-flattened domain blend: keep, per source,
+    the ``quota_s = (isqrt(tokens_s) * budget_docs) // sum_s
+    isqrt(tokens_s)`` documents with the lowest md5(doc_id) rank —
+    ``domain_mix`` made actionable (the weights op computes the blend;
+    this op samples it).  Output (doc_id, source, rank), the
+    ``source_cap`` contract with a per-source quota instead of a
+    constant cap.  All-integer quota arithmetic (isqrt + floor
+    division) and hash-rank selection keep the kept set stable under
+    re-partitioning, resume, and cluster size, and let the DuckDB
+    twin reproduce it row-for-row.
+
+    Plan shape: pass 1 is the domain_mix combiner (per-batch (source,
+    tok) partials -> one |sources|-row groupby) and the quota dict
+    broadcasts from the driver (registrable-domain cardinality, same
+    bound as lang_mix); pass 2 hash-partitions (doc_id, source, h) by
+    source — text never moves — and runs one vectorized sort +
+    cumcount per partition.  Hot sources are bounded by their quota.
+    The input is read twice; that is the streaming-correct trade
+    against materializing a scored 10^10-row dataset."""
+    import math
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .blocks import default_partitions
+    from .text_analysis import TOKEN_RE
+
+    P = default_partitions() if num_partitions is None \
+        else num_partitions
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": b["source"].to_pylist(),
+                           "tok": tok})
+        g = df.groupby("source", as_index=False).agg(
+            p_tok=("tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (ds.map_batches(tok_partial, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("p_tok", alias_name="n_tokens"))
+              .materialize())
+    sqrts: dict[str, int] = {}
+    for b in detail.iter_batches(batch_format="pyarrow"):
+        for s, t in zip(b["source"].to_pylist(),
+                        b["n_tokens"].to_pylist()):
+            sqrts[s] = sqrts.get(s, 0) + math.isqrt(int(t))
+    tot_sqrt = max(sum(sqrts.values()), 1)
+    quotas = {s: (sq * budget_docs) // tot_sqrt
+              for s, sq in sqrts.items()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        h = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        part = [zlib.crc32(s.encode("utf-8")) % P for s in srcs]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "h": pa.array(h, pa.string()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"])
+        g["rank"] = (g.groupby("source", sort=False).cumcount() + 1
+                     ).astype(np.int64)
+        q = g["source"].map(lambda s: quotas.get(s, 0)).astype(np.int64)
+        g = g[g["rank"] <= q]
+        return g[["doc_id", "source", "rank"]]
+
+    return (ds.select_columns(["doc_id", "source"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(take_quota, batch_format="pandas"))
+
+
 def priority_sample(ds, k: int = 25):
     """Deterministic weight-proportional priority sample (Duffield,
     Lund & Thorup, JACM 2007): each doc gets priority = w / u with

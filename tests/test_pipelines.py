@@ -2228,6 +2228,34 @@ def test_domain_mix(ray_session):
                    "s2": (1, 1, 100000, 250000)}
 
 
+def test_domain_mix_sample(ray_session):
+    """tokens s1=9, s2=1 -> isqrt 3/1, tot 4.  budget 2: quotas
+    s1 = 3*2//4 = 1, s2 = 2//4 = 0 -> exactly the lowest-md5 s1 doc
+    survives.  budget 8: quotas 6/2 -> everything survives (rank
+    bounded by n_docs)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.sampling import (
+        domain_mix_sample,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2"], pa.string()),
+        "text": pa.array(["w x y z", "p q r s", "m", "k"], pa.string()),
+    })).repartition(2)
+    got = {r["doc_id"]: (r["source"], r["rank"])
+           for r in domain_mix_sample(docs, budget_docs=2).take_all()}
+    first_s1 = min(["a", "b", "c"],
+                   key=lambda d: (hashlib.md5(d.encode()).hexdigest(), d))
+    assert got == {first_s1: ("s1", 1)}
+    got8 = {r["doc_id"] for r in
+            domain_mix_sample(docs, budget_docs=8).take_all()}
+    assert got8 == {"a", "b", "c", "d"}
+
+
 def test_gap_fill_hourly(ray_session):
     """Missing hours appear with n_events = 0 across every type; the
     grid spans the GLOBAL min..max bucket."""
