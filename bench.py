@@ -194,7 +194,8 @@ def bench_queries() -> dict:
              "winsorize", "assemble_features", "compact_files",
              "c4_pipeline", "interleaved_curation", "percent_rank",
              # round-4 additions (same caveat)
-             "ngram_jaccard_bucketed"]
+             "ngram_jaccard_bucketed", "domain_mix",
+             "domain_mix_sample"]
     qs = entrymod.queries()
     # warm the Ray worker pool before timing: the first map_batches of a
     # fresh session otherwise pays worker-process spawn + import inside
