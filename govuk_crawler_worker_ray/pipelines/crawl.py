@@ -788,9 +788,13 @@ class CrawlEngine:
                 continue
             taken[h] = a
             deferred_n += total - a
-            thresholds[h] = (np.partition(
-                np.asarray(cands[h], dtype=np.int64), a - 1)[a - 1]
-                if a > 0 else -1)
+            # "take none" sentinel must sit BELOW every possible seq:
+            # priority rows carry negative seqs (_apply_priorities runs
+            # before this gate), so -1 would wrongly admit them for a
+            # zero-budget (429-backed-off) host
+            thresholds[h] = (int(np.partition(
+                np.asarray(cands[h], dtype=np.int64), a - 1)[a - 1])
+                if a > 0 else int(np.iinfo(np.int64).min))
         if tok is not None:
             # carry-over accounting + re-arm, exactly as the in-memory
             # gate: only hosts present in this round's frontier update
@@ -1341,7 +1345,9 @@ def _dataset_to_table(ds) -> pa.Table:
 def run_crawl(corpus: pa.Table, seeds: list[str], cfg: CrawlConfig,
               out_dir: str, use_ray: bool = True,
               small_round_threshold: int = 0,
-              resume: bool = False, now: float = 0.0) -> CrawlResult:
+              resume: bool = False, now: float = 0.0,
+              seed_priorities: list[int] | None = None) -> CrawlResult:
     eng = CrawlEngine(corpus, cfg, out_dir, use_ray=use_ray,
                       small_round_threshold=small_round_threshold)
-    return eng.run(seeds, now=now, resume=resume)
+    return eng.run(seeds, now=now, resume=resume,
+                   seed_priorities=seed_priorities)

@@ -495,6 +495,62 @@ def test_seed_priorities_order_storage(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_priority_seed_respects_429_backoff_storage(tmp_path):
+    """A PRIORITIZED seed whose host is 429-backed-off must still be
+    deferred in storage mode: priority rows carry negative seqs
+    (renumbered by _apply_priorities before the budget gate), so the
+    zero-availability threshold sentinel must sit below every possible
+    seq — a -1 sentinel would wrongly admit them.  Round-for-round
+    metric parity against the in-memory gate is the spec."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.schemas import CORPUS_SCHEMA
+
+    def page(url, host, status=200, spans=None, transient=False):
+        spans = spans or [{"kind": "text", "text": "body",
+                           "media_ref": "", "offset": 0}]
+        return dict(url=url, host=host, status_code=status,
+                    content_type="text/html; charset=utf-8", spans=spans,
+                    body="<p>body</p>", redirect_location=None,
+                    transient=transient)
+
+    link = lambda u: {"kind": "link", "text": "l", "media_ref": u,  # noqa
+                      "offset": 0}
+    rows = [
+        page("https://www.gov.uk/", "www.gov.uk",
+             spans=[link(f"https://www.gov.uk/p{i}") for i in range(6)]),
+        *[page(f"https://www.gov.uk/p{i}", "www.gov.uk")
+          for i in range(6)],
+        page("https://slow.gov.uk/", "slow.gov.uk", status=429,
+             transient=True),
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    seeds = ["https://www.gov.uk/", "https://slow.gov.uk/"]
+    pr = [0, 5]  # the 429 seed is the prioritized one
+    cfg_mem = CrawlConfig(root_urls=seeds, host_token_budget=2,
+                          max_rounds=12)
+    mem = run_crawl(corpus, seeds, cfg_mem, str(tmp_path / "pb_mem"),
+                    use_ray=False, seed_priorities=pr)
+    cfg_sto = CrawlConfig(root_urls=seeds, host_token_budget=2,
+                          max_rounds=12, frontier_on_storage=True)
+    eng = CrawlEngine(corpus, cfg_sto, str(tmp_path / "pb_sto"),
+                      use_ray=True)
+    try:
+        res = eng.run(seeds, seed_priorities=pr)
+        assert _order(res) == _order(mem)
+        for key in ("deferred", "fetched", "requeued"):
+            assert ([m[key] for m in res.metrics]
+                    == [m[key] for m in mem.metrics]), key
+        st, sm = res.seen.to_table(), mem.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == \
+            dict(zip(sm["digest"].to_pylist(),
+                     sm["status"].to_pylist()))
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_seed_priorities_storage_uniform_goldens(fixture, tmp_path):
     """All-zero priorities leave the storage path bit-identical (the
     renumber is skipped): seq values still match the oracle exactly."""
