@@ -317,7 +317,8 @@ class CrawlEngine:
         if resume:
             st = self._find_checkpoint()
             if st is not None:
-                start_round, frontier, parts, next_seq, metrics = st
+                (start_round, frontier, parts, next_seq, metrics,
+                 storage_mode) = st
                 covered = set()
                 for k in range(start_round):
                     p = os.path.join(self.out_dir, f"round={k}",
@@ -325,9 +326,11 @@ class CrawlEngine:
                     if os.path.exists(p):
                         order_parts.append(pq.read_table(p))
                         covered.add(k)
-                if parts:
+                if storage_mode:
                     # the interrupted crawl had already auto-switched:
                     # its frontier lives on storage — resume there
+                    # (even when this checkpoint's part list is empty,
+                    # e.g. a requeue-only retry-tail round)
                     return self._finish_on_storage(
                         start_round, frontier, parts, next_seq,
                         metrics, now, order_parts,
@@ -640,7 +643,7 @@ class CrawlEngine:
         if resume:
             st = self._find_checkpoint()
             if st is not None:
-                start_round, driver_rows, parts, next_seq, metrics = st
+                start_round, driver_rows, parts, next_seq, metrics, _ = st
         return self._finish_on_storage(start_round, driver_rows, parts,
                                        next_seq, metrics, now, [])
 
@@ -1258,8 +1261,13 @@ class CrawlEngine:
             if os.path.exists(mp):
                 with open(mp) as f:
                     metrics.append(json.load(f)["metrics"])
+        # storage manifests always carry "frontier_parts" (possibly
+        # empty: a retry-tail round can stage zero winners) — its
+        # PRESENCE is the mode marker, not its truthiness, so a resume
+        # never falls back to the in-memory loop and silently drops the
+        # storage rounds from crawl_order
         return (k + 1, frontier, man.get("frontier_parts", []),
-                man["next_seq"], metrics)
+                man["next_seq"], metrics, "frontier_parts" in man)
 
     def shutdown(self) -> None:
         if self.pool is not None:

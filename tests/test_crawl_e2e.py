@@ -495,6 +495,48 @@ def test_seed_priorities_order_storage(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_storage_checkpoint_with_empty_parts(tmp_path):
+    """A storage round can checkpoint ZERO frontier parts while its
+    driver rows are non-empty (requeue-only retry-tail round: seed 11's
+    round 4).  Resuming such a checkpoint through run() with the AUTO
+    config must detect storage mode from the manifest KEY, not the part
+    list's truthiness — the in-memory fallback would silently drop
+    every storage round from crawl_order."""
+    import json
+    import os
+
+    fx = generate_corpus(60, 11)
+    cfg_full = CrawlConfig(root_urls=list(ROOT_URLS),
+                           frontier_on_storage=True, checkpoint_every=1)
+    oracle = crawl_oracle(fx.index(), fx.seeds, cfg_full)
+    out = str(tmp_path / "sto_empty_parts")
+    cfg_cut = CrawlConfig(root_urls=list(ROOT_URLS),
+                          frontier_on_storage=True, checkpoint_every=1,
+                          max_rounds=5)
+    eng = CrawlEngine(fx.corpus, cfg_cut, out, use_ray=True)
+    eng.run(fx.seeds)
+    eng.shutdown()
+    with open(os.path.join(out, "round=4", "manifest.json")) as f:
+        man = json.load(f)
+    assert man["frontier_parts"] == []  # the precondition under test
+    # resume with the AUTO default: mode must come from the manifest
+    cfg_auto = CrawlConfig(root_urls=list(ROOT_URLS), checkpoint_every=1)
+    assert cfg_auto.frontier_on_storage is None
+    eng2 = CrawlEngine(fx.corpus, cfg_auto, out, use_ray=True)
+    try:
+        res = eng2.run(fx.seeds, resume=True)
+        assert [(r, s, u) for r, s, u in zip(
+            res.crawl_order["round"].to_pylist(),
+            res.crawl_order["seq"].to_pylist(),
+            res.crawl_order["url"].to_pylist())] == oracle.crawl_order
+        st = res.seen.to_table()
+        assert dict(zip(st["digest"].to_pylist(),
+                        st["status"].to_pylist())) == oracle.seen
+    finally:
+        eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_priority_seed_respects_429_backoff_storage(tmp_path):
     """A PRIORITIZED seed whose host is 429-backed-off must still be
     deferred in storage mode: priority rows carry negative seqs
