@@ -127,6 +127,17 @@ def _compact_part_dir(fdir: str, rows_per_file: int) -> int:
     name.  Returns the file count after compaction."""
     import shutil
 
+    old = fdir + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(fdir):
+            # crash between the two renames: the data is intact (and
+            # already compacted) under .old — restore the live name
+            os.rename(old, fdir)
+        else:
+            # crash after the live rename but before cleanup: the live
+            # dir is authoritative, the stale .old must not block the
+            # rename below on a re-run
+            shutil.rmtree(old)
     files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
     if len(files) <= 1:
         return len(files)
@@ -153,7 +164,6 @@ def _compact_part_dir(fdir: str, rows_per_file: int) -> int:
         if nbuf >= rows_per_file:
             flush()
     flush()
-    old = fdir + ".old"
     os.rename(fdir, old)
     os.rename(tmp, fdir)
     shutil.rmtree(old)
@@ -174,7 +184,11 @@ def compact_crawl_rounds(out_dir: str, rows_per_file: int = 1 << 18,
     rounds = []
     for d in os.listdir(out_dir):
         fdir = os.path.join(out_dir, d, "fetched")
-        if d.startswith("round=") and os.path.isdir(fdir):
+        # a crash between _compact_part_dir's two renames leaves the
+        # round's data under fetched.old only — still enumerated, the
+        # worker restores it before compacting
+        if d.startswith("round=") and (os.path.isdir(fdir)
+                                       or os.path.isdir(fdir + ".old")):
             rounds.append((int(d.split("=")[1]), fdir))
     if not rounds:
         return {}

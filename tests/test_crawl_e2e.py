@@ -705,3 +705,45 @@ def test_mirror_compaction_roundtrip(fixture, tmp_path):
         assert eng_m == oracle.mirror
     finally:
         eng.shutdown()
+
+
+def test_compact_recovers_from_crash_leftovers(tmp_path):
+    """_compact_part_dir's rename swap is self-healing on re-run: a
+    stale fetched.old next to a live dir is cleared, and a crash
+    BETWEEN the two renames (only fetched.old exists) restores the data
+    before compacting — either leftover previously made every later
+    compaction of that round raise ENOTEMPTY or skip the round."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from govuk_crawler_worker_ray.pipelines.sink import (
+        compact_crawl_rounds,
+    )
+
+    def write_round(k: int, vals):
+        fdir = tmp_path / f"round={k}" / "fetched"
+        fdir.mkdir(parents=True)
+        for i, v in enumerate(vals):
+            pq.write_table(pa.table({"x": pa.array(v, pa.int64())}),
+                           str(fdir / f"part-{i:03d}.parquet"))
+        return fdir
+
+    # round 0: stale .old alongside the live dir (crash after the live
+    # rename); the live dir is authoritative
+    f0 = write_round(0, [[1, 2], [3]])
+    shutil.copytree(str(f0), str(f0) + ".old")
+    # round 1: only .old (crash between the renames)
+    f1 = write_round(1, [[4], [5, 6]])
+    os.rename(str(f1), str(f1) + ".old")
+    out = compact_crawl_rounds(str(tmp_path), rows_per_file=1 << 20,
+                               use_ray=False)
+    assert out == {0: 1, 1: 1}
+    for fdir, want in ((f0, [1, 2, 3]), (f1, [4, 5, 6])):
+        assert not os.path.exists(str(fdir) + ".old")
+        files = sorted(os.listdir(str(fdir)))
+        assert len(files) == 1
+        got = pq.read_table(str(fdir / files[0]))["x"].to_pylist()
+        assert got == want
