@@ -338,19 +338,29 @@ class CrawlEngine:
 
         rnd = start_round
         while frontier.num_rows > 0 and rnd < cfg.max_rounds:
-            if (cfg.frontier_on_storage is None and self.use_ray
-                    and cfg.max_crawl_retries >= 1
+            if (cfg.frontier_on_storage is None
                     and frontier.num_rows > cfg.storage_auto_threshold):
-                # AUTO mode hand-off: this round's frontier outgrew the
-                # driver-bounded path — the current rows become the
-                # storage loop's driver rows (one oversized round), and
-                # every later frontier lives on storage
-                return self._finish_on_storage(
-                    rnd, frontier.select(
-                        ["discovered_seq", "url", "host", "url_digest",
-                         "attempt", "priority"]),
-                    [], next_seq, metrics, now, order_parts,
-                    covered_rounds=frozenset(range(rnd)))
+                if self.use_ray and cfg.max_crawl_retries >= 1:
+                    # AUTO mode hand-off: this round's frontier outgrew
+                    # the driver-bounded path — the current rows become
+                    # the storage loop's driver rows (one oversized
+                    # round), and every later frontier lives on storage
+                    return self._finish_on_storage(
+                        rnd, frontier.select(
+                            ["discovered_seq", "url", "host",
+                             "url_digest", "attempt", "priority"]),
+                        [], next_seq, metrics, now, order_parts,
+                        covered_rounds=frozenset(range(rnd)))
+                # hand-off unavailable (local engine, or the storage
+                # prefetch needs retries >= 1): failing loudly beats the
+                # silent driver OOM the AUTO default exists to prevent
+                raise RuntimeError(
+                    f"round {rnd} frontier ({frontier.num_rows} rows) "
+                    f"exceeds storage_auto_threshold "
+                    f"({cfg.storage_auto_threshold}) but the storage "
+                    "hand-off needs use_ray=True and "
+                    "max_crawl_retries >= 1; raise the threshold only "
+                    "if the driver can really hold the frontier")
             frontier, next_seq, m, order_t = self._run_round(
                 rnd, frontier, next_seq,
                 now + rnd * cfg.seconds_per_round)

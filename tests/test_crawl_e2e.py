@@ -707,6 +707,17 @@ def test_mirror_compaction_roundtrip(fixture, tmp_path):
         eng.shutdown()
 
 
+def test_auto_threshold_guard_without_handoff(tmp_path):
+    """When the AUTO frontier outgrows storage_auto_threshold but the
+    storage hand-off is unavailable (local engine), the crawl fails
+    loudly instead of growing the driver-bounded frontier silently."""
+    fx = generate_corpus(60, 42)
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), storage_auto_threshold=1)
+    with pytest.raises(RuntimeError, match="storage_auto_threshold"):
+        run_crawl(fx.corpus, fx.seeds, cfg, str(tmp_path / "guard"),
+                  use_ray=False)
+
+
 def test_compact_recovers_from_crash_leftovers(tmp_path):
     """_compact_part_dir's rename swap is self-healing on re-run: a
     stale fetched.old next to a live dir is cleared, and a crash
