@@ -117,21 +117,14 @@ def dataset_split(ds, splits=DEFAULT_SPLITS):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
-    """Per-source document cap (domain balancing): keep at most ``cap``
-    documents per ``source``, chosen by deterministic hash rank — the
-    "no domain may dominate the training mix" curation primitive
-    (C4/RefinedWeb-style host capping).  Rank within a source is
-    md5(doc_id) ascending (doc_id tiebreak), so the kept set is stable
-    under any re-partitioning, resume, or cluster size — same hash
-    contract as ``stratified_sample``.  Output (doc_id, source, rank).
-
-    Plan shape: rows hash-partition by source (ONE narrow shuffle of
-    (doc_id, source, hash) — text never moves); each partition does one
-    vectorized pandas sort + cumcount.  Hot sources are bounded by the
-    cap itself: a source with 10^9 rows still emits ``cap`` rows, and
-    the per-partition sort is the only super-linear step (sort the
-    hash column, not the payload)."""
+def _ranked_source_take(ds, cap_expr, num_partitions: int | None):
+    """Shared md5-rank-within-source selection (the oracle-pinned hash
+    contract of source_cap / domain_mix_sample / stratified_sample):
+    hash-partition (doc_id, source, md5) by source — ONE narrow
+    shuffle, text never moves — then one vectorized sort + cumcount
+    per partition, keeping rank <= ``cap_expr(source_series)``.
+    Output (doc_id, source, rank); per-source output is bounded by its
+    cap."""
     import zlib
 
     import numpy as np
@@ -154,16 +147,30 @@ def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
             "part": pa.array(part, pa.int64()),
         })
 
-    def cap_part(g: pd.DataFrame) -> pd.DataFrame:
+    def take_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["source", "h", "doc_id"])
         g["rank"] = (g.groupby("source", sort=False).cumcount() + 1
                      ).astype(np.int64)
-        g = g[g["rank"] <= cap]
+        g = g[g["rank"] <= cap_expr(g["source"]).astype(np.int64)]
         return g[["doc_id", "source", "rank"]]
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "source"])
+            .map_batches(tag, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(cap_part, batch_format="pandas"))
+            .map_groups(take_part, batch_format="pandas"))
+
+
+def source_cap(ds, cap: int = 10, num_partitions: int | None = None):
+    """Per-source document cap (domain balancing): keep at most ``cap``
+    documents per ``source``, chosen by deterministic hash rank — the
+    "no domain may dominate the training mix" curation primitive
+    (C4/RefinedWeb-style host capping).  Rank within a source is
+    md5(doc_id) ascending (doc_id tiebreak), so the kept set is stable
+    under any re-partitioning, resume, or cluster size — same hash
+    contract as ``stratified_sample``.  Output (doc_id, source, rank).
+    Plan shape and scale bounds: see ``_ranked_source_take``."""
+    return _ranked_source_take(ds, lambda s: s.map(lambda _: cap),
+                               num_partitions)
 
 
 def domain_mix_sample(ds, budget_docs: int = 200,
@@ -179,42 +186,19 @@ def domain_mix_sample(ds, budget_docs: int = 200,
     re-partitioning, resume, and cluster size, and let the DuckDB
     twin reproduce it row-for-row.
 
-    Plan shape: pass 1 is the domain_mix combiner (per-batch (source,
-    tok) partials -> one |sources|-row groupby) and the quota dict
-    broadcasts from the driver (registrable-domain cardinality, same
-    bound as lang_mix); pass 2 hash-partitions (doc_id, source, h) by
-    source — text never moves — and runs one vectorized sort +
-    cumcount per partition.  Hot sources are bounded by their quota.
-    The input is read twice; that is the streaming-correct trade
-    against materializing a scored 10^10-row dataset."""
+    Plan shape: pass 1 is the shared domain_mix combiner
+    (text_analysis.source_token_detail) and the quota dict broadcasts
+    from the driver (registrable-domain cardinality, same bound as
+    lang_mix); pass 2 is the shared md5-rank selection
+    (_ranked_source_take) with a per-source quota instead of a
+    constant cap.  Hot sources are bounded by their quota.  The input
+    is read twice; that is the streaming-correct trade against
+    materializing a scored 10^10-row dataset."""
     import math
-    import zlib
 
-    import numpy as np
-    import pandas as pd
-    import pyarrow.compute as pc
+    from .text_analysis import source_token_detail
 
-    from ray.data.aggregate import Sum
-
-    from .blocks import default_partitions
-    from .text_analysis import TOKEN_RE
-
-    P = default_partitions() if num_partitions is None \
-        else num_partitions
-
-    def tok_partial(b: pa.Table) -> pa.Table:
-        tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"source": b["source"].to_pylist(),
-                           "tok": tok})
-        g = df.groupby("source", as_index=False).agg(
-            p_tok=("tok", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    detail = (ds.map_batches(tok_partial, batch_format="pyarrow")
-              .groupby("source")
-              .aggregate(Sum("p_tok", alias_name="n_tokens"))
-              .materialize())
+    detail = source_token_detail(ds)
     sqrts: dict[str, int] = {}
     for b in detail.iter_batches(batch_format="pyarrow"):
         for s, t in zip(b["source"].to_pylist(),
@@ -223,31 +207,8 @@ def domain_mix_sample(ds, budget_docs: int = 200,
     tot_sqrt = max(sum(sqrts.values()), 1)
     quotas = {s: (sq * budget_docs) // tot_sqrt
               for s, sq in sqrts.items()}
-
-    def tag(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        h = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
-        part = [zlib.crc32(s.encode("utf-8")) % P for s in srcs]
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "source": batch["source"],
-            "h": pa.array(h, pa.string()),
-            "part": pa.array(part, pa.int64()),
-        })
-
-    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "h", "doc_id"])
-        g["rank"] = (g.groupby("source", sort=False).cumcount() + 1
-                     ).astype(np.int64)
-        q = g["source"].map(lambda s: quotas.get(s, 0)).astype(np.int64)
-        g = g[g["rank"] <= q]
-        return g[["doc_id", "source", "rank"]]
-
-    return (ds.select_columns(["doc_id", "source"])
-            .map_batches(tag, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(take_quota, batch_format="pandas"))
+    return _ranked_source_take(
+        ds, lambda s: s.map(lambda k: quotas.get(k, 0)), num_partitions)
 
 
 def priority_sample(ds, k: int = 25):

@@ -456,6 +456,34 @@ def lang_mix(ds):
     return detail.map_batches(share, batch_format="pyarrow")
 
 
+def source_token_detail(ds):
+    """Per-source (n_docs, n_tokens) over whitespace tokens (TOKEN_RE,
+    same contract as token_count): per-batch combiner pre-aggregates
+    (source, docs, tokens) so the groupby moves <=|sources| rows per
+    batch.  Shared by domain_mix and sampling.domain_mix_sample —
+    the one copy of the token-accounting contract their oracles pin.
+    Returns a MATERIALIZED |sources|-row Dataset (registrable-domain
+    cardinality, the lang_mix bound)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": b["source"].to_pylist(),
+                           "n": 1, "tok": tok})
+        g = df.groupby("source", as_index=False).agg(
+            p_n=("n", "sum"), p_tok=("tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("p_n", alias_name="n_docs"),
+                       Sum("p_tok", alias_name="n_tokens"))
+            .materialize())
+
+
 def domain_mix(ds):
     """Per-source mixing weights for a training-data blend: (source,
     n_docs, n_tokens, token_share_ppm, weight_ppm).  token_share_ppm
@@ -470,33 +498,15 @@ def domain_mix(ds):
     (FLOOR(SQRT(x)) == isqrt(x) exactly for x < 2^52 — web-scale
     per-source token counts sit comfortably under it) hash-matches.
 
-    Same shuffle shape as lang_mix: per-batch combiner pre-aggregates
-    (source, docs, tokens), one |sources|-row groupby, then the two
-    scalar totals broadcast from the driver (source is a registrable
-    domain at web scale, ~10^7 keys, driver-safe; past that swap the
-    totals for a tiny cross-join against a 1-row aggregate).  Python
-    bigint arithmetic in the final map dodges int64 overflow of
-    tokens * 1e6 at the 10^13-token scale."""
+    Same shuffle shape as lang_mix (see source_token_detail), then the
+    two scalar totals broadcast from the driver (source is a
+    registrable domain at web scale, ~10^7 keys, driver-safe; past
+    that swap the totals for a tiny cross-join against a 1-row
+    aggregate).  Python bigint arithmetic in the final map dodges
+    int64 overflow of tokens * 1e6 at the 10^13-token scale."""
     import math
 
-    from ray.data.aggregate import Sum
-
-    def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        tok = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"source": b["source"].to_pylist(),
-                           "n": 1, "tok": tok})
-        g = df.groupby("source", as_index=False).agg(
-            p_n=("n", "sum"), p_tok=("tok", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    detail = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("source")
-              .aggregate(Sum("p_n", alias_name="n_docs"),
-                         Sum("p_tok", alias_name="n_tokens"))
-              .materialize())
+    detail = source_token_detail(ds)
     tot_tok, tot_sqrt = 0, 0
     for b in detail.iter_batches(batch_format="pyarrow"):
         for t in b["n_tokens"].to_pylist():
