@@ -655,6 +655,12 @@ def _ngram_allpairs_bucketed(ds, threshold: float, n: int) -> pa.Table:
             if max_sz_i >= threshold * int(szs[bounds[j]]):
                 pairs_i.append(i)
                 pairs_j.append(j)
+            else:
+                # bucket start sizes ascend with j, so the size filter
+                # is monotone: the first rejected j rejects all later
+                # ones — without the break this driver loop is a full
+                # O(nb^2) scan at every corpus size
+                break
     if not pairs_i:
         return _empty_pairs()
     chunks = rd.from_arrow(pa.table({
