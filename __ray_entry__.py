@@ -1116,6 +1116,14 @@ def _q_domain_mix(sf_dir: str):
     return domain_mix(docs)
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.dedup import cdc_chunk_stats
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return cdc_chunk_stats(docs)
+
+
 def _q_domain_mix_sample(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.sampling import (
         domain_mix_sample,
@@ -1532,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix": _q_lang_mix,
         "domain_mix": _q_domain_mix,
         "domain_mix_sample": _q_domain_mix_sample,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "gap_fill": _q_gap_fill,
         "moving_avg": _q_moving_avg,
         "table_profile": _q_table_profile,
@@ -1844,6 +1853,11 @@ def oracle_sql() -> dict[str, str]:
     from govuk_crawler_worker_ray.goldens import write_minhash_goldens
 
     gmh = write_minhash_goldens(
+        os.path.join(oracle_sf, "documents.parquet"),
+        "/tmp/gcw_goldens")
+    from govuk_crawler_worker_ray.goldens import write_cdc_golden
+
+    gcdc = write_cdc_golden(
         os.path.join(oracle_sf, "documents.parquet"),
         "/tmp/gcw_goldens")
     gm = os.path.join(d, "golden_mirror.parquet")
@@ -2613,6 +2627,11 @@ def oracle_sql() -> dict[str, str]:
             "(sum(CAST(FLOOR(SQRT(CAST(sum(tok) AS DOUBLE))) AS BIGINT))"
             " OVER ()) AS BIGINT) AS weight_ppm "
             "FROM t GROUP BY source"),
+        # content-defined chunking dedup signal — scalar-twin golden
+        # (goldens.cdc_stats_scalar is the readable spec)
+        "cdc_chunk_stats": (
+            "SELECT doc_id, n_chunks, n_dup_chunks, dup_ppm "
+            f"FROM read_parquet('{gcdc}')"),
         # the blend materialized: per-source quota from the sqrt
         # weights, lowest-md5-rank docs kept (source_cap contract)
         "domain_mix_sample": (

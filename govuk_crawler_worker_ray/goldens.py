@@ -620,3 +620,79 @@ def write_minhash_goldens(documents_path: str, out_dir: str) -> dict:
     with open(marker, "w") as f:
         f.write(mtime)
     return paths
+
+
+# -- content-defined chunking (CDC) dedup signal ------------------------
+# The readable per-doc SPEC for pipelines.dedup.cdc_chunk_stats: a
+# W-byte polynomial rolling hash over the utf-8 bytes (uint64
+# wraparound), a cut AFTER byte i wherever the hash's low mask_bits are
+# zero — so chunk boundaries depend only on local CONTENT, and an
+# insertion re-aligns every later chunk (the property fixed-window
+# chunking lacks; Muthitacharoen et al., LBFS SOSP'01).  No min/max
+# clamp: cuts are position-independent, which keeps both sides pure.
+
+CDC_W = 8
+CDC_P = 257
+CDC_MASK_BITS = 6  # ~64-byte average chunks
+
+
+def cdc_bounds_scalar(data: bytes, w: int = CDC_W, p: int = CDC_P,
+                      mask_bits: int = CDC_MASK_BITS) -> list[int]:
+    """Chunk boundary offsets [0, ..., len(data)] per the spec above."""
+    mask = (1 << mask_bits) - 1
+    n = len(data)
+    cuts = []
+    if n >= w:
+        pw = [pow(p, j, 1 << 64) for j in range(w)]
+        for i in range(w - 1, n):
+            h = 0
+            for j in range(w):
+                h = (h + data[i - j] * pw[j]) & ((1 << 64) - 1)
+            if (h & mask) == 0 and i + 1 < n:
+                cuts.append(i + 1)
+    return [0] + cuts + [n]
+
+
+def cdc_stats_scalar(ids: list, texts: list[str]) -> "pa.Table":
+    """(doc_id, n_chunks, n_dup_chunks, dup_ppm): a chunk is dup iff its
+    md5 occurs more than once across the WHOLE corpus (all copies
+    flagged, symmetric)."""
+    import hashlib
+    from collections import Counter
+
+    per_doc: list[list[str]] = []
+    counts: Counter = Counter()
+    for t in texts:
+        b = t.encode("utf-8")
+        bd = cdc_bounds_scalar(b)
+        hs = [hashlib.md5(b[bd[k]:bd[k + 1]]).hexdigest()
+              for k in range(len(bd) - 1)]
+        per_doc.append(hs)
+        counts.update(hs)
+    n_chunks = [len(hs) for hs in per_doc]
+    n_dup = [sum(1 for h in hs if counts[h] > 1) for hs in per_doc]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chunks": pa.array(n_chunks, pa.int64()),
+        "n_dup_chunks": pa.array(n_dup, pa.int64()),
+        "dup_ppm": pa.array(
+            [(d * 1_000_000) // max(c, 1)
+             for d, c in zip(n_dup, n_chunks)], pa.int64()),
+    })
+
+
+def write_cdc_golden(documents_path: str, out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_cdc_stats.parquet")
+    marker = os.path.join(out_dir, "golden_cdc_mtime")
+    mtime = str(os.path.getmtime(documents_path))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == mtime and os.path.exists(path):
+                return path
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    pq.write_table(cdc_stats_scalar(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist()), path)
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return path

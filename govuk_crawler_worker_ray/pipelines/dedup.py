@@ -1602,3 +1602,94 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
 
     joined = grams.join(dup, "inner", num_partitions=P, on=("ghash",))
     return joined.select_columns(["doc_id", "pos", "n_docs"])
+
+
+def cdc_chunk_stats(ds, num_partitions: int | None = None):
+    """Content-defined chunking dedup signal: (doc_id, n_chunks,
+    n_dup_chunks, dup_ppm), where chunks are cut wherever a W-byte
+    polynomial rolling hash over the utf-8 bytes has zero low bits
+    (goldens.cdc_bounds_scalar is the spec; Muthitacharoen et al.,
+    LBFS SOSP'01) and a chunk is dup iff its md5 occurs >1 time across
+    the corpus.  Boundaries depend only on local content, so an
+    insertion re-aligns every later chunk — the shift-robust
+    counterpart of the fixed-window ``chunk_dedup``.
+
+    Plan shape: one chunkify pass (per-doc numpy rolling hash — eight
+    vector ops per doc — md5 per chunk being the fingerprint-precedent
+    honest cost of oracle parity; production swap is xxhash), then a
+    narrow (doc_id, h) exchange: groupby(h) count, hash join back, one
+    per-doc combiner + groupby.  Nothing wider than 50-byte rows moves;
+    chunk-hash cardinality stays distributed (no driver pull)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..goldens import CDC_MASK_BITS, CDC_P, CDC_W
+    from .blocks import default_partitions, nonempty_blocks
+
+    P = default_partitions() if num_partitions is None else num_partitions
+    pw = np.array([pow(CDC_P, j, 1 << 64) for j in range(CDC_W)],
+                  dtype=np.uint64)
+    mask = np.uint64((1 << CDC_MASK_BITS) - 1)
+
+    def chunkify(b: pa.Table) -> pa.Table:
+        ids_out, md5s = [], []
+        for did, t in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            data = t.encode("utf-8")
+            n = len(data)
+            cuts: list[int] = []
+            if n >= CDC_W:
+                u = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+                h = np.zeros(n - CDC_W + 1, dtype=np.uint64)
+                for j in range(CDC_W):
+                    # h_k covers the window ending at byte i = k + W-1;
+                    # term b[i-j] * p^j == u[W-1-j : n-j] * pw[j]
+                    h += u[CDC_W - 1 - j: n - j] * pw[j]
+                cut_pos = np.nonzero((h & mask) == np.uint64(0))[0] + CDC_W
+                cuts = [int(c) for c in cut_pos if c < n]
+            bounds = [0] + cuts + [n]
+            for k in range(len(bounds) - 1):
+                ids_out.append(did)
+                md5s.append(hashlib.md5(
+                    data[bounds[k]:bounds[k + 1]]).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "h": pa.array(md5s, pa.string()),
+        })
+
+    rows = ds.map_batches(chunkify, batch_format="pyarrow")
+    counts = nonempty_blocks(
+        rows.groupby("h").aggregate(Count(alias_name="cnt")))
+    if counts is None:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chunks": pa.array([], pa.int64()),
+            "n_dup_chunks": pa.array([], pa.int64()),
+            "dup_ppm": pa.array([], pa.int64()),
+        })
+    joined = rows.join(counts, "inner", num_partitions=P, on=("h",))
+
+    def part_agg(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "n": 1,
+            "d": (b["cnt"].to_numpy(zero_copy_only=False) > 1)
+            .astype(np.int64),
+        })
+        g = df.groupby("doc_id", as_index=False).agg(
+            p_n=("n", "sum"), p_d=("d", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(part_agg, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("p_n", alias_name="n_chunks"),
+                      Sum("p_d", alias_name="n_dup_chunks")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_chunks"].to_numpy()
+        d = b["n_dup_chunks"].to_numpy()
+        return b.append_column("dup_ppm", pa.array(
+            (d * 1_000_000) // np.maximum(n, 1), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

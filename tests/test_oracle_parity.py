@@ -72,7 +72,7 @@ ORACLE_KEYS = [
     "full_outer_join", "upsert_latest", "token_windows",
     "html_extract", "running_total", "json_extract_agg",
     "bloom_semi_join", "user_retention", "source_cap", "lang_mix",
-    "domain_mix", "domain_mix_sample",
+    "domain_mix", "domain_mix_sample", "cdc_chunk_stats",
     "gap_fill", "moving_avg", "table_profile", "winsorize",
     "percent_rank",
     "assemble_features", "compact_files", "c4_pipeline",

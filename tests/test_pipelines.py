@@ -2256,6 +2256,39 @@ def test_domain_mix_sample(ray_session):
     assert got8 == {"a", "b", "c", "d"}
 
 
+def test_cdc_chunk_stats(ray_session):
+    """Engine == scalar twin exactly, plus the CDC property the op
+    exists for: a prefix INSERTION leaves later chunks aligned (the
+    shifted copy still shares dup chunks with the original), which
+    fixed-window chunking would destroy."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.goldens import cdc_stats_scalar
+    from govuk_crawler_worker_ray.pipelines.dedup import cdc_chunk_stats
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the long synthetic corpus paragraph " * 8)
+    other = ("completely different content with its own byte stream "
+             "statistics, unrelated to the fox paragraph entirely " * 8)
+    ids = [1, 2, 3, 4]
+    texts = [base, base, "zzz-inserted-prefix " + base, other]
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ppm"])
+           for r in cdc_chunk_stats(
+               rd.from_arrow(pa.table({
+                   "doc_id": pa.array(ids, pa.int64()),
+                   "text": pa.array(texts, pa.string()),
+               })).repartition(2)).take_all()}
+    want_t = cdc_stats_scalar(ids, texts)
+    want = {d: (n, du, p) for d, n, du, p in zip(
+        want_t["doc_id"].to_pylist(), want_t["n_chunks"].to_pylist(),
+        want_t["n_dup_chunks"].to_pylist(),
+        want_t["dup_ppm"].to_pylist())}
+    assert got == want
+    assert got[1][2] == 1_000_000        # identical docs: fully dup
+    assert got[3][1] > 0                 # shifted copy re-aligns
+    assert got[4][1] == 0                # unrelated: no dup chunks
+
+
 def test_gap_fill_hourly(ray_session):
     """Missing hours appear with n_events = 0 across every type; the
     grid spans the GLOBAL min..max bucket."""
