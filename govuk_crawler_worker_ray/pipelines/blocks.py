@@ -33,11 +33,24 @@ def default_partitions() -> int:
         return 8
 
 
-# the metadata-only fast path rides two Ray private APIs
-# (iter_internal_ref_bundles / from_arrow_refs, present 2.40-2.49);
-# if a Ray upgrade removes either, every guarded join site falls back
-# through the public path below instead of breaking at once
-_SMALL_NORMALIZE_ROWS = 1_000_000
+# the metadata-only fast path rides one Ray private API
+# (iter_internal_ref_bundles, present 2.40-2.49); if a Ray upgrade
+# removes it, every guarded join site falls back through the public
+# to_arrow_refs path below instead of breaking at once
+_block_rows_task = None
+
+
+def _block_rows_remote():
+    """Lazily-built zero-CPU Ray task that reads one block's row count
+    block-local (locality-scheduled, zero-copy deserialize) — the
+    public-API twin of the bundle metadata read."""
+    global _block_rows_task
+    if _block_rows_task is None:
+        import ray
+
+        _block_rows_task = ray.remote(num_cpus=0)(
+            lambda t: t.num_rows)
+    return _block_rows_task
 
 
 def nonempty_blocks(ds):
@@ -51,26 +64,21 @@ def nonempty_blocks(ds):
         bundles = mat.iter_internal_ref_bundles()
         keep = [ref for bd in bundles for ref, meta in bd.blocks
                 if meta.num_rows]
-        if not keep:
-            return None
-        return rd.from_arrow_refs(keep)
     except (AttributeError, ImportError, TypeError):
-        # public-API fallback: count() decides the None short-circuit;
-        # small relations (the only regime where zero-schema empty
-        # blocks actually poison a join — a side smaller than its
-        # partition count) are normalized through one driver-side
-        # Arrow round-trip; large relations pass through unchanged
-        n = mat.count()
-        if n == 0:
-            return None
-        if n <= _SMALL_NORMALIZE_ROWS:
-            import pyarrow as pa
+        # public-API fallback: ``to_arrow_refs`` exposes the same block
+        # refs without moving data; row counts are read by tiny
+        # locality-scheduled tasks, so relations of ANY size are
+        # normalized — no driver round-trip, and no pass-through that
+        # could leak a zero-schema empty block into a join side
+        import ray
 
-            tables = [b for b in
-                      mat.iter_batches(batch_format="pyarrow")
-                      if b.num_rows]
-            return rd.from_arrow(pa.concat_tables(tables))
-        return mat
+        refs = mat.to_arrow_refs()
+        task = _block_rows_remote()
+        nrows = ray.get([task.remote(r) for r in refs])
+        keep = [r for r, n in zip(refs, nrows) if n]
+    if not keep:
+        return None
+    return rd.from_arrow_refs(keep)
 
 
 # Ceiling for groupby outputs the driver pulls as in-memory histograms

@@ -70,6 +70,9 @@ class CrawlResult:
     def _mirror_files(self) -> list[str]:
         """All fetched parquet parts in write order (round asc, part name
         asc) — the order that defines last-write-wins."""
+        from .sink import restore_crashed_rounds
+
+        restore_crashed_rounds(self.out_dir)
         rounds = sorted(
             (int(d.split("=")[1]) for d in os.listdir(self.out_dir)
              if d.startswith("round=") and os.path.isdir(
@@ -157,6 +160,9 @@ class CrawlResult:
         (filesystem overwrite semantics, workflow.go:183).  Test/golden
         convenience — materializes bodies driver-side; use
         ``mirror_dataset`` at scale."""
+        from .sink import restore_crashed_rounds
+
+        restore_crashed_rounds(self.out_dir)
         rounds = sorted(
             (int(d.split("=")[1]) for d in os.listdir(self.out_dir)
              if d.startswith("round=") and os.path.isdir(
@@ -1089,6 +1095,12 @@ class CrawlEngine:
         return next_driver, new_parts, next_seq, m
 
     def _order_from_storage(self, rounds) -> pa.Table:
+        # a compaction crash can leave a completed round's parts under
+        # fetched.old only — restore BEFORE the missing-dir skip below,
+        # or resume would silently drop that round from crawl_order
+        from .sink import restore_crashed_rounds
+
+        restore_crashed_rounds(self.out_dir)
         parts = []
         for k in rounds:
             fdir = os.path.join(self.out_dir, f"round={k}", "fetched")

@@ -117,6 +117,42 @@ def compact_files(src_path: str, dest_dir: str,
     return rd.read_parquet(dest_dir)
 
 
+def recover_fetched_dir(fdir: str) -> None:
+    """Self-heal ``_compact_part_dir``'s rename swap after a crash.
+    Safe (and cheap — two isdir probes) to call before ANY reader
+    enumerates a round's parts; also the compaction preamble."""
+    import shutil
+
+    old = fdir + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(fdir):
+            # crash between the two renames: .old holds the intact
+            # PRE-compaction original parts (the compacted copy lived
+            # under .compact and is discarded) — restore the live name;
+            # the directory is simply re-compacted on the next pass
+            os.rename(old, fdir)
+        else:
+            # crash after the live rename but before cleanup: the live
+            # dir is authoritative, the stale .old must not block the
+            # rename below on a re-run
+            shutil.rmtree(old)
+
+
+def restore_crashed_rounds(out_dir: str) -> None:
+    """Restore any ``round=k/fetched.old``-only directories left by a
+    compaction crash BEFORE a reader (resume order assembly,
+    mirror_table/mirror_dataset) enumerates rounds — otherwise a
+    reader that skips missing ``fetched`` dirs would silently drop
+    that round's rows until the next compaction pass self-heals."""
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return
+    for d in names:
+        if d.startswith("round="):
+            recover_fetched_dir(os.path.join(out_dir, d, "fetched"))
+
+
 def _compact_part_dir(fdir: str, rows_per_file: int) -> int:
     """Coalesce one directory's parquet parts into ~rows_per_file
     files, PRESERVING row order across parts in sorted-name order (the
@@ -127,17 +163,8 @@ def _compact_part_dir(fdir: str, rows_per_file: int) -> int:
     name.  Returns the file count after compaction."""
     import shutil
 
+    recover_fetched_dir(fdir)
     old = fdir + ".old"
-    if os.path.isdir(old):
-        if not os.path.isdir(fdir):
-            # crash between the two renames: the data is intact (and
-            # already compacted) under .old — restore the live name
-            os.rename(old, fdir)
-        else:
-            # crash after the live rename but before cleanup: the live
-            # dir is authoritative, the stale .old must not block the
-            # rename below on a re-run
-            shutil.rmtree(old)
     files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
     if len(files) <= 1:
         return len(files)

@@ -473,7 +473,10 @@ def source_token_detail(ds):
                       pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"source": b["source"].to_pylist(),
                            "n": 1, "tok": tok})
-        g = df.groupby("source", as_index=False).agg(
+        # dropna=False: NULL-source docs form their own group, matching
+        # the DuckDB twins' GROUP BY source (SQL keeps NULL groups) —
+        # same latent parity gap event_transitions fixed
+        g = df.groupby("source", as_index=False, dropna=False).agg(
             p_n=("n", "sum"), p_tok=("tok", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 

@@ -758,3 +758,43 @@ def test_compact_recovers_from_crash_leftovers(tmp_path):
         assert len(files) == 1
         got = pq.read_table(str(fdir / files[0]))["x"].to_pylist()
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_readers_selfheal_after_compaction_crash(fixture, tmp_path):
+    """A compaction crash between _compact_part_dir's two renames
+    leaves a completed round's parts under fetched.old ONLY.  The
+    readers that enumerate rounds (storage order assembly,
+    mirror_table) previously ran BEFORE _maybe_compact's self-heal on
+    resume and silently dropped that round's rows; they now restore
+    the crashed swap first (sink.restore_crashed_rounds)."""
+    import os
+
+    fx, _, oracle = fixture
+    cfg = CrawlConfig(root_urls=list(ROOT_URLS), frontier_on_storage=True)
+    out = str(tmp_path / "crash")
+    eng = CrawlEngine(fx.corpus, cfg, out, use_ray=True)
+    try:
+        res = eng.run(fx.seeds)
+        # simulate the crash state on a mid-crawl round: data intact
+        # under .old, live dir gone, stale tmp from the dead compactor
+        victim = os.path.join(out, "round=1", "fetched")
+        assert os.path.isdir(victim)
+        os.rename(victim, victim + ".old")
+        os.makedirs(victim + ".compact", exist_ok=True)
+
+        order2 = eng._order_from_storage(range(res.rounds))
+        assert [(r, u) for r, u in zip(
+            order2["round"].to_pylist(),
+            order2["url"].to_pylist())] == [
+                (r, u) for r, _, u in oracle.crawl_order]
+
+        # crash it again for the mirror read-back
+        os.rename(victim, victim + ".old")
+        mt = res.mirror_table()
+        eng_m = {p: (u, b) for p, u, b in zip(
+            mt["mirror_path"].to_pylist(), mt["url"].to_pylist(),
+            mt["body"].to_pylist())}
+        assert eng_m == oracle.mirror
+    finally:
+        eng.shutdown()

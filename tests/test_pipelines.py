@@ -2618,11 +2618,28 @@ def test_advice_r4_fixes(ray_session):
     grp = src.groupby("k").aggregate(Count(alias_name="n"))
     import ray.data.dataset as rds
     orig = rds.MaterializedDataset.iter_internal_ref_bundles
+
+    # simulate a Ray upgrade that removes the PRIVATE bundle API while
+    # the public to_arrow_refs keeps working: raise only for the call
+    # from blocks.py (in 2.49 to_arrow_refs happens to delegate to the
+    # same private method internally — a future Ray would reimplement
+    # the public API, not drop it)
+    def gated(self):
+        import inspect
+
+        if inspect.stack()[1].filename.endswith("blocks.py"):
+            raise AttributeError("simulated removal")
+        return orig(self)
+
     try:
-        rds.MaterializedDataset.iter_internal_ref_bundles = property(
-            lambda self: (_ for _ in ()).throw(AttributeError))
+        rds.MaterializedDataset.iter_internal_ref_bundles = gated
         out = blocks.nonempty_blocks(grp)
         assert out is not None and out.count() == 2
+        # the fallback must normalize relations of ANY size: no
+        # zero-row (possibly zero-schema) block survives
+        for bd in out.materialize().iter_internal_ref_bundles():
+            for _, meta in bd.blocks:
+                assert meta.num_rows
         empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
         assert blocks.nonempty_blocks(empty) is None
     finally:
@@ -2703,3 +2720,30 @@ def test_ngram_bucketed_middle_regime(ray_session, monkeypatch):
     got = list(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist(),
                    out["jaccard"].to_pylist()))
     assert got == dedup.ngram_jaccard_bruteforce(tmap2, 0.4, 3)
+
+
+def test_advice_r5_null_source_groups(ray_session):
+    """Round-5 ADVICE: source_token_detail's per-batch pandas combiner
+    must keep NULL-source docs as their own group (dropna=False),
+    matching the domain_mix / lang_mix DuckDB twins' GROUP BY source
+    (SQL keeps NULL groups) — the same latent parity gap
+    event_transitions fixed for src_type."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.text_analysis import (
+        domain_mix,
+        source_token_detail,
+    )
+
+    t = pa.table({
+        "source": pa.array(["a", None, "a", None, "b"]),
+        "text": pa.array(["x y", "one two three", "z", "w", "q r s t"]),
+    })
+    det = {r["source"]: (r["n_docs"], r["n_tokens"])
+           for r in source_token_detail(rd.from_arrow(t)).take_all()}
+    assert det == {"a": (2, 3), "b": (1, 4), None: (2, 4)}
+    # the downstream mixers consume the NULL group without crashing
+    # and its exact-ppm shares cover it
+    mix = {r["source"]: r["token_share_ppm"]
+           for r in domain_mix(rd.from_arrow(t)).take_all()}
+    assert mix[None] == 4 * 1_000_000 // 11
