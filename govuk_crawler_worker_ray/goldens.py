@@ -635,6 +635,27 @@ CDC_W = 8
 CDC_P = 257
 CDC_MASK_BITS = 6  # ~64-byte average chunks
 
+# Chunk identity fingerprint: a u64 Horner polynomial (FNV-1a
+# constants) over the chunk bytes — h = sum b[t] * MUL^(L-1-t) mod
+# 2^64, XOR OFF.  Replaced the round-4 per-chunk hashlib.md5: the
+# fingerprint only feeds an equality count (dup iff it repeats
+# corpus-wide), so a 64-bit hash's ~n^2/2^65 collision odds are
+# vanishing at any per-corpus chunk count this signal targets, and
+# the polynomial form vectorizes (one np.add.reduceat over the
+# flattened chunk bytes — the fingerprint_batch pattern).  Production
+# swap at 10^12-chunk scale: xxhash128.
+CDC_FP_MUL = 1099511628211
+CDC_FP_OFF = 14695981039346656037
+
+
+def cdc_fp_scalar(data: bytes) -> int:
+    """u64 chunk fingerprint per the spec above (readable twin of the
+    vectorized kernel in pipelines.dedup.cdc_chunk_stats)."""
+    h = 0
+    for byt in data:
+        h = (h * CDC_FP_MUL + byt) & ((1 << 64) - 1)
+    return h ^ CDC_FP_OFF
+
 
 def cdc_bounds_scalar(data: bytes, w: int = CDC_W, p: int = CDC_P,
                       mask_bits: int = CDC_MASK_BITS) -> list[int]:
@@ -655,17 +676,16 @@ def cdc_bounds_scalar(data: bytes, w: int = CDC_W, p: int = CDC_P,
 
 def cdc_stats_scalar(ids: list, texts: list[str]) -> "pa.Table":
     """(doc_id, n_chunks, n_dup_chunks, dup_ppm): a chunk is dup iff its
-    md5 occurs more than once across the WHOLE corpus (all copies
-    flagged, symmetric)."""
-    import hashlib
+    u64 fingerprint (cdc_fp_scalar) occurs more than once across the
+    WHOLE corpus (all copies flagged, symmetric)."""
     from collections import Counter
 
-    per_doc: list[list[str]] = []
+    per_doc: list[list[int]] = []
     counts: Counter = Counter()
     for t in texts:
         b = t.encode("utf-8")
         bd = cdc_bounds_scalar(b)
-        hs = [hashlib.md5(b[bd[k]:bd[k + 1]]).hexdigest()
+        hs = [cdc_fp_scalar(b[bd[k]:bd[k + 1]])
               for k in range(len(bd) - 1)]
         per_doc.append(hs)
         counts.update(hs)
@@ -685,7 +705,9 @@ def write_cdc_golden(documents_path: str, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "golden_cdc_stats.parquet")
     marker = os.path.join(out_dir, "golden_cdc_mtime")
-    mtime = str(os.path.getmtime(documents_path))
+    # ":fp64" versions the cache: the round-5 md5 -> u64-polynomial
+    # fingerprint swap must invalidate round-4 goldens
+    mtime = str(os.path.getmtime(documents_path)) + ":fp64"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == mtime and os.path.exists(path):

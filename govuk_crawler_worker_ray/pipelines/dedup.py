@@ -1604,7 +1604,8 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
     return joined.select_columns(["doc_id", "pos", "n_docs"])
 
 
-def cdc_chunk_stats(ds, num_partitions: int | None = None):
+def cdc_chunk_stats(ds, num_partitions: int | None = None,
+                    broadcast_limit: int = 2_000_000):
     """Content-defined chunking dedup signal: (doc_id, n_chunks,
     n_dup_chunks, dup_ppm), where chunks are cut wherever a W-byte
     polynomial rolling hash over the utf-8 bytes has zero low bits
@@ -1614,75 +1615,209 @@ def cdc_chunk_stats(ds, num_partitions: int | None = None):
     insertion re-aligns every later chunk — the shift-robust
     counterpart of the fixed-window ``chunk_dedup``.
 
-    Plan shape: one chunkify pass (per-doc numpy rolling hash — eight
-    vector ops per doc — md5 per chunk being the fingerprint-precedent
-    honest cost of oracle parity; production swap is xxhash), then a
-    narrow (doc_id, h) exchange: groupby(h) count, hash join back, one
-    per-doc combiner + groupby.  Nothing wider than 50-byte rows moves;
-    chunk-hash cardinality stays distributed (no driver pull)."""
+    Plan shape: one chunkify pass (materialized — two consumers),
+    then TWO data-scaled exchanges: groupby(h) count -> dup hashes
+    only, which BROADCAST (ray.put of a sorted int64 array, flagging
+    by per-batch searchsorted) below ``broadcast_limit`` and join
+    distributed above it (minhash's auto-switch idiom); per-doc
+    combiner partials then one final groupby(doc_id).  Nothing wider
+    than 16-byte rows moves; the full chunk-hash cardinality stays
+    distributed — only hashes that REPEAT reach the driver, and only
+    under the broadcast limit.
+
+    The chunkify kernel is whole-batch vectorized (round 5; the
+    round-4 version looped per doc and md5'd per chunk): the Arrow
+    string values buffer IS the batch's concatenated utf-8 bytes, so
+    ONE W-term rolling hash runs over the whole slab and cut
+    candidates that straddle doc boundaries are masked out by a
+    searchsorted validity check; chunk fingerprints are the u64
+    Horner polynomial of goldens.cdc_fp_scalar, computed for every
+    chunk at once via the flattened-gather + np.add.reduceat pattern
+    of text_analysis.fingerprint_batch."""
     from ray.data.aggregate import Count, Sum
 
-    from ..goldens import CDC_MASK_BITS, CDC_P, CDC_W
+    from ..goldens import CDC_FP_OFF, CDC_MASK_BITS, CDC_P, CDC_W
+    from ..pipelines.text_analysis import _fp_powers
     from .blocks import default_partitions, nonempty_blocks
 
     P = default_partitions() if num_partitions is None else num_partitions
     pw = np.array([pow(CDC_P, j, 1 << 64) for j in range(CDC_W)],
                   dtype=np.uint64)
     mask = np.uint64((1 << CDC_MASK_BITS) - 1)
+    fp_off = np.uint64(CDC_FP_OFF)
 
     def chunkify(b: pa.Table) -> pa.Table:
-        ids_out, md5s = [], []
-        for did, t in zip(b["doc_id"].to_pylist(),
-                          b["text"].to_pylist()):
-            data = t.encode("utf-8")
-            n = len(data)
-            cuts: list[int] = []
-            if n >= CDC_W:
-                u = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-                h = np.zeros(n - CDC_W + 1, dtype=np.uint64)
-                for j in range(CDC_W):
-                    # h_k covers the window ending at byte i = k + W-1;
-                    # term b[i-j] * p^j == u[W-1-j : n-j] * pw[j]
-                    h += u[CDC_W - 1 - j: n - j] * pw[j]
-                cut_pos = np.nonzero((h & mask) == np.uint64(0))[0] + CDC_W
-                cuts = [int(c) for c in cut_pos if c < n]
-            bounds = [0] + cuts + [n]
-            for k in range(len(bounds) - 1):
-                ids_out.append(did)
-                md5s.append(hashlib.md5(
-                    data[bounds[k]:bounds[k + 1]]).hexdigest())
+        n_docs = b.num_rows
+        if n_docs == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        arr = b["text"].combine_chunks().cast(pa.large_utf8())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        starts, ends = offsets[:-1], offsets[1:]
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base, stop = int(starts[0]), int(ends[-1])
+
+        # ONE rolling hash over the whole slab (values are stored
+        # contiguously in offset order, so the buffer slice IS the
+        # batch's docs concatenated); a window ending at local k
+        # proposes a cut at global c = base + k + W
+        cuts = np.empty(0, dtype=np.int64)
+        nb = stop - base
+        if nb >= CDC_W:
+            u = data[base:stop].astype(np.uint64)
+            h = np.zeros(nb - CDC_W + 1, dtype=np.uint64)
+            for j in range(CDC_W):
+                # term b[i-j] * p^j == u[W-1-j : nb-j] * pw[j]
+                h += u[CDC_W - 1 - j: nb - j] * pw[j]
+            cand = np.nonzero((h & mask) == np.uint64(0))[0] + (base +
+                                                                CDC_W)
+            if len(cand):
+                # validity: the W-byte window and the cut must sit
+                # strictly inside ONE doc (per-doc semantics of
+                # cdc_bounds_scalar): cut < doc end, window start
+                # >= doc start  <=>  cut - start >= W
+                d = np.searchsorted(starts, cand, side="right") - 1
+                ok = (cand < ends[d]) & (cand - starts[d] >= CDC_W)
+                cuts, cut_doc = cand[ok], d[ok]
+
+        # chunk layout: per doc, chunks start at [doc start] + its
+        # cuts (both ascending, so one interleave places everything)
+        cc = (np.bincount(cut_doc, minlength=n_docs).astype(np.int64)
+              if len(cuts) else np.zeros(n_docs, dtype=np.int64))
+        tot = cc + 1  # n_chunks per doc (empty doc => 1 empty chunk)
+        first = np.cumsum(tot) - tot
+        cs = np.empty(int(tot.sum()), dtype=np.int64)
+        cs[first] = starts
+        if len(cuts):
+            rank = np.arange(len(cuts), dtype=np.int64) - np.repeat(
+                np.cumsum(cc) - cc, cc)
+            cs[first[cut_doc] + 1 + rank] = cuts
+        ce = np.empty_like(cs)
+        ce[:-1] = cs[1:]
+        ce[first + cc] = ends  # last chunk of each doc ends at doc end
+        cl = ce - cs
+
+        # u64 Horner fingerprint of every chunk at once
+        # (fingerprint_batch pattern: flatten, gather, power-weight,
+        # reduceat per chunk)
+        fp = np.zeros(len(cs), dtype=np.uint64)
+        total = int(cl.sum())
+        if total:
+            cum = np.cumsum(cl) - cl
+            pos = np.arange(total, dtype=np.int64)
+            rep_cum = np.repeat(cum, cl)
+            src = np.repeat(cs, cl) + (pos - rep_cum)
+            flat = data[src].astype(np.uint64)
+            exp = np.repeat(cl - 1, cl) - (pos - rep_cum)
+            prod = flat * _fp_powers(int(cl.max()))[exp]
+            nonempty = np.nonzero(cl)[0]
+            fp[nonempty] = np.add.reduceat(prod, cum[nonempty])
+        fp ^= fp_off
         return pa.table({
-            "doc_id": pa.array(ids_out, pa.int64()),
-            "h": pa.array(md5s, pa.string()),
+            "doc_id": pa.array(np.repeat(doc_ids, tot), pa.int64()),
+            "h": pa.array(fp.view(np.int64), pa.int64()),
         })
 
-    rows = ds.map_batches(chunkify, batch_format="pyarrow")
-    counts = nonempty_blocks(
-        rows.groupby("h").aggregate(Count(alias_name="cnt")))
-    if counts is None:
+    import ray
+
+    rows = (ds.map_batches(chunkify, batch_format="pyarrow")
+            .materialize())
+    n_rows = rows.count()
+    if n_rows == 0:
         return pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_chunks": pa.array([], pa.int64()),
             "n_dup_chunks": pa.array([], pa.int64()),
             "dup_ppm": pa.array([], pa.int64()),
         })
-    joined = rows.join(counts, "inner", num_partitions=P, on=("h",))
+    # exchange partitions scale with the CHUNK COUNT, not CPU width:
+    # every hash-shuffle partition carries fixed aggregator cost, so a
+    # CPU-wide P on a small corpus is pure overhead (measured: the
+    # r4 join at P=64 on 28k rows cost 4.2 s vs 1.4 s at P=4)
+    P_h = max(2, min(P, (n_rows + 65535) // 65536))
+    counts = rows.groupby("h", num_partitions=P_h).aggregate(
+        Count(alias_name="cnt"))
 
-    def part_agg(b: pa.Table) -> pa.Table:
-        import pandas as pd
+    def only_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["cnt"], 1))
 
-        df = pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
-            "n": 1,
-            "d": (b["cnt"].to_numpy(zero_copy_only=False) > 1)
-            .astype(np.int64),
-        })
-        g = df.groupby("doc_id", as_index=False).agg(
-            p_n=("n", "sum"), p_d=("d", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+    dup = nonempty_blocks(counts.map_batches(only_dups,
+                                             batch_format="pyarrow"))
+    n_dup = 0 if dup is None else dup.count()
 
-    agg = (joined.map_batches(part_agg, batch_format="pyarrow")
-           .groupby("doc_id")
+    if n_dup <= broadcast_limit:
+        # dup-hash membership ships ONCE (ray.put of a sorted int64
+        # array); each batch flags by searchsorted — the round-4
+        # (rows JOIN counts) exchange is gone entirely
+        if dup is None:
+            dup_sorted = np.empty(0, dtype=np.int64)
+        else:
+            dup_sorted = np.sort(np.concatenate(
+                [b["h"].to_numpy(zero_copy_only=False)
+                 for b in dup.iter_batches(batch_format="pyarrow")]))
+        dup_ref = ray.put(dup_sorted)
+
+        def flag_agg(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            dref = ray.get(dup_ref)
+            h = b["h"].to_numpy(zero_copy_only=False)
+            if len(dref):
+                pos = np.clip(np.searchsorted(dref, h), 0,
+                              len(dref) - 1)
+                d = (dref[pos] == h).astype(np.int64)
+            else:
+                d = np.zeros(len(h), dtype=np.int64)
+            df = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "n": 1, "d": d})
+            g = df.groupby("doc_id", as_index=False).agg(
+                p_n=("n", "sum"), p_d=("d", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = rows.map_batches(flag_agg, batch_format="pyarrow")
+    else:
+        # heavily-duplicated corpus at scale: keep the dup side
+        # distributed.  Inner join tags dup INSTANCES only, so per-doc
+        # chunk totals come from a second combiner pass over rows and
+        # the two partial streams UNION into one final groupby
+        dup_h = dup.select_columns(["h"]).repartition(
+            max(1, min(P, (n_dup + 65535) // 65536)))
+        joined = rows.join(dup_h, "inner", num_partitions=P_h,
+                           on=("h",))
+
+        def dup_partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "d": 1})
+            g = df.groupby("doc_id", as_index=False).agg(
+                p_d=("d", "sum"))
+            g["p_n"] = 0
+            return pa.Table.from_pandas(g[["doc_id", "p_n", "p_d"]],
+                                        preserve_index=False)
+
+        def tot_partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "n": 1})
+            g = df.groupby("doc_id", as_index=False).agg(
+                p_n=("n", "sum"))
+            g["p_d"] = 0
+            return pa.Table.from_pandas(g[["doc_id", "p_n", "p_d"]],
+                                        preserve_index=False)
+
+        partials = (rows.map_batches(tot_partial,
+                                     batch_format="pyarrow")
+                    .union(joined.map_batches(dup_partial,
+                                              batch_format="pyarrow")))
+
+    agg = (partials.groupby("doc_id", num_partitions=P_h)
            .aggregate(Sum("p_n", alias_name="n_chunks"),
                       Sum("p_d", alias_name="n_dup_chunks")))
 

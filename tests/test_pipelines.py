@@ -2288,6 +2288,38 @@ def test_cdc_chunk_stats(ray_session):
     assert got[3][1] > 0                 # shifted copy re-aligns
     assert got[4][1] == 0                # unrelated: no dup chunks
 
+    # the distributed-join fallback (heavily-duplicated corpus above
+    # broadcast_limit) must agree with the broadcast path bit-exactly,
+    # including docs with zero dup chunks (the union-of-partials shape)
+    got_j = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"],
+                           r["dup_ppm"])
+             for r in cdc_chunk_stats(
+                 rd.from_arrow(pa.table({
+                     "doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string()),
+                 })).repartition(2), broadcast_limit=0).take_all()}
+    assert got_j == want
+
+    # empty and sub-window docs survive both paths (one empty chunk /
+    # one whole-doc chunk per spec)
+    ids2, texts2 = [7, 8, 9], ["", "abc", ""]
+    want2_t = cdc_stats_scalar(ids2, texts2)
+    want2 = {d: (n, du, p) for d, n, du, p in zip(
+        want2_t["doc_id"].to_pylist(), want2_t["n_chunks"].to_pylist(),
+        want2_t["n_dup_chunks"].to_pylist(),
+        want2_t["dup_ppm"].to_pylist())}
+    for bl in (2_000_000, 0):
+        got2 = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"],
+                              r["dup_ppm"])
+                for r in cdc_chunk_stats(
+                    rd.from_arrow(pa.table({
+                        "doc_id": pa.array(ids2, pa.int64()),
+                        "text": pa.array(texts2, pa.string()),
+                    })), broadcast_limit=bl).take_all()}
+        assert got2 == want2, bl
+    assert want2[7] == (1, 1, 1_000_000)  # two empty docs share the
+    assert want2[8] == (1, 0, 0)          # empty chunk; "abc" unique
+
 
 def test_gap_fill_hourly(ray_session):
     """Missing hours appear with n_events = 0 across every type; the
