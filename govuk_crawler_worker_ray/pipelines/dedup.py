@@ -1476,7 +1476,49 @@ def normalized_dedup(ds):
                        Count(alias_name="n_dups")))
 
 
-def dup_spans(ds, n: int = 8, min_docs: int = 2):
+_dup_merge_task = None
+
+
+def _dup_merge_remote():
+    """Lazily-built Ray task that merges block-local (ghash, cnt)
+    partials into the global duplicated-gram set in ONE worker —
+    numpy sort + reduceat, no hash-shuffle machinery.  Ray 2.49's
+    hash-shuffle groupby costs a measured ~3.5-4 s of fixed aggregator
+    overhead on this host regardless of input size (see BASELINE.md),
+    so below ``merge_limit`` partial rows this single-task reduce is
+    strictly better; above it the distributed groupby takes over."""
+    global _dup_merge_task
+    if _dup_merge_task is None:
+        import ray
+
+        def _merge(min_docs, *blocks):
+            ghs = [b["ghash"].to_numpy(zero_copy_only=False)
+                   for b in blocks if b.num_rows]
+            if not ghs:
+                e = np.empty(0, dtype=np.int64)
+                return e, e
+            gh = np.concatenate(ghs)
+            cnt = np.concatenate(
+                [b["cnt"].to_numpy(zero_copy_only=False)
+                 for b in blocks if b.num_rows])
+            order = np.argsort(gh, kind="stable")
+            gh = gh[order]
+            cnt = cnt[order]
+            first = np.empty(len(gh), dtype=bool)
+            first[0] = True
+            first[1:] = gh[1:] != gh[:-1]
+            starts = np.nonzero(first)[0]
+            sums = np.add.reduceat(cnt, starts)
+            keep = sums >= min_docs
+            return gh[starts][keep], sums[keep]
+
+        _dup_merge_task = ray.remote(_merge)
+    return _dup_merge_task
+
+
+def dup_spans(ds, n: int = 8, min_docs: int = 2,
+              broadcast_limit: int = 2_000_000,
+              merge_limit: int = 8_000_000):
     """Duplicated-span detection — every position where a token
     ``n``-gram recurs across >= ``min_docs`` DISTINCT documents (the
     substring-dedup signal of Lee et al. 2022, "Deduplicating Training
@@ -1494,20 +1536,29 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
          into a positional polynomial over the window (8 shifted
          uint64 multiply-adds — order-sensitive, so "a b" != "b a"),
          then per-batch (ghash, doc) pair dedup as a combiner;
-      2. grams-with->=min_docs via ONE groupby(ghash) count over the
-         per-block-deduped pairs — a document's rows never split
-         across blocks (explode emits a doc's grams together and the
-         combiner runs on whole blocks), so block-local (ghash, doc)
-         dedup IS global dedup and the distinct-pair shuffle the first
-         version paid disappears;
-      3. ONE inner int64 hash join of the occurrence rows against the
-         small duplicated-gram side.
+      2. grams-with->=min_docs from block-local distinct-doc partial
+         counts — a document's rows never split across blocks (explode
+         emits a doc's grams together and the combiner runs on whole
+         blocks), so the block-local distinct count is a correct
+         partial of the global one.  Below ``merge_limit`` partial
+         rows the partials merge in ONE worker-side numpy reduce
+         (Ray 2.49's hash-shuffle groupby has a ~3.5-4 s fixed
+         aggregator floor on this host); above it, ONE distributed
+         groupby(ghash) SUM;
+      3. duplicated-gram membership + n_docs ships ONCE (``ray.put``
+         of sorted int64 arrays) and each occurrence batch flags by
+         ``searchsorted`` — no second exchange at all below
+         ``broadcast_limit`` duplicated grams; above it (pathological
+         corpora) ONE inner int64 hash join against the dup side.
     The 64-bit key makes a cross-doc false merge a birthday event at
     ~2^-64 per pair (~1e-6 at 10M distinct grams, vanishing at test
     scale); the first version shuffled the gram STRINGS twice and was
-    8-10x wider on the wire (16.2 s -> this plan at sf0.1)."""
+    8-10x wider on the wire (16.2 s -> the join plan -> this plan at
+    sf0.1)."""
     import pandas as pd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from .blocks import nonempty_blocks
 
     _P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
@@ -1550,50 +1601,119 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2):
     grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
     def pair_combiner(b: pa.Table) -> pa.Table:
+        # block-local distinct-doc count per gram: doc locality per
+        # block (see batch_size=None note below) makes this a correct
+        # partial of the global distinct count, so one row per
+        # (block, gram) crosses the wire instead of one per
+        # (gram, doc) pair
         df = pd.DataFrame({
             "ghash": b["ghash"].to_numpy(zero_copy_only=False),
             "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
         }).drop_duplicates()
+        g = df.groupby("ghash", as_index=False, sort=False).agg(
+            cnt=("doc_id", "size"))
         # explicit types: an empty pandas frame would otherwise emit
-        # null-typed columns and break the downstream int64 hash join
+        # null-typed columns and break the downstream int64 exchange
         return pa.table({
-            "ghash": pa.array(df["ghash"].to_numpy(dtype=np.int64),
+            "ghash": pa.array(g["ghash"].to_numpy(dtype=np.int64),
                               pa.int64()),
-            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
-                               pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64),
+                            pa.int64()),
         })
 
     def only_dups(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater_equal(b["n_docs"], min_docs))
 
-    # batch_size=None => whole blocks, preserving the doc-locality the
-    # global-dedup argument above relies on.  Locality holds because an
-    # explode output batch (<=1024 docs x ~n_tokens rows, a few MB) is
-    # far below target_max_block_size (128 MB default) and so is never
-    # sliced across blocks; corpora with multi-MB single documents must
-    # lower the explode batch_size to keep that true.
-    dup = (grams.map_batches(pair_combiner, batch_format="pyarrow",
-                             batch_size=None)
-           .groupby("ghash").aggregate(Count(alias_name="n_docs"))
-           .map_batches(only_dups, batch_format="pyarrow")
-           .materialize())
-
-    # Ray quirk (ray 2.49 hash_shuffle.py:223,584): join-side schemas
-    # broadcast only with the FIRST dispatched block, and empty blocks
-    # short-circuit before broadcasting — an aggregate output whose
-    # first block is empty (most groupby partitions are) crashes the
-    # downstream join with "No match for FieldRef".  The dup side is
-    # duplicated-grams-sized (small), so compact it to provably
-    # non-empty blocks; a zero-dup corpus returns the empty schema
-    # directly.
-    n_dup = dup.count()
-    if n_dup == 0:
+    def _empty_result():
         import ray.data as rd
 
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
             "n_docs": pa.array([], pa.int64())}))
+
+    n_grams = grams.count()
+    if n_grams == 0:
+        return _empty_result()
+
+    import ray
+
+    def _flag_with(dup_ref):
+        def flag(b: pa.Table) -> pa.Table:
+            gh_s, nd_s = ray.get(dup_ref)
+            g = b["ghash"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(gh_s, g), 0, len(gh_s) - 1)
+            hit = gh_s[pos] == g
+            return pa.table({
+                "doc_id": b["doc_id"].filter(pa.array(hit)),
+                "pos": b["pos"].filter(pa.array(hit)),
+                "n_docs": pa.array(nd_s[pos[hit]], pa.int64()),
+            })
+
+        return flag
+
+    # batch_size=None => whole blocks, preserving the doc-locality the
+    # partial-count argument above relies on.  Locality holds because an
+    # explode output batch (<=1024 docs x ~n_tokens rows, a few MB) is
+    # far below target_max_block_size (128 MB default) and so is never
+    # sliced across blocks; corpora with multi-MB single documents must
+    # lower the explode batch_size to keep that true.
+    partials = (grams.map_batches(pair_combiner, batch_format="pyarrow",
+                                  batch_size=None).materialize())
+    n_part = partials.count()
+    if n_part == 0:
+        return _empty_result()
+
+    if n_part <= merge_limit:
+        # small-corpus fast path: ONE worker-side numpy reduce over the
+        # block-local partials replaces the hash-shuffle groupby (which
+        # costs a measured ~3.5-4 s of fixed aggregator overhead on this
+        # host regardless of input size); refs move worker-to-worker,
+        # nothing touches the driver.  8M partial rows = ~128 MB of
+        # int64 pairs, well inside one worker's heap.
+        refs = partials.to_arrow_refs()
+        gh_s, nd_s = ray.get(
+            _dup_merge_remote().remote(min_docs, *refs))
+        if len(gh_s) == 0:
+            return _empty_result()
+        dup_ref = ray.put((gh_s, nd_s))
+        return grams.map_batches(_flag_with(dup_ref),
+                                 batch_format="pyarrow")
+
+    # scale path: exchange partitions scale with the PARTIAL COUNT,
+    # not CPU width — fixed per-partition aggregator cost dominates on
+    # small corpora (same sizing rule as cdc_chunk_stats)
+    P_h = max(2, min(16, (n_part + 65535) // 65536))
+    counts = (partials.groupby("ghash", num_partitions=P_h)
+              .aggregate(Sum("cnt", alias_name="n_docs")))
+    dup = nonempty_blocks(counts.map_batches(only_dups,
+                                             batch_format="pyarrow"))
+    n_dup = 0 if dup is None else dup.count()
+    if n_dup == 0:
+        return _empty_result()
+
+    if n_dup <= broadcast_limit:
+        # dup-gram membership + n_docs ship ONCE; each occurrence
+        # batch filters by searchsorted — the (grams JOIN dup)
+        # exchange disappears entirely
+        ghs, nds = [], []
+        for b in dup.iter_batches(batch_format="pyarrow"):
+            ghs.append(b["ghash"].to_numpy(zero_copy_only=False))
+            nds.append(b["n_docs"].to_numpy(zero_copy_only=False))
+        gh = np.concatenate(ghs)
+        nd = np.concatenate(nds)
+        order = np.argsort(gh)
+        dup_ref = ray.put((gh[order], nd[order]))
+        return grams.map_batches(_flag_with(dup_ref),
+                                 batch_format="pyarrow")
+
+    # pathological corpus (more duplicated grams than the broadcast
+    # budget): ONE inner int64 hash join against the dup side.
+    # Ray quirk (ray 2.49 hash_shuffle.py:223,584): join-side schemas
+    # broadcast only with the FIRST dispatched block, and empty blocks
+    # short-circuit before broadcasting — nonempty_blocks above plus
+    # this compacting repartition keeps the dup side's blocks
+    # provably non-empty.
     try:
         P = max(2, min(grams.num_blocks(), 16))
     except Exception:

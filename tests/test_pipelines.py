@@ -1559,6 +1559,18 @@ def test_dup_spans_planted(ray_session):
     reblocked = (dup_spans(rd.from_arrow(tbl).repartition(3)).to_pandas()
                  .sort_values(["doc_id", "pos"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, reblocked)
+    # merge_limit=0 forces the distributed-groupby scale path; it must
+    # agree with the single-task-merge fast path bit for bit
+    scale = (dup_spans(rd.from_arrow(tbl).repartition(3), merge_limit=0)
+             .to_pandas()
+             .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, scale)
+    # and broadcast_limit=0 on top forces the join fallback inside it
+    joined = (dup_spans(rd.from_arrow(tbl), merge_limit=0,
+                        broadcast_limit=0)
+              .to_pandas()
+              .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, joined)
 
 
 def test_global_rank_matches_sequential(docs_ds):
