@@ -446,6 +446,16 @@ def _q_value_quantiles(sf_dir: str):
     return value_quantiles(events)
 
 
+def _q_sampled_quantiles(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        sampled_quantiles,
+    )
+
+    events = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    return sampled_quantiles(events)
+
+
 _ANTI_CUTOFF_US = 852076800 * 1_000_000  # 1997-01-01T00:00:00Z
 
 # imported so the oracle can never drift from the engine's filter
@@ -1505,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "token_df": _q_token_df,
         "value_quantiles": _q_value_quantiles,
+        "sampled_quantiles": _q_sampled_quantiles,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1627,6 +1638,14 @@ def _kmv_sql() -> str:
     from govuk_crawler_worker_ray.pipelines.sketches import kmv_oracle_sql
 
     return kmv_oracle_sql()
+
+
+def _sampled_quantiles_sql() -> str:
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        sampled_quantiles_oracle_sql,
+    )
+
+    return sampled_quantiles_oracle_sql()
 
 
 def _hll_sql() -> str:
@@ -2280,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(v, 0.75) AS q75_micros, "
             "quantile_disc(v, 0.95) AS q95_micros "
             "FROM v GROUP BY event_type"),
+        "sampled_quantiles": _sampled_quantiles_sql(),
         "distinct_users_daily": (
             "SELECT epoch_us(ts) // 86400000000 AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "

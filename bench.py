@@ -195,7 +195,9 @@ def bench_queries() -> dict:
              "c4_pipeline", "interleaved_curation", "percent_rank",
              # round-4 additions (same caveat)
              "ngram_jaccard_bucketed", "domain_mix",
-             "domain_mix_sample", "cdc_chunk_stats"]
+             "domain_mix_sample", "cdc_chunk_stats",
+             # round-5 additions (same caveat)
+             "sampled_quantiles"]
     qs = entrymod.queries()
     # warm the Ray worker pool before timing: the first map_batches of a
     # fresh session otherwise pays worker-process spawn + import inside

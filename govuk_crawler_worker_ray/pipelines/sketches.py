@@ -310,3 +310,71 @@ def cms_oracle_sql(pct: int = 1, table: str = "documents",
         f"JOIN cells USING (salt, bucket) GROUP BY token) "
         f"SELECT token, CAST(est_count AS BIGINT) AS est_count "
         f"FROM est, tot WHERE 100 * est_count > {pct} * tot.n")
+
+
+def sampled_quantiles(ds, rate: float = 1 / 4,
+                      qs=(0.25, 0.5, 0.75, 0.95)):
+    """Hash-sampled per-group quantiles — the bounded-shuffle tier
+    ``value_quantiles`` names for groups too large to sort in one
+    worker: estimate the quantiles of event value per event_type from
+    a DETERMINISTIC uniform sample (keep a row iff the first 32 bits
+    of md5(event_id) fall below ``rate`` * 2^32 — the
+    ``stratified_sample`` predicate, so the same rows survive any
+    re-partitioning, resume, or rerun, and the DuckDB twin replays the
+    identical sample).  ``rate`` is the scale knob: at 10^10 rows per
+    group, rate=1e-5 bounds the per-group sort at ~10^5 values while
+    the rank error concentrates at O(1/sqrt(rate * n)).
+
+    Output (one row per event_type): exact ``quantile_disc`` quantiles
+    OF THE SAMPLE as int64 micros (element ceil(q*n)-1 of the sorted
+    sample, the value_quantiles convention).  Shape: per-row hash
+    predicate + projection inside ``map_batches`` (only survivors
+    leave the scan) -> ONE groupby whose per-group work is a numpy
+    sort of the sample."""
+    from .sampling import _hex_threshold
+
+    thr = _hex_threshold(rate)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(d).encode()).hexdigest()[:8] < thr
+             for d in ids], pa.bool_())
+        kept = batch.filter(mask)
+        return pa.table({
+            "event_type": kept["event_type"],
+            "v": pa.array(
+                np.rint(kept["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64), pa.int64()),
+        })
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in qs:
+            row[f"q{int(q * 100)}_micros"] = int(
+                v[max(int(np.ceil(q * n)) - 1, 0)])
+        return pd.DataFrame([row])
+
+    return (ds.map_batches(sample, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(per_type, batch_format="pandas"))
+
+
+def sampled_quantiles_oracle_sql(rate: float = 1 / 4,
+                                 qs=(0.25, 0.5, 0.75, 0.95),
+                                 table: str = "events") -> str:
+    """ANSI-SQL twin of sampled_quantiles — same md5 sample predicate,
+    same micros rounding, same quantile_disc convention."""
+    from .sampling import _hex_threshold
+
+    thr = _hex_threshold(rate)
+    cols = ", ".join(
+        f"quantile_disc(v, {q}) AS q{int(q * 100)}_micros" for q in qs)
+    return (
+        f"WITH s AS (SELECT event_type, "
+        f"CAST(round(value * 1000000) AS BIGINT) AS v FROM {table} "
+        f"WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < "
+        f"'{thr}') "
+        f"SELECT event_type, {cols} FROM s GROUP BY event_type")

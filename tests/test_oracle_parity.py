@@ -55,7 +55,8 @@ ORACLE_KEYS = [
     "revenue_by_nation", "top_docs_by_length", "ann_bruteforce",
     "asof_join", "range_join", "sliding_window", "distinct_users_daily",
     "stratified_sample", "media_features", "video_frames",
-    "kmv_distinct", "token_df", "value_quantiles", "ngram_jaccard",
+    "kmv_distinct", "token_df", "value_quantiles", "sampled_quantiles",
+    "ngram_jaccard",
     "ngram_jaccard_bucketed",
     "anti_join", "group_topk", "text_normalize", "simhash_neardup",
     "quantize_embeddings", "bpe_token_count", "conversion_funnel",

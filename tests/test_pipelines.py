@@ -249,6 +249,48 @@ def test_kmv_sketch(ray_session):
             assert dict(out) == first  # block-layout invariant
 
 
+def test_sampled_quantiles(ray_session):
+    """rate=1 keeps every row, so the sampled quantiles ARE the exact
+    value_quantiles; at rate<1 the estimate lands within the sample's
+    rank-error band of truth; block layout does not change the result
+    (the md5 predicate is per-row)."""
+    import numpy as np
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.relational import (
+        value_quantiles,
+    )
+    from govuk_crawler_worker_ray.pipelines.sketches import (
+        sampled_quantiles,
+    )
+
+    n = 4000
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(["a"] * (n // 2) + ["b"] * (n // 2),
+                               pa.string()),
+        "value": pa.array(
+            [((i * 37) % 1000) / 10 for i in range(n)], pa.float64()),
+    })
+    exact = (value_quantiles(rd.from_arrow(t)).to_pandas()
+             .set_index("event_type").sort_index())
+    full = (sampled_quantiles(rd.from_arrow(t), rate=1.0).to_pandas()
+            .set_index("event_type").sort_index())
+    assert full.equals(exact)
+    first = None
+    for blocks in (1, 7):
+        est = (sampled_quantiles(rd.from_arrow(t).repartition(blocks),
+                                 rate=1 / 4).to_pandas()
+               .set_index("event_type").sort_index())
+        if first is None:
+            first = est
+        else:
+            assert est.equals(first)  # block-layout invariant
+    # ~500 sampled per group: q50 within a few rank-percent of truth
+    rel = np.abs(first["q50_micros"] - exact["q50_micros"]) / 100_000_000
+    assert (rel < 0.10).all()
+
+
 def test_multimodal_plumbing(docs_ds):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         MediaDecodeStage,
