@@ -108,16 +108,23 @@ def bench_crawl(num_cpus: int) -> dict:
     # Crawl results are shard-count invariant (S=1 vs S=8 golden-parity
     # tests); raise GCW_SHARDS on real multi-node memory footprints.
     shards = int(os.environ.get("GCW_SHARDS", "8"))
+    # frontier mode: GCW_STORAGE=1 pins storage rounds (official),
+    # 0 pins the in-memory frontier, "auto" exercises the default AUTO
+    # hand-off (in-memory until one round's frontier exceeds
+    # GCW_AUTO_THRESHOLD rows, then hand off mid-crawl) — the
+    # round-4-verdict ask that the default path's perf be measured
+    # under the official harness, not just its parity
+    storage_env = os.environ.get("GCW_STORAGE", "1")
+    fos = None if storage_env == "auto" else bool(int(storage_env))
+    auto_thr = int(os.environ.get("GCW_AUTO_THRESHOLD", "4000000"))
     cfg = CrawlConfig(root_urls=list(ROOT_URLS),
                       crawler_threads=workers,
                       num_seen_shards=shards,
                       max_rounds=40,
                       give_up_429_after=3,   # bound the 429 retry tail
                       checkpoint_every=5,
-                      # frontier-on-storage rounds (GCW_STORAGE=0 to use
-                      # the in-memory frontier path instead)
-                      frontier_on_storage=bool(int(
-                          os.environ.get("GCW_STORAGE", "1"))))
+                      frontier_on_storage=fos,
+                      storage_auto_threshold=auto_thr)
     # crawl output goes to tmpfs: this VM's virtual disk is io-throttled
     # to ~9 MB/s (measured, even page-cache writes), which caps any run
     # writing fetched bodies; /dev/shm stands in for a real node's NVMe
