@@ -153,8 +153,20 @@ class SeenShard:
             # store, so growing after it would re-insert these keys twice
             self._ensure_capacity(len(nk))
         exp = now + self.ttl
-        for d, s in zip(digests, statuses):
-            store[d] = (int(s), exp)
+        # uniform-status fast path: every hot caller passes
+        # ``[status] * n`` (replay winners are all 1), so the insert
+        # collapses to ONE C-speed dict.update sharing a single value
+        # tuple — the per-key Python loop was 74 ms of a 314 ms ph1 at
+        # round-8 per-shard scale (150k staged / 67k winners)
+        if statuses and statuses.count(statuses[0]) == len(statuses):
+            from itertools import repeat
+
+            store.update(zip(digests,
+                             repeat((int(statuses[0]), exp),
+                                    len(digests))))
+        else:
+            for d, s in zip(digests, statuses):
+                store[d] = (int(s), exp)
         if nk is not None and len(nk):
             self.bloom.add_many(nk)
             self.cuckoo_overflow += self.cuckoo.insert_many(nk)
