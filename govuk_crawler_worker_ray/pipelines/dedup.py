@@ -1317,19 +1317,29 @@ def simhash_neardup(ds, k: int = 3):
             .aggregate(Min("hamming", alias_name="hamming")))
 
 
-def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8):
+def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8,
+                      broadcast_limit: int = 2_000_000,
+                      distributed: bool | None = None):
     """Cross-run incremental dedup — the daily-increment scenario: a
     new arrival batch deduplicates against the hash set of everything a
     PRIOR run already kept, then within itself.  Output: one row per
     genuinely new distinct text, (content_hash, doc_id=min, n_dups).
 
-    Shape: both sides reduce to narrow hash rows; the prior side
-    pre-dedupes per batch (one row per distinct hash per batch), the
-    new side anti-joins it with Ray Data's native ``left_anti`` hash
-    join (the anti_join precedent — no broadcast, correct when the
-    prior corpus is 100 TB too), and the survivors finish with the
-    exact_dedup groupby.  Nothing but 16-byte-hash rows ever
-    shuffles."""
+    Shape: both sides reduce to narrow hash rows.  Auto-switches on
+    the prior hash-set size (the minhash/pagerank precedent):
+
+    - below ``broadcast_limit`` per-batch-distinct prior hashes the
+      set broadcasts once via ``ray.put`` and the new side filters
+      with ``pc.is_in`` inside ``map_batches`` — the native hash join
+      pays ~3 s of fixed aggregator setup that dominates small
+      increments (measured 6.6 s -> sub-second at sf0.1);
+    - above it, the new side anti-joins with Ray Data's native
+      ``left_anti`` hash join (the anti_join precedent — no
+      broadcast, correct when the prior corpus is 100 TB too).
+
+    Either way the survivors finish with the exact_dedup groupby and
+    nothing but 16-byte-hash rows ever shuffles or broadcasts."""
+    import ray
     from ray.data.aggregate import Count, Min
 
     def prior_hashes(batch: pa.Table) -> pa.Table:
@@ -1339,15 +1349,34 @@ def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8):
         })
 
     prior = prior_ds.map_batches(prior_hashes, batch_format="pyarrow")
+    if distributed is None:
+        # materialize before the switch: count() would otherwise run
+        # the lazy hash lineage once and the chosen path a second time
+        prior = prior.materialize()
+        distributed = prior.count() > broadcast_limit
 
     new_hashed = (new_ds
                   .map_batches(content_hash_batch,
                                batch_format="pyarrow")
                   .select_columns(["doc_id", "content_hash"]))
-    fresh = new_hashed.join(prior, "left_anti",
-                            num_partitions=num_partitions,
-                            on=("content_hash",),
-                            right_on=("prior_hash",))
+    if not distributed:
+        pdf = prior.to_pandas()  # empty prior -> zero-column frame
+        hs = pc.unique(pa.array(
+            pdf["prior_hash"] if "prior_hash" in pdf.columns else [],
+            pa.string()))
+        href = ray.put(hs)
+
+        def anti(b: pa.Table) -> pa.Table:
+            seen = pc.is_in(b["content_hash"].combine_chunks(),
+                            value_set=ray.get(href))
+            return b.filter(pc.invert(seen))
+
+        fresh = new_hashed.map_batches(anti, batch_format="pyarrow")
+    else:
+        fresh = new_hashed.join(prior, "left_anti",
+                                num_partitions=num_partitions,
+                                on=("content_hash",),
+                                right_on=("prior_hash",))
     return (fresh.groupby("content_hash")
             .aggregate(Min("doc_id", alias_name="doc_id"),
                        Count(alias_name="n_dups")))

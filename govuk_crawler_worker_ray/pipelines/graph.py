@@ -212,7 +212,71 @@ def degree_stats(edges_ds):
                        Sum("pi", alias_name="in_degree")))
 
 
-def triangle_count(edges_ds):
+def _triangle_broadcast(edges_ds, wedge_budget: int):
+    """Driver-side numpy kernel for small graphs: same census as the
+    join plan (canonical distinct undirected edges, true wedge total
+    from degrees, node-ordered wedge enumeration + closure check),
+    computed in one heap.  Returns None when the ORIENTED wedge
+    fan-out (sum over nodes of C(out_deg, 2) under id orientation)
+    exceeds ``wedge_budget`` — the enumeration array wouldn't fit, so
+    the caller falls through to the streaming join plan."""
+    df = edges_ds.select_columns(["src", "dst"]).to_pandas()
+    empty = pa.table({
+        "n_wedges": pa.array([0], pa.int64()),
+        "n_triangles": pa.array([0], pa.int64()),
+        "gcc_ppm": pa.array([0], pa.int64()),
+    })
+    if not len(df):
+        return empty
+    both = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
+    _, codes = np.unique(both, return_inverse=True)
+    m = len(df)
+    s, d = codes[:m], codes[m:]
+    n = int(codes.max()) + 1
+    # canonical distinct undirected edges: lo < hi, no self loops
+    lo = np.minimum(s, d).astype(np.int64)
+    hi = np.maximum(s, d).astype(np.int64)
+    keep = lo != hi
+    key = np.unique(lo[keep] * n + hi[keep])  # sorted: by lo, then hi
+    if not len(key):
+        return empty
+    lo, hi = key // n, key % n
+    # true wedge total from undirected degrees
+    deg = (np.bincount(lo, minlength=n)
+           + np.bincount(hi, minlength=n)).astype(np.int64)
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+    # CSR oriented lo -> hi (neighbors above each node, sorted)
+    starts = np.searchsorted(lo, np.arange(n + 1))
+    k = starts[1:] - starts[:-1]
+    # each oriented edge e (node x's i-th neighbor) opens wedges
+    # (hi[e], z) for every LATER neighbor z of x — b < c for free
+    pos = np.arange(len(lo)) - starts[lo]
+    rep = k[lo] - 1 - pos
+    if int(rep.sum()) > wedge_budget:
+        return None
+    bcol = np.repeat(hi, rep)
+    if len(bcol):
+        first = np.cumsum(rep) - rep
+        idx = (np.arange(len(bcol)) - np.repeat(first, rep)
+               + np.repeat(np.arange(len(lo)) + 1, rep))
+        ccol = hi[idx]
+        wkey = bcol * n + ccol
+        p = np.searchsorted(key, wkey)
+        p_cl = np.minimum(p, len(key) - 1)
+        n_tri = int(((p < len(key)) & (key[p_cl] == wkey)).sum())
+    else:
+        n_tri = 0
+    gcc_ppm = (3_000_000 * n_tri) // n_wedges if n_wedges else 0
+    return pa.table({
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "gcc_ppm": pa.array([gcc_ppm], pa.int64()),
+    })
+
+
+def triangle_count(edges_ds, broadcast_limit: int = 500_000,
+                   wedge_budget: int = 20_000_000,
+                   distributed: bool | None = None):
     """Global triangle census of the link graph (undirected): ONE row
     (n_wedges, n_triangles, gcc_ppm) — wedge count, triangle count, and
     the global clustering coefficient 3*T/W in exact parts-per-million
@@ -235,9 +299,29 @@ def triangle_count(edges_ds):
     (sum of out-deg^2); the documented fix is degree-orientation
     (orient each edge toward the higher-(degree, id) endpoint), which
     bounds wedge fan-out by O(m^1.5) at the price of one extra
-    degree join — same count either way."""
+    degree join — same count either way.
+
+    Auto-switches on edge count (the pagerank/bfs_depth precedent):
+    below ``broadcast_limit`` edges the census runs as one numpy
+    kernel on the driver — the join plan pays 2 fixed-cost hash joins
+    + 3 groupbys that dominate on small graphs (measured 5.7 s for
+    the 300-page fixture graph at 32 CPUs vs <0.1 s broadcast) —
+    unless the oriented wedge fan-out exceeds ``wedge_budget`` (hub
+    skew), in which case it falls through to the streaming join plan.
+    Both paths are integer-exact and count-identical."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
+
+    if distributed is None:
+        # materialize before the switch (see pagerank): avoid double
+        # execution of the lazy edge lineage
+        edges_ds = edges_ds.materialize()
+        distributed = edges_ds.count() > broadcast_limit
+    if not distributed:
+        out = _triangle_broadcast(edges_ds, wedge_budget)
+        if out is not None:
+            return out
+        # wedge fan-out over budget: stream it instead
 
     def canon(b: pa.Table) -> pa.Table:
         s = b["src"].combine_chunks()

@@ -2248,6 +2248,74 @@ def test_bfs_depth_broadcast_matches_distributed(ray_session):
     assert depths(distributed=True) == want
 
 
+def test_triangle_count_broadcast_matches_distributed(ray_session):
+    """The numpy census fast path, the join plan, and the
+    over-wedge-budget fallback all produce the identical
+    (n_wedges, n_triangles, gcc_ppm) row on a messy random graph
+    (duplicates, reversals, self-loops)."""
+    import numpy as np
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 60, 400)
+    d = rng.integers(0, 60, 400)
+    edges = pa.table({
+        "src": pa.array([f"u{x}" for x in s], pa.string()),
+        "dst": pa.array([f"u{x}" for x in d], pa.string())})
+
+    def census(**kw):
+        out = triangle_count(rd.from_arrow(edges).repartition(3), **kw)
+        return out.to_pydict()
+
+    fast = census(distributed=False)
+    assert fast == census(distributed=True)
+    # a wedge budget of 1 forces the broadcast path to decline and
+    # fall through to the join plan — same numbers
+    assert fast == census(distributed=False, wedge_budget=1)
+    assert fast["n_triangles"][0] > 0       # non-degenerate fixture
+
+
+def test_incremental_dedup_broadcast_matches_join(ray_session):
+    """The broadcast is_in fast path and the native left_anti join
+    keep the identical survivor set; an empty prior run keeps
+    everything (one row per distinct new text)."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        incremental_dedup,
+    )
+
+    prior_tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["p0", "p1", "p2", "shared"], pa.string())})
+    new_tbl = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["shared", "n0", "n0", "n1"], pa.string())})
+
+    def run(**kw):
+        out = incremental_dedup(rd.from_arrow(new_tbl).repartition(2),
+                                rd.from_arrow(prior_tbl),
+                                **kw).to_pandas()
+        return (out.sort_values("content_hash")
+                .reset_index(drop=True))
+
+    a, b = run(distributed=False), run(distributed=True)
+    assert a.equals(b)
+    by_id = a.set_index("doc_id")
+    assert sorted(a["doc_id"]) == [11, 13]   # "shared" dropped
+    assert int(by_id.loc[11, "n_dups"]) == 2  # both n0 rows collapse
+
+    empty_prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    kept = incremental_dedup(rd.from_arrow(new_tbl), empty_prior,
+                             distributed=False).to_pandas()
+    assert len(kept) == 3
+    assert int(kept["n_dups"].sum()) == 4
+
+
 def test_lang_mix(ray_session):
     import ray.data as rd
 
