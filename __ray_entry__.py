@@ -1294,6 +1294,58 @@ def _q_span_stats(sf_dir: str):
         columns=["doc_id", "spans"]))
 
 
+def _q_span_transitions(sf_dir: str):
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        span_transitions,
+    )
+    from govuk_crawler_worker_ray.sources.documents import read_documents
+
+    d = _fixture()
+    return span_transitions(read_documents(
+        os.path.join(d, "documents.parquet"),
+        columns=["doc_id", "spans"]))
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Prior snapshot = documents as stored; new snapshot = a
+    deterministic recrawl of it (doc_id % 7 == 3 gone, doc_id % 5 == 0
+    revised, doc_id % 13 == 0 re-appearing under a fresh id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from govuk_crawler_worker_ray.pipelines.dedup import snapshot_diff
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def revise(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 7 != 3))
+        mask = pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+        text = pc.if_else(
+            mask,
+            pc.binary_join_element_wise(
+                t["text"].combine_chunks(), " rev2", ""),
+            t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def added(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = ids[ids % 13 == 0]
+        return pa.table({
+            "doc_id": pa.array(sel + 10_000_000, pa.int64()),
+            "text": pa.array(
+                np.char.add("added page ", sel.astype(str)),
+                pa.string()),
+        })
+
+    docs = lambda: _read_sized(path, columns=["doc_id", "text"])  # noqa: E731
+    new = (docs().map_batches(revise, batch_format="pyarrow")
+           .union(docs().map_batches(added, batch_format="pyarrow")))
+    return snapshot_diff(new, docs())
+
+
 def _q_mm_quality_gate(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         mm_quality_gate,
@@ -1570,6 +1622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "dup_spans": _q_dup_spans,
         "span_stats": _q_span_stats,
+        "span_transitions": _q_span_transitions,
+        "snapshot_diff": _q_snapshot_diff,
         "mm_quality_gate": _q_mm_quality_gate,
         "interleaved_dedup": _q_interleaved_dedup,
         "interleaved_curation": _q_interleaved_curation,
@@ -2737,6 +2791,37 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(gl),
         # interleaved-span operators: DuckDB unnests the same nested
         # list<struct> parquet the engine flattens zero-copy
+        # kind-bigram transitions in offset order; has_next (lead(1))
+        # distinguishes "no next span" from a genuinely-null next kind
+        "span_transitions": (
+            "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
+            f"read_parquet('{fdoc}')), "
+            "f AS (SELECT doc_id, sp.kind AS kind, "
+            "sp.\"offset\" AS o FROM s), "
+            "w AS (SELECT kind AS kind_from, "
+            "lead(kind) OVER win AS kind_to, "
+            "lead(1) OVER win AS has_next FROM f "
+            "WINDOW win AS (PARTITION BY doc_id ORDER BY o)) "
+            "SELECT kind_from, kind_to, CAST(count(*) AS BIGINT) AS n "
+            "FROM w WHERE has_next IS NOT NULL "
+            "GROUP BY kind_from, kind_to"),
+        # recrawl delta: same deterministic new-snapshot transform as
+        # _q_snapshot_diff; unchanged pages are filtered in the WHERE
+        "snapshot_diff": (
+            "WITH p AS (SELECT doc_id, md5(text) AS h FROM documents), "
+            "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN "
+            "text || ' rev2' ELSE text END) AS h FROM documents "
+            "WHERE doc_id % 7 <> 3 "
+            "UNION ALL SELECT doc_id + 10000000, "
+            "md5('added page ' || CAST(doc_id AS VARCHAR)) "
+            "FROM documents WHERE doc_id % 13 = 0) "
+            "SELECT COALESCE(n.doc_id, p.doc_id) AS doc_id, "
+            "CASE WHEN p.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change "
+            "FROM n FULL OUTER JOIN p ON n.doc_id = p.doc_id "
+            "WHERE p.doc_id IS NULL OR n.doc_id IS NULL "
+            "OR n.h <> p.h"),
         "span_stats": (
             "WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM "
             f"read_parquet('{fdoc}')), "

@@ -1382,6 +1382,88 @@ def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8,
                        Count(alias_name="n_dups")))
 
 
+def snapshot_diff(new_ds, prior_ds, num_partitions: int | None = None):
+    """Recrawl delta between two crawl snapshots of the same corpus —
+    the "what changed since the last crawl" report a recrawl scheduler
+    feeds on (the reference gets page-level change detection implicitly
+    from filesystem overwrite, workflow.go:153-216; here it is a
+    first-class distributed operator).  Both snapshots are keyed by a
+    unique ``doc_id``; output is one row per DIFFERING page:
+    (doc_id, change) with change in {'added', 'removed', 'changed'} —
+    pages whose content hash is identical in both snapshots never
+    leave the join.
+
+    Shape for 100 TB x 2 snapshots: each side reduces to narrow
+    (doc_id, md5) rows inside ``map_batches`` (the exact_dedup
+    kernel), ONE native full_outer hash exchange joins them, and the
+    classification is a vectorized per-batch filter — both sides
+    stream, nothing broadcasts, nothing materializes driver-side."""
+    from .blocks import default_partitions, nonempty_blocks
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def side(ds, key_out, hash_out):
+        def narrow(b: pa.Table) -> pa.Table:
+            h = content_hash_batch(b)
+            return pa.table({key_out: b["doc_id"],
+                             hash_out: h["content_hash"]})
+        return nonempty_blocks(
+            ds.map_batches(narrow, batch_format="pyarrow"))
+
+    new = side(new_ds, "doc_id", "h_new")
+    prior = side(prior_ds, "p_doc_id", "h_prior")
+    # key type flows through from the inputs; only the degenerate
+    # both-empty relation defaults to int64 (no rows to infer from)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "change": pa.array([], pa.string())})
+    if new is None and prior is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    if new is None or prior is None:
+        import ray.data as rd
+
+        only, key, tag = ((prior, "p_doc_id", "removed")
+                          if new is None else (new, "doc_id", "added"))
+        return only.map_batches(
+            lambda b, k=key, t=tag: pa.table({
+                "doc_id": b[k],
+                "change": pa.array([t] * b.num_rows, pa.string())}),
+            batch_format="pyarrow")
+
+    joined = new.join(prior, "full_outer",
+                      num_partitions=num_partitions,
+                      on=("doc_id",), right_on=("p_doc_id",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        have_new = pc.is_valid(b["h_new"])
+        have_prior = pc.is_valid(b["h_prior"])
+        # Kleene and/or: not_equal is NULL on one-sided rows, and the
+        # non-Kleene kernels would propagate that null into the filter
+        # mask (filter treats null as drop) — losing added/removed rows
+        changed = pc.and_kleene(
+            pc.and_(have_new, have_prior),
+            pc.not_equal(b["h_new"], b["h_prior"]))
+        keep = pc.or_kleene(pc.xor(have_new, have_prior), changed)
+        t = b.filter(keep)
+        hn = pc.is_valid(t["h_new"])
+        hp = pc.is_valid(t["h_prior"])
+        change = pc.if_else(
+            pc.and_(hn, hp), pa.scalar("changed", pa.string()),
+            pc.if_else(hn, pa.scalar("added", pa.string()),
+                       pa.scalar("removed", pa.string())))
+        # Ray's full_outer join coalesces the equi-key pair into the
+        # left column name, so doc_id is already populated on
+        # right-only rows
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "change": change,
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def chunk_dedup(ds, chunk_tokens: int = 8):
     """Span-level exact dedup with document reassembly (the
     RefinedWeb / MassiveText "remove duplicated spans, keep the first

@@ -378,6 +378,66 @@ def interleaved_curation(ds):
                              "text_chars", "media_ppm"]))
 
 
+def span_transitions(ds):
+    """Kind-bigram transition census over the INTERLEAVED span column:
+    (kind_from, kind_to, n) for every adjacent span pair in OFFSET
+    order — the text->image->text interleaving grammar of the corpus
+    (how often media interrupts prose, whether galleries run
+    media-after-media), the profile an interleaved packing policy
+    (mm_pack) is tuned against.  Offset order is the north-rule
+    span-sequence order invariant (kind, text, media_ref, order), so
+    a shuffled stored list yields the same transitions.
+
+    Plan: zero-copy ``list_flatten`` + ``list_parent_indices``, ONE
+    numpy lexsort per batch puts spans in (doc, offset) order, a
+    boundary mask drops cross-document pairs, and a pandas combiner
+    pre-aggregates so only (kind, kind, partial_n) rows — at most
+    |kinds|^2 per batch — reach the single tiny groupby Sum.  No
+    per-row Python, one exchange of combiner-sized rows at any
+    corpus size."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind_from": pa.array([], pa.string()),
+            "kind_to": pa.array([], pa.string()),
+            "pn": pa.array([], pa.int64()),
+        })
+        sp = b["spans"].combine_chunks()
+        flat = pc.list_flatten(sp)
+        if not len(flat):
+            return empty
+        parent = pc.list_parent_indices(sp).to_numpy()
+        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        order = np.lexsort((off, parent))
+        kinds = flat.field("kind").to_numpy(
+            zero_copy_only=False)[order]
+        par = parent[order]
+        same_doc = par[:-1] == par[1:]
+        if not same_doc.any():
+            return empty
+        df = pd.DataFrame({"kind_from": kinds[:-1][same_doc],
+                           "kind_to": kinds[1:][same_doc]})
+        g = df.groupby(["kind_from", "kind_to"], dropna=False,
+                       as_index=False).size()
+        # from_pandas maps a NaN null-kind group to an Arrow null key
+        # (dropna=False above — the event_transitions NULL-group lesson)
+        return pa.table({
+            "kind_from": pa.Array.from_pandas(g["kind_from"],
+                                              type=pa.string()),
+            "kind_to": pa.Array.from_pandas(g["kind_to"],
+                                            type=pa.string()),
+            "pn": pa.array(g["size"].to_numpy().astype(np.int64),
+                           pa.int64()),
+        })
+
+    return (ds.map_batches(per_batch, batch_format="pyarrow")
+            .groupby(["kind_from", "kind_to"])
+            .aggregate(Sum("pn", alias_name="n")))
+
+
 def media_manifest(ds):
     """Flatten the interleaved span column to the ordered media-asset
     manifest (doc_id, span_offset, kind, media_ref) — one row per span

@@ -82,7 +82,8 @@ ORACLE_KEYS = [
     "cms_heavy_hitters", "inverted_index", "hard_negatives",
     "vocab_encode", "ann_ivf", "revenue_by_nation_join",
     "degree_stats", "global_rank", "pmi_collocations",
-    "length_outliers", "dup_spans", "span_stats", "mm_quality_gate",
+    "length_outliers", "dup_spans", "span_stats", "span_transitions",
+    "snapshot_diff", "mm_quality_gate",
     "interleaved_dedup", "interleaved_curation", "media_manifest",
     "span_text", "media_context", "media_dedup", "knn_join",
     "triangle_count", "mm_pack", "bfs_depth", "partitioned_write",

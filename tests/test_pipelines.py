@@ -2248,6 +2248,86 @@ def test_bfs_depth_broadcast_matches_distributed(ray_session):
     assert depths(distributed=True) == want
 
 
+def test_span_transitions_offset_order(ray_session):
+    """Kind bigrams follow OFFSET order, not storage order; pairs never
+    cross document boundaries; single-span docs contribute nothing."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        span_transitions,
+    )
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+
+    def sp(kind, off):
+        return {"kind": kind, "text": None, "media_ref": None,
+                "offset": off}
+
+    docs = pa.table({
+        "doc_id": pa.array(["a", "b", "c"], pa.string()),
+        "spans": pa.array([
+            # stored image-first, but offsets say text -> image -> text
+            [sp("image", 1), sp("text", 0), sp("text", 2)],
+            [sp("text", 0), sp("text", 1)],
+            [sp("image", 0)],                 # no pair
+        ], pa.list_(span_t)),
+    })
+    got = (span_transitions(rd.from_arrow(docs).repartition(2))
+           .to_pandas().sort_values(["kind_from", "kind_to"])
+           .reset_index(drop=True))
+    want = {("image", "text"): 1, ("text", "image"): 1,
+            ("text", "text"): 1}
+    assert {(r.kind_from, r.kind_to): r.n
+            for r in got.itertuples()} == want
+
+
+def test_snapshot_diff(ray_session):
+    """added/removed/changed classified per key; unchanged pages never
+    appear; empty sides degrade to all-added / all-removed."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import snapshot_diff
+
+    prior = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "old body", "gone", "also same"],
+                         pa.string())})
+    new = pa.table({
+        "doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+        "text": pa.array(["same", "new body", "also same", "brand new"],
+                         pa.string())})
+
+    got = (snapshot_diff(rd.from_arrow(new).repartition(2),
+                         rd.from_arrow(prior).repartition(3))
+           .to_pandas().set_index("doc_id")["change"].to_dict())
+    assert got == {2: "changed", 3: "removed", 9: "added"}
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    all_removed = snapshot_diff(empty, rd.from_arrow(prior)).to_pandas()
+    assert sorted(all_removed["doc_id"]) == [1, 2, 3, 4]
+    assert (all_removed["change"] == "removed").all()
+    all_added = snapshot_diff(rd.from_arrow(new), empty).to_pandas()
+    assert sorted(all_added["doc_id"]) == [1, 2, 4, 9]
+    assert (all_added["change"] == "added").all()
+    empty2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert snapshot_diff(empty, empty2).count() == 0
+
+    # string keys flow through untouched (the north-rule doc_id shape)
+    sprior = pa.table({"doc_id": pa.array(["x", "y"], pa.string()),
+                       "text": pa.array(["a", "b"], pa.string())})
+    snew = pa.table({"doc_id": pa.array(["y", "z"], pa.string()),
+                     "text": pa.array(["B", "c"], pa.string())})
+    sgot = (snapshot_diff(rd.from_arrow(snew), rd.from_arrow(sprior))
+            .to_pandas().set_index("doc_id")["change"].to_dict())
+    assert sgot == {"x": "removed", "y": "changed", "z": "added"}
+
+
 def test_triangle_count_broadcast_matches_distributed(ray_session):
     """The numpy census fast path, the join plan, and the
     over-wedge-budget fallback all produce the identical
