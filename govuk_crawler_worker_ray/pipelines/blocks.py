@@ -35,8 +35,13 @@ def default_partitions() -> int:
 
 # the metadata-only fast path rides one Ray private API
 # (iter_internal_ref_bundles, present 2.40-2.49); if a Ray upgrade
-# removes it, every guarded join site falls back through the public
-# to_arrow_refs path below instead of breaking at once
+# removes it, every guarded join site falls back through the
+# to_arrow_refs path below.  NOTE the fallback is best-effort, not
+# API-free: to_arrow_refs and from_arrow_refs are DeveloperAPIs (and
+# to_arrow_refs delegates to the same bundle internals in 2.49), so a
+# Ray that drops ALL of them fails loudly here — which is preferable
+# to the pre-round-5 pass-through that silently leaked zero-schema
+# empty blocks into join sides
 _block_rows_task = None
 
 

@@ -1360,10 +1360,13 @@ def incremental_dedup(new_ds, prior_ds, num_partitions: int = 8,
                                batch_format="pyarrow")
                   .select_columns(["doc_id", "content_hash"]))
     if not distributed:
-        pdf = prior.to_pandas()  # empty prior -> zero-column frame
-        hs = pc.unique(pa.array(
-            pdf["prior_hash"] if "prior_hash" in pdf.columns else [],
-            pa.string()))
+        # stay in Arrow end to end (no pandas str-object round-trip):
+        # concat the narrow hash batches and unique once
+        parts = [b["prior_hash"].combine_chunks()
+                 for b in prior.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        hs = (pc.unique(pa.concat_arrays(parts)) if parts
+              else pa.array([], pa.string()))
         href = ray.put(hs)
 
         def anti(b: pa.Table) -> pa.Table:
@@ -1587,6 +1590,46 @@ def normalized_dedup(ds):
                        Count(alias_name="n_dups")))
 
 
+def _sorted_i64_broadcast(ds, col: str, payload: str | None = None):
+    """Ship a narrow int64 key set (optionally with one int64 payload
+    column) ONCE via ``ray.put`` as sorted numpy arrays — the shared
+    broadcast-membership primitive behind dup_spans and
+    cdc_chunk_stats' no-exchange fast paths.  Returns an ObjectRef of
+    ``keys_sorted`` (no payload) or ``(keys_sorted, payload_sorted)``;
+    ``ds=None`` or an empty relation yields zero-length arrays.
+    Batches concat in Arrow/numpy — no pandas object round-trip."""
+    import ray
+
+    ks, ps = [], []
+    if ds is not None:
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            ks.append(b[col].to_numpy(zero_copy_only=False))
+            if payload is not None:
+                ps.append(b[payload].to_numpy(zero_copy_only=False))
+    k = np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)
+    if payload is None:
+        return ray.put(np.sort(k))
+    p = np.concatenate(ps) if ps else np.empty(0, dtype=np.int64)
+    order = np.argsort(k, kind="stable")
+    return ray.put((k[order], p[order]))
+
+
+def _in_sorted(sorted_keys, values):
+    """Membership of ``values`` in a sorted int64 array via clipped
+    ``searchsorted``.  Returns ``(hit_mask, pos)`` where ``pos`` indexes
+    ``sorted_keys`` (valid wherever ``hit_mask``); an empty key set
+    yields an all-False mask — the edge every hand-rolled copy of this
+    idiom had to re-derive."""
+    if not len(sorted_keys):
+        z = np.zeros(len(values), dtype=np.int64)
+        return z.astype(bool), z
+    pos = np.clip(np.searchsorted(sorted_keys, values), 0,
+                  len(sorted_keys) - 1)
+    return sorted_keys[pos] == values, pos
+
+
 _dup_merge_task = None
 
 
@@ -1753,8 +1796,7 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2,
         def flag(b: pa.Table) -> pa.Table:
             gh_s, nd_s = ray.get(dup_ref)
             g = b["ghash"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(gh_s, g), 0, len(gh_s) - 1)
-            hit = gh_s[pos] == g
+            hit, pos = _in_sorted(gh_s, g)
             return pa.table({
                 "doc_id": b["doc_id"].filter(pa.array(hit)),
                 "pos": b["pos"].filter(pa.array(hit)),
@@ -1807,14 +1849,7 @@ def dup_spans(ds, n: int = 8, min_docs: int = 2,
         # dup-gram membership + n_docs ship ONCE; each occurrence
         # batch filters by searchsorted — the (grams JOIN dup)
         # exchange disappears entirely
-        ghs, nds = [], []
-        for b in dup.iter_batches(batch_format="pyarrow"):
-            ghs.append(b["ghash"].to_numpy(zero_copy_only=False))
-            nds.append(b["n_docs"].to_numpy(zero_copy_only=False))
-        gh = np.concatenate(ghs)
-        nd = np.concatenate(nds)
-        order = np.argsort(gh)
-        dup_ref = ray.put((gh[order], nd[order]))
+        dup_ref = _sorted_i64_broadcast(dup, "ghash", "n_docs")
         return grams.map_batches(_flag_with(dup_ref),
                                  batch_format="pyarrow")
 
@@ -1841,8 +1876,11 @@ def cdc_chunk_stats(ds, num_partitions: int | None = None,
     n_dup_chunks, dup_ppm), where chunks are cut wherever a W-byte
     polynomial rolling hash over the utf-8 bytes has zero low bits
     (goldens.cdc_bounds_scalar is the spec; Muthitacharoen et al.,
-    LBFS SOSP'01) and a chunk is dup iff its md5 occurs >1 time across
-    the corpus.  Boundaries depend only on local content, so an
+    LBFS SOSP'01) and a chunk is dup iff its u64 Horner fingerprint
+    (goldens.cdc_fp_scalar; NOT cryptographic — cross-chunk false
+    merges are birthday events, ~1e-7 at 10^6 distinct chunks, and
+    the documented production swap at 10^12 chunks is xxhash128)
+    occurs >1 time across the corpus.  Boundaries depend only on local content, so an
     insertion re-aligns every later chunk — the shift-robust
     counterpart of the fixed-window ``chunk_dedup``.
 
@@ -1982,25 +2020,15 @@ def cdc_chunk_stats(ds, num_partitions: int | None = None,
         # dup-hash membership ships ONCE (ray.put of a sorted int64
         # array); each batch flags by searchsorted — the round-4
         # (rows JOIN counts) exchange is gone entirely
-        if dup is None:
-            dup_sorted = np.empty(0, dtype=np.int64)
-        else:
-            dup_sorted = np.sort(np.concatenate(
-                [b["h"].to_numpy(zero_copy_only=False)
-                 for b in dup.iter_batches(batch_format="pyarrow")]))
-        dup_ref = ray.put(dup_sorted)
+        dup_ref = _sorted_i64_broadcast(dup, "h")
 
         def flag_agg(b: pa.Table) -> pa.Table:
             import pandas as pd
 
             dref = ray.get(dup_ref)
             h = b["h"].to_numpy(zero_copy_only=False)
-            if len(dref):
-                pos = np.clip(np.searchsorted(dref, h), 0,
-                              len(dref) - 1)
-                d = (dref[pos] == h).astype(np.int64)
-            else:
-                d = np.zeros(len(h), dtype=np.int64)
+            hit, _ = _in_sorted(dref, h)
+            d = hit.astype(np.int64)
             df = pd.DataFrame({
                 "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
                 "n": 1, "d": d})

@@ -327,10 +327,14 @@ def sampled_quantiles(ds, rate: float = 1 / 4,
 
     Output (one row per event_type): exact ``quantile_disc`` quantiles
     OF THE SAMPLE as int64 micros (element ceil(q*n)-1 of the sorted
-    sample, the value_quantiles convention).  Shape: per-row hash
-    predicate + projection inside ``map_batches`` (only survivors
-    leave the scan) -> ONE groupby whose per-group work is a numpy
-    sort of the sample."""
+    sample) — computed by DELEGATING the survivors to
+    ``relational.value_quantiles``, so the micros rounding and the
+    quantile convention live in exactly one place and cannot drift
+    from the oracle.  Shape: per-row hash predicate inside
+    ``map_batches`` (only survivors leave the scan) -> the
+    value_quantiles groupby, whose per-group work is a numpy sort of
+    the sample."""
+    from .relational import value_quantiles
     from .sampling import _hex_threshold
 
     thr = _hex_threshold(rate)
@@ -340,26 +344,10 @@ def sampled_quantiles(ds, rate: float = 1 / 4,
         mask = pa.array(
             [hashlib.md5(str(d).encode()).hexdigest()[:8] < thr
              for d in ids], pa.bool_())
-        kept = batch.filter(mask)
-        return pa.table({
-            "event_type": kept["event_type"],
-            "v": pa.array(
-                np.rint(kept["value"].to_numpy(zero_copy_only=False)
-                        * 1_000_000).astype(np.int64), pa.int64()),
-        })
+        return batch.filter(mask)
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["v"].to_numpy())
-        n = len(v)
-        row = {"event_type": g["event_type"].iloc[0]}
-        for q in qs:
-            row[f"q{int(q * 100)}_micros"] = int(
-                v[max(int(np.ceil(q * n)) - 1, 0)])
-        return pd.DataFrame([row])
-
-    return (ds.map_batches(sample, batch_format="pyarrow")
-            .groupby("event_type")
-            .map_groups(per_type, batch_format="pandas"))
+    return value_quantiles(
+        ds.map_batches(sample, batch_format="pyarrow"), qs)
 
 
 def sampled_quantiles_oracle_sql(rate: float = 1 / 4,
