@@ -1346,6 +1346,29 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(new, docs())
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Same deterministic doc_id % 3 snapshot split as
+    incremental_dedup (prior = multiples of 3, new = the rest)."""
+    import pyarrow as pa
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        minhash_incremental,
+    )
+
+    def part(is_prior):
+        def f(b):
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+            return b.filter(pa.array(m if is_prior else ~m))
+        return f
+
+    docs = lambda: _read_sized(  # noqa: E731
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    prior = docs().map_batches(part(True), batch_format="pyarrow")
+    new = docs().map_batches(part(False), batch_format="pyarrow")
+    return minhash_incremental(new, prior)
+
+
 def _q_mm_quality_gate(sf_dir: str):
     from govuk_crawler_worker_ray.pipelines.multimodal import (
         mm_quality_gate,
@@ -1624,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "span_transitions": _q_span_transitions,
         "snapshot_diff": _q_snapshot_diff,
+        "minhash_incremental": _q_minhash_incremental,
         "mm_quality_gate": _q_mm_quality_gate,
         "interleaved_dedup": _q_interleaved_dedup,
         "interleaved_curation": _q_interleaved_curation,
@@ -1926,6 +1950,13 @@ def oracle_sql() -> dict[str, str]:
     from govuk_crawler_worker_ray.goldens import write_minhash_goldens
 
     gmh = write_minhash_goldens(
+        os.path.join(oracle_sf, "documents.parquet"),
+        "/tmp/gcw_goldens")
+    from govuk_crawler_worker_ray.goldens import (
+        write_minhash_incremental_golden,
+    )
+
+    gmhi = write_minhash_incremental_golden(
         os.path.join(oracle_sf, "documents.parquet"),
         "/tmp/gcw_goldens")
     from govuk_crawler_worker_ray.goldens import write_cdc_golden
@@ -3144,6 +3175,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": (
             "SELECT doc_a, doc_b, jaccard FROM "
             f"read_parquet('{gmh['minhash_neardup']}')"),
+        "minhash_incremental": (
+            "SELECT doc_new, doc_prior, jaccard FROM "
+            f"read_parquet('{gmhi}')"),
         "neardup_components": (
             "SELECT doc_id, component FROM "
             f"read_parquet('{gmh['neardup_components']}')"),

@@ -204,7 +204,8 @@ def bench_queries() -> dict:
              "ngram_jaccard_bucketed", "domain_mix",
              "domain_mix_sample", "cdc_chunk_stats",
              # round-5 additions (same caveat)
-             "sampled_quantiles", "snapshot_diff", "span_transitions"]
+             "sampled_quantiles", "snapshot_diff", "span_transitions",
+             "minhash_incremental"]
     qs = entrymod.queries()
     # warm the Ray worker pool before timing: the first map_batches of a
     # fresh session otherwise pays worker-process spawn + import inside

@@ -593,6 +593,56 @@ def neardup_components_scalar(pairs: "pa.Table") -> "pa.Table":
     })
 
 
+def minhash_incremental_scalar(new_ids, new_texts, prior_ids,
+                               prior_texts, threshold: float = 0.8,
+                               k: int = 5) -> "pa.Table":
+    """Scalar twin of pipelines.dedup.minhash_incremental: the same
+    sign-tagged union fed through the pure-Python minhash_pairs_scalar
+    spec, then cross-side pairs only, decoded and sorted."""
+    ids = [int(i) for i in new_ids] + [-int(i) - 1 for i in prior_ids]
+    texts = list(new_texts) + list(prior_texts)
+    pairs = minhash_pairs_scalar(ids, texts, threshold, k)
+    rows = sorted(
+        (int(b), -int(a) - 1, float(j))
+        for a, b, j in zip(pairs["doc_a"].to_pylist(),
+                           pairs["doc_b"].to_pylist(),
+                           pairs["jaccard"].to_pylist())
+        if a < 0 <= b)
+    return pa.table({
+        "doc_new": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_prior": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def write_minhash_incremental_golden(documents_path: str,
+                                     out_dir: str) -> str:
+    """Persist the minhash_incremental scalar-twin golden over the
+    deterministic doc_id % 3 snapshot split (prior = multiples of 3,
+    new = the rest — the incremental_dedup fixture); idempotent via
+    source mtime."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_minhash_incremental.parquet")
+    marker = os.path.join(out_dir, "golden_minhash_incremental_mtime")
+    mtime = str(os.path.getmtime(documents_path))
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read() == mtime:
+                return path
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    prior = [(i, x) for i, x in zip(ids, texts) if i % 3 == 0]
+    new = [(i, x) for i, x in zip(ids, texts) if i % 3 != 0]
+    golden = minhash_incremental_scalar(
+        [i for i, _ in new], [x for _, x in new],
+        [i for i, _ in prior], [x for _, x in prior])
+    pq.write_table(golden, path)
+    with open(marker, "w") as f:
+        f.write(mtime)
+    return path
+
+
 def write_minhash_goldens(documents_path: str, out_dir: str) -> dict:
     """Persist minhash_neardup + neardup_components scalar-twin
     goldens (threshold 0.8, k=5 — the queries' contract constants);

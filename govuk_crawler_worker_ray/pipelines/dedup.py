@@ -387,6 +387,63 @@ def minhash_lsh_dedup(ds, threshold: float = 0.8, k: int = 5,
                      "jaccard": pa.array(j[keep], pa.float64())})
 
 
+def minhash_incremental(new_ds, prior_ds, threshold: float = 0.8,
+                        k: int = 5, **lsh_kwargs):
+    """Cross-run NEAR-dup increment — the fuzzy counterpart of
+    ``incremental_dedup``: which NEW arrivals are >= ``threshold``
+    Jaccard-similar to a document a PRIOR run already kept?  Output
+    (doc_new, doc_prior, jaccard), one row per verified cross-side
+    pair, sorted by (doc_new, doc_prior).
+
+    Contract: doc_ids are non-negative int64 and the two runs' id
+    spaces are disjoint from each other's DOCUMENTS (ids may overlap;
+    the side tag below keeps them apart).
+
+    Plan: tag side in the id SIGN (prior doc i -> -i-1, a bijection on
+    non-negative int64), run ONE ``minhash_lsh_dedup`` banding +
+    verification pass over the union — at production scale the prior
+    side's (doc_id, band_key) rows are the persisted LSH index read
+    back from storage, so only the increment is re-shingled — and keep
+    only the verified pairs whose endpoints straddle the sides.
+    Same-side pairs ride the same collided buckets either way (the
+    bucket's pair loop is quadratic in bucket size regardless), so the
+    post-filter costs nothing asymptotically; a cross-side-only
+    verifier is the documented refinement if same-side dup mass ever
+    dominates a bucket."""
+
+    def _tag(flip: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            if (ids < 0).any():
+                raise ValueError(
+                    "minhash_incremental: doc_ids must be >= 0")
+            if flip:
+                ids = -ids - 1
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": b["text"]})
+        return f
+
+    union = (new_ds.map_batches(_tag(False), batch_format="pyarrow")
+             .union(prior_ds.map_batches(_tag(True),
+                                         batch_format="pyarrow")))
+    pairs = minhash_lsh_dedup(union, threshold, k, **lsh_kwargs)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    j = pairs["jaccard"].to_numpy()
+    # doc_a < doc_b, so a cross-side pair always has the (negative)
+    # prior id in doc_a; same-side pairs (both new or both prior) drop
+    cross = (a < 0) & (b >= 0)
+    doc_new = b[cross]
+    doc_prior = -a[cross] - 1
+    jj = j[cross]
+    order = np.lexsort((doc_prior, doc_new))
+    return pa.table({
+        "doc_new": pa.array(doc_new[order], pa.int64()),
+        "doc_prior": pa.array(doc_prior[order], pa.int64()),
+        "jaccard": pa.array(jj[order], pa.float64()),
+    })
+
+
 def _collect_texts(ds, ids: set) -> dict:
     """Fetch texts for a (bounded) candidate id set via a broadcast
     semi-join filter — only candidate rows reach the driver (the

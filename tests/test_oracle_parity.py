@@ -67,7 +67,7 @@ ORACLE_KEYS = [
     "distinctive_terms", "quality_filter", "heavy_hitters",
     "dataset_split", "incremental_dedup", "bigram_fluency",
     "deterministic_shuffle", "pii_scrub",
-    "minhash_neardup", "neardup_components",
+    "minhash_neardup", "minhash_incremental", "neardup_components",
     "priority_sample", "tfidf_rank", "embedding_stats",
     "label_centroids", "semi_join", "left_outer_join",
     "full_outer_join", "upsert_latest", "token_windows",

@@ -2328,6 +2328,50 @@ def test_snapshot_diff(ray_session):
     assert sgot == {"x": "removed", "y": "changed", "z": "added"}
 
 
+def test_minhash_incremental_planted(ray_session):
+    """Cross-side near-dups surface (exact dup at jaccard 1.0, a
+    one-token edit above threshold); same-side near-dups and
+    dissimilar cross pairs never appear; overlapping id spaces are
+    kept apart by the side tag."""
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import (
+        minhash_incremental,
+    )
+
+    # 60 distinct tokens: a one-token edit changes 5 of 56 shingles,
+    # jaccard = 51/61 ~ 0.836 >= 0.8 (20 tokens would give ~0.52)
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    prior = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            base,                                   # near-dup target
+            "totally different words entirely here about other things "
+            "and more of them to fill the shingle window",
+            base + " phi",                          # prior-side near-dup of 1
+        ], pa.string())})
+    new = pa.table({
+        "doc_id": pa.array([1, 10, 11], pa.int64()),   # id 1 overlaps
+        "text": pa.array([
+            base,                                   # exact dup of prior 1
+            base.replace("tok30", "edited"),        # near-dup of prior 1
+            "unrelated new content about crawling the web at scale "
+            "with ray data and arrow batches for a while longer",
+        ], pa.string())})
+    got = minhash_incremental(
+        rd.from_arrow(new).repartition(2),
+        rd.from_arrow(prior)).to_pandas()
+    pairs = set(zip(got["doc_new"], got["doc_prior"]))
+    # every cross pair against prior 1 and its prior twin 3
+    assert (1, 1) in pairs and (10, 1) in pairs
+    assert (1, 3) in pairs and (10, 3) in pairs
+    assert len(got) == 4
+    exact = got[(got["doc_new"] == 1) & (got["doc_prior"] == 1)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+    # prior-prior pair (1,3) is same-side: absent by construction
+    assert (got["jaccard"] >= 0.8).all()
+
+
 def test_triangle_count_broadcast_matches_distributed(ray_session):
     """The numpy census fast path, the join plan, and the
     over-wedge-budget fallback all produce the identical
