@@ -2303,6 +2303,11 @@ def test_snapshot_diff(ray_session):
                          rd.from_arrow(prior).repartition(3))
            .to_pandas().set_index("doc_id")["change"].to_dict())
     assert got == {2: "changed", 3: "removed", 9: "added"}
+    # merge_limit=0 forces the full_outer exchange path: same delta
+    via_join = (snapshot_diff(rd.from_arrow(new),
+                              rd.from_arrow(prior), merge_limit=0)
+                .to_pandas().set_index("doc_id")["change"].to_dict())
+    assert via_join == got
 
     empty = rd.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()),
