@@ -378,6 +378,13 @@ def interleaved_curation(ds):
                              "text_chars", "media_ppm"]))
 
 
+# reserved sentinel for a NULL group key crossing a Ray groupby
+# exchange (Ray 2.49's sort partitioner cannot order null strings,
+# and a bare \x00 was observed mangled to "" by the polars-backed
+# sort); real span kinds / event types must not contain \x1f
+_NULL_KEY = "\x1f__null__"
+
+
 def span_transitions(ds):
     """Kind-bigram transition census over the INTERLEAVED span column:
     (kind_from, kind_to, n) for every adjacent span pair in OFFSET
@@ -422,20 +429,38 @@ def span_transitions(ds):
                            "kind_to": kinds[1:][same_doc]})
         g = df.groupby(["kind_from", "kind_to"], dropna=False,
                        as_index=False).size()
-        # from_pandas maps a NaN null-kind group to an Arrow null key
-        # (dropna=False above — the event_transitions NULL-group lesson)
+        # NULL kinds stay legal groups (dropna=False above, matching
+        # the SQL twin's GROUP BY), but Ray 2.49's sort-based groupby
+        # partitioner cannot ORDER a null string key ('<' between None
+        # and str inside find_partition_index) — encode null as the
+        # reserved \\x00 sentinel for the exchange and decode after
+        def enc(s):
+            return pa.array(s.where(s.notna(), _NULL_KEY).tolist(),
+                            pa.string())
+
         return pa.table({
-            "kind_from": pa.Array.from_pandas(g["kind_from"],
-                                              type=pa.string()),
-            "kind_to": pa.Array.from_pandas(g["kind_to"],
-                                            type=pa.string()),
+            "kind_from": enc(g["kind_from"]),
+            "kind_to": enc(g["kind_to"]),
             "pn": pa.array(g["size"].to_numpy().astype(np.int64),
                            pa.int64()),
         })
 
+    def decode(b: pa.Table) -> pa.Table:
+        def dec(c):
+            c = c.combine_chunks()
+            return pc.if_else(pc.equal(c, _NULL_KEY),
+                              pa.scalar(None, pa.string()), c)
+
+        return pa.table({
+            "kind_from": dec(b["kind_from"]),
+            "kind_to": dec(b["kind_to"]),
+            "n": b["n"],
+        })
+
     return (ds.map_batches(per_batch, batch_format="pyarrow")
             .groupby(["kind_from", "kind_to"])
-            .aggregate(Sum("pn", alias_name="n")))
+            .aggregate(Sum("pn", alias_name="n"))
+            .map_batches(decode, batch_format="pyarrow"))
 
 
 def media_manifest(ds):

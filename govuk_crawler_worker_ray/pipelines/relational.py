@@ -1474,10 +1474,15 @@ def event_transitions(ds, num_partitions: int | None = None):
                          dropna=False)
                .size().rename(columns={"event_type": "src_type",
                                        "size": "p_n"}))
-        # hand Arrow an explicit null for the NaN group key — left as
-        # a pandas block, the NaN would reach the global groupby as a
-        # float NaN key instead of a string null
-        src = out["src_type"].where(out["src_type"].notna(), None)
+        # a NULL src group must survive, but Ray 2.49's sort-based
+        # groupby partitioner cannot ORDER a null string key ('<'
+        # between None and str inside find_partition_index) — encode
+        # it as the reserved \x00 sentinel for the exchange and decode
+        # after the aggregate (the span_transitions lesson; left as a
+        # pandas NaN it would reach the groupby as a float key)
+        from .multimodal import _NULL_KEY
+
+        src = out["src_type"].where(out["src_type"].notna(), _NULL_KEY)
         return pa.table({
             "src_type": pa.array(src.tolist(), pa.string()),
             "dst_type": pa.array(out["dst_type"].tolist(), pa.string()),
@@ -1485,11 +1490,23 @@ def event_transitions(ds, num_partitions: int | None = None):
                             pa.int64()),
         })
 
+    def decode(b: pa.Table) -> pa.Table:
+        from .multimodal import _NULL_KEY
+
+        c = b["src_type"].combine_chunks()
+        return pa.table({
+            "src_type": pc.if_else(pc.equal(c, _NULL_KEY),
+                                   pa.scalar(None, pa.string()), c),
+            "dst_type": b["dst_type"],
+            "n_trans": b["n_trans"],
+        })
+
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("part")
             .map_groups(local_counts, batch_format="pandas")
             .groupby(["src_type", "dst_type"])
-            .aggregate(Sum("p_n", alias_name="n_trans")))
+            .aggregate(Sum("p_n", alias_name="n_trans"))
+            .map_batches(decode, batch_format="pyarrow"))
 
 
 def orders_cube(ds):

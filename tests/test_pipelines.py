@@ -2093,6 +2093,20 @@ def test_event_transitions(ray_session):
            for r in event_transitions(ev, num_partitions=3).take_all()}
     assert got == {("view", "click"): 2, ("click", "view"): 1}
 
+    # a NULL src event_type is a legal group (SQL GROUP BY keeps it);
+    # Ray 2.49's groupby cannot sort a null string key, so the
+    # operator sentinel-codes it across the exchange — pin the
+    # round-trip back to a real Arrow null
+    ev2 = rd.from_arrow(pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+        "event_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array([None, "click"], pa.string()),
+    }))
+    rows = event_transitions(ev2, num_partitions=2).take_all()
+    assert [(r["src_type"], r["dst_type"], r["n_trans"])
+            for r in rows] == [(None, "click", 1)]
+
 
 def test_orders_cube(ray_session):
     import ray.data as rd
@@ -2331,6 +2345,92 @@ def test_snapshot_diff(ray_session):
     sgot = (snapshot_diff(rd.from_arrow(snew), rd.from_arrow(sprior))
             .to_pandas().set_index("doc_id")["change"].to_dict())
     assert sgot == {"x": "removed", "y": "changed", "z": "added"}
+
+
+def test_snapshot_diff_randomized_matches_bruteforce(ray_session):
+    """Both snapshot_diff paths against a pure-Python dict diff over
+    seeded random snapshots (duplicated texts, disjoint keys, empty
+    strings, heavy overlap)."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.dedup import snapshot_diff
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        texts = ["", "x", "yy", "shared body", f"t{trial}"]
+        n_keys = [int(k) for k in rng.choice(40, size=25, replace=False)]
+        p_keys = [int(k) for k in rng.choice(40, size=25, replace=False)]
+        n_txt = [texts[i] for i in rng.integers(0, len(texts), 25)]
+        p_txt = [texts[i] for i in rng.integers(0, len(texts), 25)]
+        new = pa.table({"doc_id": pa.array(n_keys, pa.int64()),
+                        "text": pa.array(n_txt, pa.string())})
+        prior = pa.table({"doc_id": pa.array(p_keys, pa.int64()),
+                          "text": pa.array(p_txt, pa.string())})
+
+        def h(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        nd = dict(zip(n_keys, (h(t) for t in n_txt)))
+        pd_ = dict(zip(p_keys, (h(t) for t in p_txt)))
+        want = {}
+        for k in set(nd) | set(pd_):
+            if k not in pd_:
+                want[k] = "added"
+            elif k not in nd:
+                want[k] = "removed"
+            elif nd[k] != pd_[k]:
+                want[k] = "changed"
+        for ml in (8_000_000, 0):   # merge-task path, then join path
+            got = (snapshot_diff(rd.from_arrow(new).repartition(3),
+                                 rd.from_arrow(prior).repartition(2),
+                                 merge_limit=ml)
+                   .to_pandas().set_index("doc_id")["change"].to_dict())
+            assert got == want, (trial, ml)
+
+
+def test_span_transitions_randomized_matches_bruteforce(ray_session):
+    """span_transitions against a pure-Python offset-sorted bigram
+    count over seeded random interleaved docs (shuffled storage order,
+    null kinds, empty docs)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from govuk_crawler_worker_ray.pipelines.multimodal import (
+        span_transitions,
+    )
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    rng = np.random.default_rng(31)
+    kinds = ["text", "image", "audio", None]
+    docs, want = [], Counter()
+    for d in range(30):
+        n = int(rng.integers(0, 6))
+        ks = [kinds[i] for i in rng.integers(0, len(kinds), n)]
+        for a, b in zip(ks, ks[1:]):
+            want[(a, b)] += 1
+        order = rng.permutation(n)
+        docs.append([{"kind": ks[i], "text": None, "media_ref": None,
+                      "offset": int(i)} for i in order])
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(30)], pa.string()),
+        "spans": pa.array(docs, pa.list_(span_t)),
+    })
+    import pandas as pd
+
+    got = span_transitions(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    got_map = {}
+    for r in got.itertuples():
+        kf = None if pd.isna(r.kind_from) else r.kind_from
+        kt = None if pd.isna(r.kind_to) else r.kind_to
+        got_map[(kf, kt)] = r.n
+    assert got_map == dict(want)
 
 
 def test_minhash_incremental_planted(ray_session):
